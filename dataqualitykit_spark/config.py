@@ -1,0 +1,93 @@
+"""Pipeline configuration: every threshold and constant in one place.
+
+The keep/drop rule constants are inherited from the reference where the
+reference pins them (cited per field); everything else is chosen for
+Common-Crawl-style web text and shared verbatim between the Spark pipeline
+and the pure-Python oracle so the two can never drift.
+
+Reference citations use /root/reference/QualityControl.py line numbers.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+# Whitespace handled identically on the JVM (Java regex is ASCII-\s by
+# default) and in Python (whose \s is unicode-aware): we pin an explicit
+# ASCII class so both engines split/trim the same bytes.
+WS_CHARS = " \t\n\r\x0b\f"
+WS_REGEX = r"[ \t\n\r\x0b\f]+"
+
+# Missing-token set — reference QualityControl.py:53-57 (NULL, '', trimmed
+# '' and the literal tokens below all count as missing).
+MISSING_TOKENS = ("NA", "N/A", "null", "none")
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    """Keep/drop thresholds for the web-text quality filter."""
+
+    # document length rules (chars measured on scrubbed text)
+    min_chars: int = 100
+    max_chars: int = 100_000
+    min_words: int = 15
+    max_words: int = 50_000
+
+    # Gopher-style word-shape rules
+    min_mean_word_len: float = 2.0
+    max_mean_word_len: float = 12.0
+
+    # symbol-to-char ratio (non-alphanumeric, non-whitespace chars / chars)
+    max_symbol_ratio: float = 0.25
+
+    # repeated-line spam: distinct non-empty lines / non-empty lines
+    min_distinct_line_ratio: float = 0.5
+    # only meaningful for docs with at least this many non-empty lines
+    min_lines_for_ratio: int = 3
+
+    # boilerplate: >= this many distinct markers present -> drop
+    max_boilerplate_hits: int = 2
+
+    # stopword density (fraction of tokens that are English stopwords)
+    min_stopword_density: float = 0.01
+    min_stopword_hits: int = 2
+
+    # language id
+    allowed_langs: tuple[str, ...] = ("en",)
+    min_lang_conf: float = 0.05
+
+    # char-bigram perplexity ceiling (gibberish filter)
+    max_perplexity: float = 22.0
+
+    # dedup
+    dedup_url: bool = True
+    dedup_content: bool = True
+
+    # scale mechanics
+    salt_partitions: int = 0  # 0 = leave to AQE; >0 = explicit salted repartition
+    shuffle_partitions: int = 32
+    arrow_batch_size: int = 10_000
+
+
+# Priority order of drop reasons: the first failing rule names the reason.
+# Mirrors the reference's remediation taxonomy ordering (docs/RFP.md) where
+# structural problems (missing / malformed) outrank statistical ones.
+DROP_REASON_ORDER: tuple[str, ...] = (
+    "missing_text",
+    "too_short",
+    "too_long",
+    "too_few_words",
+    "too_many_words",
+    "mean_word_length",
+    "symbol_ratio",
+    "repeated_lines",
+    "boilerplate",
+    "stopword_density",
+    "lang",
+    "perplexity",
+    "dup_url",
+    "dup_content",
+)
+
+DEFAULT_CONFIG = PipelineConfig()

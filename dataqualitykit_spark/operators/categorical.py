@@ -1,0 +1,97 @@
+"""CategoricalValidity re-imagined (reference QualityControl.py:1055-1570).
+
+The reference pulls distinct values to the driver for O(n²) loops
+(:1262) and uses row-at-a-time mapping UDFs (:1341-1354). Here: frequency
+work is hash aggregation; mapping is chained-when or broadcast join; rare
+detection is agg + filter; case standardization is native functions
+(:1480-1497 without the UDF).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def category_frequencies(df: DataFrame, col: str) -> DataFrame:
+    """A7 (:1136-1139): value -> count, plus share of total."""
+    counts = df.groupBy(col).agg(F.count(F.lit(1)).alias("frequency"))
+    total = counts.agg(F.sum("frequency").alias("_t"))
+    return counts.crossJoin(F.broadcast(total)).withColumn(
+        "share", F.col("frequency") / F.col("_t").cast("double")
+    ).drop("_t")
+
+
+def invalid_categories(df: DataFrame, col: str, allowed: list[str]) -> DataFrame:
+    """check_category_validity (:1068-1180): rows outside the allowed set."""
+    c = F.col(col)
+    return df.agg(
+        F.count(F.lit(1)).alias("total_rows"),
+        F.sum((~c.isin(*allowed) | c.isNull()).cast("long")).alias("invalid_count"),
+    )
+
+
+def rare_categories(df: DataFrame, col: str, threshold: float = 0.01) -> DataFrame:
+    """A8 (:1549-1559): categories with share < threshold."""
+    counts = df.groupBy(col).agg(F.count(F.lit(1)).alias("frequency"))
+    total = df.count()
+    return counts.filter(F.col("frequency") < F.lit(threshold * total))
+
+
+def group_rare_as_other(
+    df: DataFrame, col: str, threshold: float = 0.01, other: str = "Other"
+) -> DataFrame:
+    """U4 (:1563-1567) without the UDF: broadcast the rare set, map via
+    semi-join-free when/isin (rare set collected once — it is small by
+    definition; at 100 TB it is still only the distinct tail)."""
+    rare = [r[0] for r in rare_categories(df, col, threshold).select(col).collect()]
+    if not rare:
+        return df
+    return df.withColumn(
+        col, F.when(F.col(col).isin(*rare), F.lit(other)).otherwise(F.col(col))
+    )
+
+
+def mode_value(df: DataFrame, col: str) -> DataFrame:
+    """A6 (:281): most frequent value, deterministic tie-break on value."""
+    return (
+        df.groupBy(col)
+        .agg(F.count(F.lit(1)).alias("frequency"))
+        .orderBy(F.desc("frequency"), F.asc(col))
+        .limit(1)
+    )
+
+
+def standardize_case(df: DataFrame, col: str, style: str = "lower") -> DataFrame:
+    """U3 (:1480-1497) natively: lower/upper/title(initcap)/sentence."""
+    c = F.col(col)
+    if style == "lower":
+        expr = F.lower(c)
+    elif style == "upper":
+        expr = F.upper(c)
+    elif style == "title":
+        expr = F.initcap(c)
+    elif style == "sentence":
+        expr = F.concat(F.upper(F.substring(c, 1, 1)), F.lower(F.expr(f"substring({col}, 2)")))
+    else:
+        raise ValueError(style)
+    return df.withColumn(col, expr)
+
+
+def map_categories(df: DataFrame, col: str, mapping: dict[str, str], keep_unknown: bool = True) -> DataFrame:
+    """U1 (:1341-1354) without the UDF: chained when for small maps."""
+    c = F.col(col)
+    expr = None
+    for k, v in mapping.items():
+        cond = F.when(c == F.lit(k), F.lit(v))
+        expr = cond if expr is None else expr.when(c == F.lit(k), F.lit(v))
+    expr = expr.otherwise(c if keep_unknown else F.lit(None))
+    return df.withColumn(col, expr)
+
+
+def lookup_standardize(df: DataFrame, lookup: DataFrame, key: str, value_col: str) -> DataFrame:
+    """J2 (:2425 — the reference's _lookup was never implemented): broadcast
+    left join against a small reference table."""
+    return df.join(F.broadcast(lookup), on=key, how="left").withColumn(
+        key, F.coalesce(F.col(value_col), F.col(key))
+    ).drop(value_col)

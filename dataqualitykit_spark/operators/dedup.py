@@ -1,0 +1,239 @@
+"""DuplicateValues re-imagined (reference QualityControl.py:1572-2173) plus
+the web-scale near-dup family (MinHash-LSH, SimHash, n-gram Jaccard) the
+reference only gestures at with driver-side O(n²) loops (:1758-1764 — the
+exact pattern we replace with shuffle-parallel algebra).
+
+Exact-dup semantics inherited:
+- duplicate_stats: affected_rows = ALL rows in dup groups (the reference
+  test's expectation, tests/test_duplicate_values.py:26)
+- keep first/last/most_recent via row_number (:1967-1981)
+- composite business key via concat_ws+sha2 (:2149-2173)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..config import WS_REGEX
+
+# ---------------------------------------------------------------------------
+# exact duplicates
+# ---------------------------------------------------------------------------
+
+
+def duplicate_groups(df: DataFrame, cols: list[str]) -> DataFrame:
+    """groups with count > 1 (A9, :1640-1647)."""
+    return df.groupBy(*cols).agg(F.count(F.lit(1)).alias("dup_count")).filter(
+        F.col("dup_count") > 1
+    )
+
+
+def duplicate_stats(df: DataFrame, cols: list[str]) -> DataFrame:
+    """One row: duplicate_count (n groups) + affected_rows (all rows in
+    groups — per the reference's own test, not its implementation)."""
+    g = duplicate_groups(df, cols)
+    return g.agg(
+        F.coalesce(F.count(F.lit(1)), F.lit(0)).alias("duplicate_count"),
+        F.coalesce(F.sum("dup_count"), F.lit(0)).alias("affected_rows"),
+    )
+
+
+def group_size_histogram(df: DataFrame, cols: list[str]) -> DataFrame:
+    """distribution of dup-group sizes (A10, :1659-1660 — fixed alias bug)."""
+    return (
+        duplicate_groups(df, cols)
+        .groupBy("dup_count")
+        .agg(F.count(F.lit(1)).alias("n_groups"))
+    )
+
+
+def business_key_violations(df: DataFrame, key_cols: list[str]) -> DataFrame:
+    """A11 (:1861-1867): business keys appearing more than once."""
+    return duplicate_groups(df, key_cols)
+
+
+def composite_key(df: DataFrame, cols: list[str], out: str = "row_key") -> DataFrame:
+    """concat_ws + sha2-256 composite key (:2149-2173)."""
+    return df.withColumn(out, F.sha2(F.concat_ws("|", *[F.col(c) for c in cols]), 256))
+
+
+def dedup_exact(
+    df: DataFrame,
+    key_cols: list[str],
+    order_by: list | None = None,
+    keep: str = "first",
+) -> DataFrame:
+    """Keep-one per key group via row_number (W1, :1967-1981).
+
+    keep='first'/'last' flips the order; order_by defaults to the key
+    itself (deterministic for exact dups). Scales: shuffle on key_cols only.
+    """
+    order = order_by or [F.col(c) for c in key_cols]
+    if keep == "last":
+        order = [c.desc() if hasattr(c, "desc") else F.col(c).desc() for c in order]
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# near-duplicate family (training-data pipeline ops; no reference analog —
+# replaces the driver-side fuzzy loop at :1758-1764 with shuffle algebra)
+# ---------------------------------------------------------------------------
+
+
+def _shingles(col, k: int = 3):
+    """word k-shingles as an array column (lowercased, ws-tokenized)."""
+    words = F.filter(F.split(F.lower(col), WS_REGEX), lambda w: w != F.lit(""))
+    n = F.size(words)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    return F.when(n < k, F.array(F.concat_ws(" ", words))).otherwise(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, k)))
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 32,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """MinHash signature per doc: sig[i] = min over shingles of
+    xxhash64(i, shingle). Pure column algebra — one projection, no UDF,
+    no shuffle. Returns (id, sig array<bigint>)."""
+    sh = _shingles(F.col(text_col), shingle_k)
+    sig = F.array(
+        *[
+            F.array_min(F.transform(sh, lambda s: F.xxhash64(F.lit(i), s)))
+            for i in range(num_hashes)
+        ]
+    )
+    return df.select(F.col(id_col).alias("id"), sig.alias("sig"))
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, bands: int = 8, rows_per_band: int = 4
+) -> DataFrame:
+    """Band the signatures and self-join on (band, band_hash) — the classic
+    LSH bucket join. Shuffles only (band_key, id), never the text. Returns
+    distinct candidate (id_a, id_b) with id_a < id_b."""
+    banded = sigs.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[
+                                F.col("sig").getItem(b * rows_per_band + r)
+                                for r in range(rows_per_band)
+                            ]
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "bk.band", "bk.bucket")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def minhash_jaccard(
+    df: DataFrame, text_col: str, id_col: str, num_hashes: int = 32
+) -> DataFrame:
+    """Estimated Jaccard for LSH candidate pairs: fraction of matching
+    signature slots. Returns (id_a, id_b, est_jaccard)."""
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes).cache()
+    pairs = lsh_candidate_pairs(sigs)
+    sa = sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m
+            )
+        )
+        / F.lit(num_hashes)
+    )
+    return (
+        pairs.join(sa, "id_a").join(sb, "id_b").select(
+            "id_a", "id_b", est.alias("est_jaccard")
+        )
+    )
+
+
+def simhash64(df: DataFrame, text_col: str, id_col: str, shingle_k: int = 2) -> DataFrame:
+    """64-bit SimHash per doc, pure column algebra: for each bit b, sum
+    +1/-1 over shingle hashes; bit set if sum > 0. Returns (id, simhash)."""
+    sh = _shingles(F.col(text_col), shingle_k)
+    hashes = F.transform(sh, lambda s: F.xxhash64(s))
+    bit_terms = [
+        F.when(
+            F.aggregate(
+                hashes,
+                F.lit(0).cast("long"),
+                lambda acc, h: acc
+                + F.when(h.bitwiseAND(F.lit(1 << b)) != 0, 1).otherwise(-1),
+            )
+            > 0,
+            F.lit(1 << b),
+        ).otherwise(F.lit(0))
+        for b in range(64)
+    ]
+    total = bit_terms[0]
+    for t in bit_terms[1:]:
+        total = total.bitwiseOR(t)
+    return df.select(F.col(id_col).alias("id"), total.alias("simhash"))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, text_col: str, id_col: str, k: int = 3, min_jaccard: float = 0.5
+) -> DataFrame:
+    """Exact n-gram Jaccard via shingle explode + pair aggregation:
+    |A∩B| from a self-join on shingle, |A|,|B| from per-doc distinct counts.
+    Shuffles shingle hashes (bigint), never text. O(sum bucket²) — use after
+    LSH candidate filtering at scale. Returns (id_a, id_b, jaccard)."""
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(_shingles(F.col(text_col), k))).alias("shingle"),
+    ).select("id", F.xxhash64("shingle").alias("sh"))
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    na = sizes.select(F.col("id").alias("id_a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col("id").alias("id_b"), F.col("n").alias("n_b"))
+    return (
+        inter.join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("inter")).cast("double")
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+    )

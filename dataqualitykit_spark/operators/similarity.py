@@ -1,0 +1,150 @@
+"""Similarity search over embedding columns (array<float>).
+
+No reference analog (the reference's nearest thing is the driver-side
+fuzzy-match loop, QualityControl.py:1758-1764); this is the training-data
+pipeline op the task brief names: brute-force cosine top-k as the correct
+baseline, and an LSH-bucketed variant as the 100 TB scale path (random
+hyperplane signs — the candidate set shrinks by bucket collision before
+any exact math).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v)
+    )
+
+
+def cosine_similarity_col(a, b):
+    """Cosine similarity between two array columns — native fold, no UDF."""
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Brute-force cosine top-k: broadcast the (small) query set against the
+    corpus, rank per query. Shuffle = one window per query_id partition.
+
+    Returns (query_id, neighbor_id, cosine, rank). Deterministic tie-break
+    on neighbor id. Cast to double BEFORE the fold so the fold order
+    (left-to-right sequential) matches any SQL oracle exactly.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qvec"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cvec"),
+    )
+    sims = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_similarity_col(F.col("qvec"), F.col("cvec")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.round(F.col("cosine"), 6).desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .withColumn("cosine", F.round("cosine", 6))
+    )
+
+
+def lsh_bucketed_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_planes: int = 12,
+    seed: int = 42,
+) -> DataFrame:
+    """Scale path: random-hyperplane LSH — docs sharing the query's sign
+    bucket are the only candidates ranked. Hyperplanes are derived
+    deterministically from xxhash64(seed, dim_index) so both sides of the
+    join compute identical buckets without any broadcast state.
+
+    At 10^12 docs: bucket the corpus ONCE (write bucketed table), then each
+    query batch joins on bucket — a co-partitioned equi-join, not a cross.
+    """
+    dim_idx = F.sequence(F.lit(0), F.size(F.col(vec_col)) - 1)
+
+    def bucket(vec):
+        # sign bit per plane; plane weights w_{p,d} = hash in [-1, 1)
+        bits = [
+            F.when(
+                F.aggregate(
+                    F.zip_with(
+                        vec,
+                        F.transform(
+                            dim_idx,
+                            lambda d: (
+                                F.pmod(F.xxhash64(F.lit(seed), F.lit(p), d), F.lit(2000))
+                                - F.lit(1000)
+                            )
+                            / F.lit(1000.0),
+                        ),
+                        lambda x, w: x * w,
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                )
+                > 0,
+                F.lit(1 << p),
+            ).otherwise(F.lit(0))
+            for p in range(n_planes)
+        ]
+        total = bits[0]
+        for b in bits[1:]:
+            total = total.bitwiseOR(b)
+        return total
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cvec"),
+    ).withColumn("bucket", bucket(F.col("cvec")))
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qvec"),
+    ).withColumn("bucket", bucket(F.col("qvec")))
+    sims = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_similarity_col(F.col("qvec"), F.col("cvec")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.round(F.col("cosine"), 6).desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .withColumn("cosine", F.round("cosine", 6))
+    )

@@ -1,0 +1,346 @@
+"""Shared per-row semantics: the single source of truth for every rule the
+pipeline applies.
+
+Both the pure-Python oracle (``dataqualitykit_spark.oracle``) and the Spark
+pipeline's Arrow-batched pandas UDFs import THIS module, so the scrub output
+is byte-identical by construction and langid/perplexity decisions cannot
+drift between oracle and engine (SURVEY.md §7.2 "byte-identical scrubbed
+text ... single compiled-bank module imported by both").
+
+Column-algebra rules (length, word stats, repeated lines, ...) are
+re-expressed natively in Spark in ``functions/text.py``; the unit tests in
+``tests/test_text_metrics.py`` assert those column expressions agree with
+the Python functions here on adversarial inputs.
+
+Reference semantics inherited (citations into /root/reference/QualityControl.py):
+- missing-token set            :53-57
+- non-printable removal        :3493-3497 (golden tests/test_encoding_conformity.py:44)
+- replace-invalid              :3500-3504 (golden :51)
+- xmlcharref encode            :3506-3511 (golden :57-58)
+- case standardization         :1480-1497
+- sha2/md5 composite keys      :2158-2159
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import re
+
+from .config import MISSING_TOKENS, WS_CHARS, PipelineConfig
+
+# ---------------------------------------------------------------------------
+# tokenization
+# ---------------------------------------------------------------------------
+
+_WS_RE = re.compile(r"[ \t\n\r\x0b\f]+")
+
+
+def tokenize(text: str) -> list[str]:
+    """ASCII-whitespace split, empty tokens removed.
+
+    Mirror on the Spark side: F.filter(F.split(col, WS_REGEX), x -> x != '').
+    """
+    return [w for w in _WS_RE.split(text) if w]
+
+
+def is_missing(text: str | None) -> bool:
+    """Reference missing predicate (QualityControl.py:53-57)."""
+    if text is None:
+        return True
+    stripped = text.strip(WS_CHARS)
+    return stripped == "" or text in MISSING_TOKENS
+
+
+# ---------------------------------------------------------------------------
+# stopwords / boilerplate / language profiles
+# ---------------------------------------------------------------------------
+
+STOPWORDS_EN = frozenset(
+    "the a an and of to in is it you that was for on are with as his they at be "
+    "this have from or had by not but what all were we when your can said there "
+    "use each which she do how their if will up other about out many then them "
+    "these so some her would make like him into time has look two more".split()
+)
+
+STOPWORDS_DE = frozenset(
+    "der die das und ist nicht ein eine mit für auf des dem sich den im zu von "
+    "er es auch als an aus bei nach wie noch nur wenn aber was man kann".split()
+)
+
+STOPWORDS_FR = frozenset(
+    "le la les et des une dans est pour que qui sur pas par un du au il elle "
+    "nous vous ils ne se ce cette mais avec tout être avoir plus".split()
+)
+
+STOPWORDS_ES = frozenset(
+    "el los las y de que en un una es por con para su se no lo como más pero "
+    "sus le ya o este sí porque esta entre cuando muy sin sobre".split()
+)
+
+LANG_PROFILES: dict[str, frozenset[str]] = {
+    "en": STOPWORDS_EN,
+    "de": STOPWORDS_DE,
+    "fr": STOPWORDS_FR,
+    "es": STOPWORDS_ES,
+}
+
+BOILERPLATE_MARKERS = (
+    "all rights reserved",
+    "terms of service",
+    "privacy policy",
+    "cookie policy",
+    "we use cookies",
+    "click here to subscribe",
+    "sign up for our newsletter",
+    "skip to main content",
+)
+
+# mild placeholder toxicity lexicon (FIXTURES.md: "use a mild placeholder lexicon")
+TOXICITY_LEXICON = ("darnit", "frick", "heck", "dangit", "shoot")
+
+
+# ---------------------------------------------------------------------------
+# scrub bank — compiled once, applied in this exact order on both sides
+# ---------------------------------------------------------------------------
+
+# 1. control / non-printable chars (keep \t \n), reference :3493-3497.
+_CTRL_RE = re.compile(r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f-\x9f�]")
+
+# 2. mojibake repairs (UTF-8 read as latin-1), applied before PII masking.
+MOJIBAKE_MAP = (
+    ("Ã©", "é"),  # Ã© -> é
+    ("Ã¨", "è"),  # Ã¨ -> è
+    ("Ã¤", "ä"),  # Ã¤ -> ä
+    ("Ã¶", "ö"),  # Ã¶ -> ö
+    ("Ã¼", "ü"),  # Ã¼ -> ü
+    ("â", "’"),  # â€™ -> ’
+    ("â", "“"),  # â€œ -> “
+    ("â", "”"),  # â€? -> ”
+)
+
+# 3. PII bank — order matters (SSN before phone so 123-45-6789 is not
+# half-eaten by the phone pattern). Phone golden format from the reference
+# fixture tests/test_format_consistency.py:36 (123-456-7890, (123) 456-7890).
+PII_BANK: tuple[tuple[re.Pattern[str], str], ...] = (
+    (re.compile(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"), "<EMAIL>"),
+    (re.compile(r"\b\d{3}-\d{2}-\d{4}\b"), "<SSN>"),
+    (re.compile(r"(?:\+1[-. ])?(?:\(\d{3}\)\s?|\b\d{3}[-.])\d{3}[-.]\d{4}\b"), "<PHONE>"),
+    (re.compile(r"\b(?:\d{1,3}\.){3}\d{1,3}\b"), "<IP>"),
+)
+
+_TOX_RE = re.compile(
+    r"\b(?:" + "|".join(re.escape(w) for w in TOXICITY_LEXICON) + r")\b",
+    re.IGNORECASE,
+)
+
+
+def scrub_text(text: str) -> str:
+    """Full scrub: mojibake repair -> control-char strip -> PII mask -> toxicity.
+
+    Mojibake runs FIRST because cp1252/latin-1 artifacts contain chars in the
+    U+0080-U+009F control block that the ctrl-strip would otherwise eat.
+
+    THE byte-exact contract (BASELINE.json input_hint). The pandas scrub UDF
+    applies these same compiled patterns in the same order via Series.str.
+    """
+    out = text
+    for bad, good in MOJIBAKE_MAP:
+        out = out.replace(bad, good)
+    out = _CTRL_RE.sub("", out)
+    for pat, repl in PII_BANK:
+        out = pat.sub(repl, out)
+    out = _TOX_RE.sub("<TOX>", out)
+    return out
+
+
+# encoding fix strategies inherited from the reference (EncodingConformity.fix
+# :3362-3513); goldens in tests/test_encoding_conformity.py:44,51,57-58.
+def encoding_remove_invalid(text: str) -> str:
+    """Drop chars that cannot encode to ASCII ('invalid \\x80 text' -> 'invalid  text')."""
+    return text.encode("ascii", errors="ignore").decode("ascii")
+
+
+def encoding_replace_invalid(text: str, replacement: str = "?") -> str:
+    """Replace non-ASCII chars ('invalid \\x80 text' -> 'invalid ? text')."""
+    return text.encode("ascii", errors="replace").decode("ascii").replace("�", replacement)
+
+
+def encoding_xmlcharref(text: str) -> str:
+    """XML character references ('é' -> '&#233;', '\\x80' -> '&#128;')."""
+    return text.encode("ascii", errors="xmlcharrefreplace").decode("ascii")
+
+
+# ---------------------------------------------------------------------------
+# heuristic metrics (python mirrors of functions/text.py column algebra)
+# ---------------------------------------------------------------------------
+
+_SYMBOL_RE = re.compile(r"[^A-Za-z0-9 \t\n\r\x0b\f]")
+
+
+def symbol_count(text: str) -> int:
+    return len(_SYMBOL_RE.findall(text))
+
+
+def mean_word_length(words: list[str]) -> float:
+    if not words:
+        return 0.0
+    return sum(len(w) for w in words) / len(words)
+
+
+def stopword_hits(words: list[str], stopwords: frozenset[str] = STOPWORDS_EN) -> int:
+    return sum(1 for w in words if w.lower() in stopwords)
+
+
+def line_stats(text: str) -> tuple[int, int]:
+    """(non_empty_lines, distinct_non_empty_lines) using '\\n' split."""
+    lines = [ln for ln in text.split("\n") if ln.strip(WS_CHARS) != ""]
+    return len(lines), len(set(lines))
+
+
+def boilerplate_hits(text: str) -> int:
+    low = text.lower()
+    return sum(1 for m in BOILERPLATE_MARKERS if m in low)
+
+
+# ---------------------------------------------------------------------------
+# language id (deterministic stopword-profile scorer; fastText stand-in)
+# ---------------------------------------------------------------------------
+
+
+def langid(text: str) -> tuple[str, float]:
+    """Predict language by stopword-profile density.
+
+    Returns (lang, confidence) where confidence = hits(best)/n_words.
+    Deterministic tie-break: alphabetical language code. 'und' when no
+    profile scores a single hit.
+    """
+    words = [w.lower() for w in tokenize(text)]
+    if not words:
+        return "und", 0.0
+    best_lang, best_hits = "und", 0
+    for code in sorted(LANG_PROFILES):
+        hits = sum(1 for w in words if w in LANG_PROFILES[code])
+        if hits > best_hits:
+            best_lang, best_hits = code, hits
+    return best_lang, best_hits / len(words)
+
+
+# ---------------------------------------------------------------------------
+# char-bigram perplexity (KenLM stand-in; fixed embedded training corpus)
+# ---------------------------------------------------------------------------
+
+_TRAIN_TEXT = (
+    "the quick brown fox jumps over the lazy dog and the cat sat on the mat "
+    "while the sun was shining over the green hills of the old country where "
+    "people would gather in the evening to talk about the news of the day and "
+    "share stories from their lives the children played in the fields and the "
+    "river ran slowly past the village carrying small boats made of paper and "
+    "wood toward the distant sea where fishermen cast their nets at dawn and "
+    "returned with the tide every morning brought new light and new work for "
+    "the families who lived along the shore trading fish and bread and salt "
+    "with travelers passing through on their way to the great city markets "
+    "full of spices cloth and silver from lands across the water the seasons "
+    "turned from spring planting to summer harvest to autumn storms to quiet "
+    "winter evenings by the fire where the elders told of times long past and "
+    "the young dreamed of journeys yet to come"
+)
+
+_ALPHABET = "abcdefghijklmnopqrstuvwxyz "
+_CHAR_INDEX = {c: i for i, c in enumerate(_ALPHABET)}
+_NONALPHA_RE = re.compile(r"[^a-z ]+")
+
+
+def _train_bigram_model() -> list[list[float]]:
+    """Add-0.5-smoothed log2 P(c2|c1) over a fixed 27-char alphabet."""
+    v = len(_ALPHABET)
+    counts = [[0.5] * v for _ in range(v)]
+    totals = [0.5 * v] * v
+    seq = _NONALPHA_RE.sub(" ", _TRAIN_TEXT.lower())
+    seq = _WS_RE.sub(" ", seq)
+    for a, b in zip(seq, seq[1:]):
+        ia, ib = _CHAR_INDEX[a], _CHAR_INDEX[b]
+        counts[ia][ib] += 1.0
+        totals[ia] += 1.0
+    return [
+        [math.log2(counts[i][j] / totals[i]) for j in range(v)] for i in range(v)
+    ]
+
+
+_BIGRAM_LOGP = _train_bigram_model()
+
+
+def perplexity(text: str) -> float:
+    """Char-bigram perplexity of the lowercased [a-z ] projection of text.
+
+    English prose scores ~8-14; uniform-random letter gibberish ~22-27.
+    Empty projection -> +inf sentinel (1e9).
+    """
+    seq = _NONALPHA_RE.sub(" ", text.lower())
+    seq = _WS_RE.sub(" ", seq).strip()
+    if len(seq) < 2:
+        return 1e9
+    total = 0.0
+    for a, b in zip(seq, seq[1:]):
+        total += _BIGRAM_LOGP[_CHAR_INDEX[a]][_CHAR_INDEX[b]]
+    return 2.0 ** (-total / (len(seq) - 1))
+
+
+# ---------------------------------------------------------------------------
+# per-document decision (pre-dedup rules only; dedup is a dataset-level op)
+# ---------------------------------------------------------------------------
+
+
+def doc_reasons(text: str | None, cfg: PipelineConfig) -> tuple[list[str], str]:
+    """Evaluate all per-document rules on raw text.
+
+    Returns (ordered list of failing rule names, scrubbed_text). Scrub runs
+    first; every metric is computed on the scrubbed text (pipeline order:
+    textprep -> scrub -> metrics, SURVEY.md §7.0).
+    """
+    if is_missing(text):
+        return ["missing_text"], "" if text is None else scrub_text(text)
+    scrubbed = scrub_text(text)  # type: ignore[arg-type]
+    if is_missing(scrubbed):
+        return ["missing_text"], scrubbed
+    reasons: list[str] = []
+    n_chars = len(scrubbed)
+    words = tokenize(scrubbed)
+    n_words = len(words)
+    if n_chars < cfg.min_chars:
+        reasons.append("too_short")
+    if n_chars > cfg.max_chars:
+        reasons.append("too_long")
+    if n_words < cfg.min_words:
+        reasons.append("too_few_words")
+    if n_words > cfg.max_words:
+        reasons.append("too_many_words")
+    mwl = mean_word_length(words)
+    if mwl < cfg.min_mean_word_len or mwl > cfg.max_mean_word_len:
+        reasons.append("mean_word_length")
+    if n_chars > 0 and symbol_count(scrubbed) / n_chars > cfg.max_symbol_ratio:
+        reasons.append("symbol_ratio")
+    n_lines, n_distinct = line_stats(scrubbed)
+    if n_lines >= cfg.min_lines_for_ratio and n_distinct / n_lines < cfg.min_distinct_line_ratio:
+        reasons.append("repeated_lines")
+    if boilerplate_hits(scrubbed) >= cfg.max_boilerplate_hits:
+        reasons.append("boilerplate")
+    hits = stopword_hits(words)
+    if n_words > 0 and (hits < cfg.min_stopword_hits or hits / n_words < cfg.min_stopword_density):
+        reasons.append("stopword_density")
+    lang, conf = langid(scrubbed)
+    if lang not in cfg.allowed_langs or conf < cfg.min_lang_conf:
+        reasons.append("lang")
+    if perplexity(scrubbed) > cfg.max_perplexity:
+        reasons.append("perplexity")
+    return reasons, scrubbed
+
+
+def content_hash(text: str) -> str:
+    """md5 hex of utf-8 bytes — matches Spark F.md5(F.encode(col,'UTF-8'))."""
+    return hashlib.md5(text.encode("utf-8")).hexdigest()
+
+
+def sha256_hex(text: str) -> str:
+    """sha256 hex — matches Spark F.sha2(col, 256) and DuckDB sha256()."""
+    return hashlib.sha256(text.encode("utf-8")).hexdigest()

@@ -1,0 +1,46 @@
+"""SparkSession factory tuned for the quality-filter workload.
+
+Design intent (SURVEY.md §4.2): everything rides on Catalyst/Tungsten —
+AQE on (runtime coalesce + skew-join), Arrow on (pandas UDF batches),
+explicit shuffle-partition sizing. On a real cluster the same builder is
+used by `spark-submit --py-files`; only master/memory flags change.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+from .config import DEFAULT_CONFIG, PipelineConfig
+
+
+def get_spark(
+    app_name: str = "dataqualitykit-spark",
+    master: str | None = None,
+    cfg: PipelineConfig = DEFAULT_CONFIG,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    master = master or os.environ.get(
+        "SPARK_GRAFT_MASTER", f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
+    )
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(cfg.shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config(
+            "spark.sql.execution.arrow.maxRecordsPerBatch",
+            str(cfg.arrow_batch_size),
+        )
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
