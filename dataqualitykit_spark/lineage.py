@@ -1,0 +1,118 @@
+"""Resumable per-partition lineage (BASELINE.json north_rule: "resumable
+from checkpoint with per-partition lineage + metrics").
+
+The input is split into B deterministic url-hash buckets
+(pmod(xxhash64(url), B) — the same salted key that defuses domain skew).
+Each bucket is processed and appended to the output table, then its id is
+recorded in a JSON manifest. A restart skips completed buckets, so a run
+killed after bucket k reprocesses nothing and converges to the same table
+as an uninterrupted run.
+
+Content-dedup across buckets stays exact: before deciding dup_content, the
+current bucket is checked against the content hashes of rows already
+written by COMPLETED buckets (broadcast-joined — the kept-hash set is
+small relative to input). Within a bucket the window dedup applies as
+usual; across buckets the manifest state substitutes for a global shuffle.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .config import DEFAULT_CONFIG, PipelineConfig
+from .functions import text as T
+from .pipeline import quality_metrics, run_pipeline
+from .sources import TableIO
+
+
+class Manifest:
+    """JSON checkpoint manifest: {bucket_id: {rows, completed_at}}."""
+
+    def __init__(self, path: str):
+        self.path = path
+        self.state: dict[str, dict] = {}
+        if os.path.exists(path):
+            with open(path) as f:
+                self.state = json.load(f)
+
+    def completed(self) -> set[int]:
+        return {int(k) for k in self.state}
+
+    def mark(self, bucket: int, rows: int) -> None:
+        self.state[str(bucket)] = {
+            "rows": rows,
+            "completed_at": datetime.now(timezone.utc).isoformat(),
+        }
+        tmp = self.path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(self.state, f, indent=1)
+        os.replace(tmp, self.path)
+
+
+def run_resumable(
+    spark: SparkSession,
+    source: DataFrame,
+    out_root: str,
+    n_buckets: int = 8,
+    cfg: PipelineConfig = DEFAULT_CONFIG,
+    fail_after: int | None = None,
+) -> Manifest:
+    """Process `source` in url-hash buckets, appending labeled output +
+    metrics per bucket; resume skips completed buckets.
+
+    fail_after=k raises after k buckets (test hook for the kill/resume
+    contract).
+    """
+    io = TableIO(spark, out_root, fmt="parquet")
+    os.makedirs(out_root, exist_ok=True)
+    manifest = Manifest(os.path.join(out_root, "manifest.json"))
+    done = manifest.completed()
+
+    bucketed = source.withColumn(
+        "_bucket", F.pmod(F.xxhash64("url"), F.lit(n_buckets)).cast("int")
+    )
+    processed = 0
+    for b in range(n_buckets):
+        if b in done:
+            continue
+        part = bucketed.filter(F.col("_bucket") == b).drop("_bucket")
+        labeled = run_pipeline(part, cfg)
+        # cross-bucket exact content dedup against already-written keeps
+        if cfg.dedup_content and done:
+            prior = (
+                io.read("labeled")
+                .filter(F.col("keep"))
+                .select(T.content_hash(F.col("scrubbed_text")).alias("_h"))
+                .distinct()
+            )
+            hit = prior.withColumn("_dup_prior", F.lit(True))
+            labeled = (
+                labeled.withColumn("_h", T.content_hash(F.col("scrubbed_text")))
+                .join(F.broadcast(hit), "_h", "left")
+                .withColumn(
+                    "drop_reason",
+                    F.when(
+                        F.col("keep") & F.col("_dup_prior").isNotNull(),
+                        F.lit("dup_content"),
+                    ).otherwise(F.col("drop_reason")),
+                )
+                .withColumn("keep", F.col("keep") & F.col("_dup_prior").isNull())
+                .drop("_h", "_dup_prior")
+            )
+        labeled = labeled.withColumn("bucket_id", F.lit(b))
+        io.append(labeled, "labeled")
+        io.append(
+            quality_metrics(labeled).withColumn("bucket_id", F.lit(b)), "metrics"
+        )
+        rows = labeled.count()
+        manifest.mark(b, rows)
+        done.add(b)
+        processed += 1
+        if fail_after is not None and processed >= fail_after:
+            raise RuntimeError(f"injected failure after bucket {b}")
+    return manifest

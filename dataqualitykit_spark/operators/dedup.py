@@ -179,6 +179,12 @@ def minhash_jaccard(
     )
 
 
+def _bit_mask(b: int):
+    """Signed-long literal for bit b (bit 63 is the sign bit: 1<<63 would
+    overflow java long parsing, so encode it as Long.MIN_VALUE)."""
+    return F.lit(1 << b if b < 63 else -(1 << 63)).cast("long")
+
+
 def simhash64(df: DataFrame, text_col: str, id_col: str, shingle_k: int = 2) -> DataFrame:
     """64-bit SimHash per doc, pure column algebra: for each bit b, sum
     +1/-1 over shingle hashes; bit set if sum > 0. Returns (id, simhash)."""
@@ -190,11 +196,11 @@ def simhash64(df: DataFrame, text_col: str, id_col: str, shingle_k: int = 2) -> 
                 hashes,
                 F.lit(0).cast("long"),
                 lambda acc, h: acc
-                + F.when(h.bitwiseAND(F.lit(1 << b)) != 0, 1).otherwise(-1),
+                + F.when(h.bitwiseAND(_bit_mask(b)) != 0, 1).otherwise(-1),
             )
             > 0,
-            F.lit(1 << b),
-        ).otherwise(F.lit(0))
+            _bit_mask(b),
+        ).otherwise(F.lit(0).cast("long"))
         for b in range(64)
     ]
     total = bit_terms[0]

@@ -91,10 +91,9 @@ def lsh_bucketed_topk(
     At 10^12 docs: bucket the corpus ONCE (write bucketed table), then each
     query batch joins on bucket — a co-partitioned equi-join, not a cross.
     """
-    dim_idx = F.sequence(F.lit(0), F.size(F.col(vec_col)) - 1)
-
     def bucket(vec):
         # sign bit per plane; plane weights w_{p,d} = hash in [-1, 1)
+        dim_idx = F.sequence(F.lit(0), F.size(vec) - 1)
         bits = [
             F.when(
                 F.aggregate(

@@ -1,0 +1,57 @@
+"""Storage seam: Iceberg when the runtime jar is on the classpath, Parquet
+otherwise (SURVEY.md §2.1, §7.3 — the reference has no storage layer at
+all; the north rule demands Iceberg tables with snapshot-based resume).
+
+All engine code reads/writes through TableIO so the swap is one flag. On a
+cluster: `spark-submit --packages org.apache.iceberg:iceberg-spark-runtime-...`
+and pass fmt='iceberg'.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _iceberg_available(spark: SparkSession) -> bool:
+    try:
+        spark._jvm.org.apache.iceberg.catalog.Catalog  # noqa: B018
+        return True
+    except Exception:
+        return False
+
+
+class TableIO:
+    def __init__(self, spark: SparkSession, root: str, fmt: str | None = None):
+        self.spark = spark
+        self.root = root.rstrip("/")
+        if fmt is None:
+            fmt = "iceberg" if _iceberg_available(spark) else "parquet"
+        self.fmt = fmt
+
+    def _path(self, name: str) -> str:
+        return f"{self.root}/{name}"
+
+    def read(self, name: str) -> DataFrame:
+        if self.fmt == "iceberg":
+            return self.spark.read.format("iceberg").load(self._path(name))
+        return self.spark.read.parquet(self._path(name))
+
+    def write(self, df: DataFrame, name: str, mode: str = "overwrite") -> None:
+        if self.fmt == "iceberg":
+            writer = df.writeTo(self._path(name))
+            if mode == "overwrite":
+                writer.createOrReplace()
+            else:
+                writer.append()
+        else:
+            df.write.mode(mode).parquet(self._path(name))
+
+    def append(self, df: DataFrame, name: str) -> None:
+        self.write(df, name, mode="append")
+
+    def exists(self, name: str) -> bool:
+        try:
+            self.read(name).schema  # noqa: B018
+            return True
+        except Exception:
+            return False

@@ -1,0 +1,107 @@
+"""Mimics the driver's correctness gate: run every queries() entry on Spark
+and its oracle_sql() on DuckDB over the same parquet, compare row count,
+column names, and values (order-insensitive)."""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+
+import duckdb
+import pandas as pd
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entry_mod
+
+SF_DIR = os.environ.get("DQX_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def ddb():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    return con
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+        elif str(df[c].dtype).startswith("datetime"):
+            df[c] = df[c].astype(str)
+    df = df.sort_values(by=list(df.columns), ignore_index=True)
+    return df
+
+
+def _values_match(a: pd.DataFrame, b: pd.DataFrame) -> tuple[bool, str]:
+    if list(a.columns) != list(b.columns):
+        return False, f"columns {list(a.columns)} vs {list(b.columns)}"
+    if len(a) != len(b):
+        return False, f"rows {len(a)} vs {len(b)}"
+    for c in a.columns:
+        av, bv = a[c], b[c]
+        if av.dtype.kind == "f" or bv.dtype.kind == "f":
+            av = pd.to_numeric(av, errors="coerce")
+            bv = pd.to_numeric(bv, errors="coerce")
+            both_nan = av.isna() & bv.isna()
+            close = pd.Series(
+                [
+                    (x == y) or (isinstance(x, float) and isinstance(y, float)
+                                 and math.isclose(x, y, rel_tol=1e-9, abs_tol=1e-9))
+                    for x, y in zip(av, bv)
+                ]
+            )
+            ok = (both_nan | close).all()
+        else:
+            ok = (av.astype(str) == bv.astype(str)).all()
+        if not ok:
+            bad = (av.astype(str) != bv.astype(str))
+            idx = bad[bad].index[:3].tolist()
+            return False, f"col {c} mismatch at rows {idx}: {av[idx].tolist()} vs {bv[idx].tolist()}"
+    return True, ""
+
+
+def _oracle_checked_names():
+    return [n for n in entry_mod.queries() if n in entry_mod.oracle_sql()]
+
+
+@pytest.mark.parametrize("name", [n for n in [
+    "missing_scan", "missing_delete", "missing_flag", "range_stats", "range_cap",
+    "range_remove", "range_flag", "dtype_violations", "dup_groups", "dup_stats",
+    "dup_hist", "business_key", "dedup_keep_first", "dedup_most_recent",
+    "lag_breach", "moving_avg", "forward_fill", "zscore_outliers", "segment_stats",
+    "category_freq", "rare_categories", "mode", "topk_categories",
+    "case_standardize", "hash_key", "text_wordcount", "text_quality", "langid",
+    "content_hash", "pii_scrub", "ngram_jaccard", "embed_cosine_topk",
+]])
+def test_query_vs_oracle(spark, ddb, name):
+    qfn = entry_mod.queries()[name]
+    sql = entry_mod.oracle_sql()[name]
+    spark_df = _normalize(qfn(spark, SF_DIR).toPandas())
+    duck_df = _normalize(ddb.execute(sql).fetchdf())
+    ok, msg = _values_match(spark_df, duck_df)
+    assert ok, f"{name}: {msg}"
+
+
+def test_rows_only_queries_run(spark):
+    for name in ["minhash_lsh_dups", "simhash", "pipeline_full", "lsh_cosine_topk"]:
+        df = entry_mod.queries()[name](spark, SF_DIR)
+        assert df.count() >= 0, name
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    assert df.count() > 0
+    assert "keep" in df.columns
