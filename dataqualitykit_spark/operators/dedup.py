@@ -86,14 +86,26 @@ def dedup_exact(
 # ---------------------------------------------------------------------------
 
 
-def _shingles(col, k: int = 3):
-    """word k-shingles as an array column (lowercased, ws-tokenized)."""
-    words = F.filter(F.split(F.lower(col), WS_REGEX), lambda w: w != F.lit(""))
+def _shingles_of(words, k: int):
+    """word k-shingles from a MATERIALIZED words-array column. Callers must
+    bind `words` to a real column (not an inline split expression) so the
+    per-element lambda indexes a computed array instead of re-splitting the
+    text for every shingle."""
     n = F.size(words)
     idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
     return F.when(n < k, F.array(F.concat_ws(" ", words))).otherwise(
         F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, k)))
     )
+
+
+def with_shingles(
+    df: DataFrame, text_col: str, id_col: str, k: int = 3
+) -> DataFrame:
+    """(id, shingles array<string>) in two projections: words materialized
+    first, then shingled — O(words) per row, not O(words^2)."""
+    words = F.filter(F.split(F.lower(F.col(text_col)), WS_REGEX), lambda w: w != F.lit(""))
+    w = df.select(F.col(id_col).alias("id"), words.alias("_w"))
+    return w.select("id", _shingles_of(F.col("_w"), k).alias("shingles"))
 
 
 def minhash_signatures(
@@ -103,17 +115,27 @@ def minhash_signatures(
     num_hashes: int = 32,
     shingle_k: int = 3,
 ) -> DataFrame:
-    """MinHash signature per doc: sig[i] = min over shingles of
-    xxhash64(i, shingle). Pure column algebra — one projection, no UDF,
-    no shuffle. Returns (id, sig array<bigint>)."""
-    sh = _shingles(F.col(text_col), shingle_k)
+    """MinHash signature per doc: each distinct shingle is string-hashed
+    ONCE (xxhash64), then the i-th permutation re-hashes that long with
+    seed i — longs hash ~10x cheaper than strings, so the 32-permutation
+    family costs one string pass + 32 long passes. Pure column algebra —
+    one projection, no UDF, no shuffle. Returns (id, sig array<bigint>)."""
+    sh = with_shingles(df, text_col, id_col, shingle_k)
+    # separate projections: Catalyst keeps `base` materialized once rather
+    # than inlining the shingle pipeline into each of the 32 permutation exprs
+    hashed = sh.select(
+        "id",
+        F.array_distinct(
+            F.transform(F.col("shingles"), lambda s: F.xxhash64(s))
+        ).alias("base"),
+    )
     sig = F.array(
         *[
-            F.array_min(F.transform(sh, lambda s: F.xxhash64(F.lit(i), s)))
+            F.array_min(F.transform(F.col("base"), lambda h: F.xxhash64(F.lit(i), h)))
             for i in range(num_hashes)
         ]
     )
-    return df.select(F.col(id_col).alias("id"), sig.alias("sig"))
+    return hashed.select("id", sig.alias("sig"))
 
 
 def lsh_candidate_pairs(
@@ -141,16 +163,15 @@ def lsh_candidate_pairs(
             )
         ).alias("bk"),
     ).select("id", "bk.band", "bk.bucket")
-    a = banded.alias("a")
-    b = banded.alias("b")
+    # join on=[names] so Catalyst plans a shuffled hash/sort-merge EQUI-join;
+    # a raw self-join condition on aliased frames risks ambiguous-attribute
+    # resolution degrading to BroadcastNestedLoopJoin (O(n^2) — observed)
+    a = banded.withColumnRenamed("id", "id_a")
+    b = banded.withColumnRenamed("id", "id_b")
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        a.join(b, on=["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
         .distinct()
     )
 
@@ -188,8 +209,11 @@ def _bit_mask(b: int):
 def simhash64(df: DataFrame, text_col: str, id_col: str, shingle_k: int = 2) -> DataFrame:
     """64-bit SimHash per doc, pure column algebra: for each bit b, sum
     +1/-1 over shingle hashes; bit set if sum > 0. Returns (id, simhash)."""
-    sh = _shingles(F.col(text_col), shingle_k)
-    hashes = F.transform(sh, lambda s: F.xxhash64(s))
+    shingled = with_shingles(df.select(id_col, text_col), text_col, id_col, shingle_k)
+    hashed = shingled.select(
+        "id", F.transform(F.col("shingles"), lambda s: F.xxhash64(s)).alias("hashes")
+    )
+    hashes = F.col("hashes")
     bit_terms = [
         F.when(
             F.aggregate(
@@ -206,7 +230,7 @@ def simhash64(df: DataFrame, text_col: str, id_col: str, shingle_k: int = 2) -> 
     total = bit_terms[0]
     for t in bit_terms[1:]:
         total = total.bitwiseOR(t)
-    return df.select(F.col(id_col).alias("id"), total.alias("simhash"))
+    return hashed.select("id", total.alias("simhash"))
 
 
 def ngram_jaccard_pairs(
@@ -216,16 +240,19 @@ def ngram_jaccard_pairs(
     |A∩B| from a self-join on shingle, |A|,|B| from per-doc distinct counts.
     Shuffles shingle hashes (bigint), never text. O(sum bucket²) — use after
     LSH candidate filtering at scale. Returns (id_a, id_b, jaccard)."""
-    sh = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(F.array_distinct(_shingles(F.col(text_col), k))).alias("shingle"),
-    ).select("id", F.xxhash64("shingle").alias("sh"))
+    sh = (
+        with_shingles(df, text_col, id_col, k)
+        .select("id", F.explode(F.array_distinct(F.col("shingles"))).alias("shingle"))
+        .select("id", F.xxhash64("shingle").alias("sh"))
+    )
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    # equi-join on the shared column name (see lsh_candidate_pairs note)
+    a = sh.withColumnRenamed("id", "id_a")
+    b = sh.withColumnRenamed("id", "id_b")
     inter = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        a.join(b, on="sh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
     na = sizes.select(F.col("id").alias("id_a"), F.col("n").alias("n_a"))
