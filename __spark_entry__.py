@@ -75,6 +75,8 @@ def _sql_scrub(col: str) -> str:
 
 
 _PII_SUFFIX = " contact bob@example.com call (415) 555-2671 ip 192.168.0.1 ssn 123-45-6789 heck"
+_ENC_SUFFIX_RM = " café \x80 end"
+_ENC_SUFFIX_RP = " café end"
 
 
 # ---------------------------------------------------------------------------
@@ -325,6 +327,78 @@ def q_embed_cosine_topk(spark, sf):
     return similarity.cosine_topk(emb, queries, "vec_id", "embedding", k=5)
 
 
+def _synth_dates(spark, sf):
+    """Deterministic multi-format date strings derived from orders —
+    identical construction in the DuckDB oracle."""
+    o = _t(spark, sf, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderkey") % 3 == 0, F.date_format("o_orderdate", "yyyy-MM-dd")
+        )
+        .when(F.col("o_orderkey") % 3 == 1, F.date_format("o_orderdate", "MM/dd/yyyy"))
+        .otherwise(F.date_format("o_orderdate", "dd-MM-yyyy"))
+        .alias("date_str"),
+    )
+
+
+def q_format_check_date(spark, sf):
+    from dataqualitykit_spark.operators import formats
+
+    return formats.check(_synth_dates(spark, sf), "date_str", "date")
+
+
+def q_format_standardize_date(spark, sf):
+    from dataqualitykit_spark.operators import formats
+
+    out = formats.standardize_date(_synth_dates(spark, sf), "date_str")
+    return out.select("o_orderkey", F.col("date_str").alias("iso_date"))
+
+
+def q_format_phone(spark, sf):
+    from dataqualitykit_spark.operators import formats
+
+    o = _t(spark, sf, "orders")
+    phones = o.select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit("invalid_phone"))
+        .otherwise(
+            F.concat(
+                (F.col("o_orderkey") % 700 + 200).cast("string"),
+                F.lit("-555-"),
+                F.lpad((F.col("o_orderkey") % 10000).cast("string"), 4, "0"),
+            )
+        )
+        .alias("phone"),
+    )
+    out = formats.standardize_phone(phones, "phone")
+    return out.select("o_orderkey", F.col("phone").alias("std_phone"))
+
+
+def q_encoding_remove(spark, sf):
+    from dataqualitykit_spark.operators import encoding
+
+    d = _t(spark, sf, "documents").withColumn(
+        "text", F.concat(F.col("text"), F.lit(_ENC_SUFFIX_RM))
+    )
+    return encoding.remove_invalid(d, "text").select("doc_id", "text")
+
+
+def q_encoding_replace(spark, sf):
+    from dataqualitykit_spark.operators import encoding
+
+    d = _t(spark, sf, "documents").withColumn(
+        "text", F.concat(F.col("text"), F.lit(_ENC_SUFFIX_RP))
+    )
+    return encoding.replace_invalid(d, "text").select("doc_id", "text")
+
+
+def q_encoding_detect(spark, sf):
+    from dataqualitykit_spark.operators import encoding
+
+    return encoding.detect_encoding_profile(_t(spark, sf, "documents"), "text")
+
+
 # ---- rows-only checks (non-SQL-expressible; driver records weaker check) --
 
 
@@ -382,6 +456,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "ngram_jaccard": q_ngram_jaccard,
         "embed_cosine_topk": q_embed_cosine_topk,
+        "format_check_date": q_format_check_date,
+        "format_standardize_date": q_format_standardize_date,
+        "format_phone": q_format_phone,
+        "encoding_remove": q_encoding_remove,
+        "encoding_replace": q_encoding_replace,
+        "encoding_detect": q_encoding_detect,
         "minhash_lsh_dups": q_minhash_lsh_dups,
         "simhash": q_simhash,
         "pipeline_full": q_pipeline_full,
@@ -605,6 +685,83 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes na ON na.doc_id = id_a
             JOIN sizes nb ON nb.doc_id = id_b
             WHERE i / CAST(na.n + nb.n - i AS DOUBLE) >= 0.8""",
+        "format_check_date": """
+            WITH d AS (
+              SELECT CASE CAST(o_orderkey % 3 AS INT)
+                     WHEN 0 THEN strftime(o_orderdate, '%Y-%m-%d')
+                     WHEN 1 THEN strftime(o_orderdate, '%m/%d/%Y')
+                     ELSE strftime(o_orderdate, '%d-%m-%Y') END AS date_str
+              FROM orders
+            )
+            SELECT CAST(count(*) AS BIGINT) AS total_count,
+                   CAST(sum(CASE WHEN regexp_full_match(date_str,
+                     '\\d{4}-\\d{2}-\\d{2}') THEN 1 ELSE 0 END) AS BIGINT)
+                     AS valid_count,
+                   CAST(sum(CASE WHEN regexp_full_match(date_str,
+                     '\\d{4}-\\d{2}-\\d{2}') THEN 0 ELSE 1 END) AS BIGINT)
+                     AS invalid_format_count,
+                   round(sum(CASE WHEN regexp_full_match(date_str,
+                     '\\d{4}-\\d{2}-\\d{2}') THEN 0 ELSE 1 END) * 100.0
+                     / count(*), 6) AS invalid_percentage
+            FROM d""",
+        "format_standardize_date": """
+            WITH d AS (
+              SELECT o_orderkey,
+                     CASE CAST(o_orderkey % 3 AS INT)
+                     WHEN 0 THEN strftime(o_orderdate, '%Y-%m-%d')
+                     WHEN 1 THEN strftime(o_orderdate, '%m/%d/%Y')
+                     ELSE strftime(o_orderdate, '%d-%m-%Y') END AS date_str
+              FROM orders
+            )
+            SELECT o_orderkey,
+                   strftime(coalesce(
+                     try_strptime(date_str, '%Y-%m-%d'),
+                     try_strptime(date_str, '%m/%d/%Y'),
+                     try_strptime(date_str, '%d-%m-%Y'),
+                     try_strptime(date_str, '%Y.%m.%d')
+                   ), '%Y-%m-%d') AS iso_date
+            FROM d""",
+        "format_phone": """
+            WITH p AS (
+              SELECT o_orderkey,
+                     CASE WHEN o_orderkey % 7 = 0 THEN 'invalid_phone'
+                          ELSE concat(CAST(o_orderkey % 700 + 200 AS VARCHAR),
+                                      '-555-',
+                                      lpad(CAST(o_orderkey % 10000 AS VARCHAR), 4, '0'))
+                     END AS phone
+              FROM orders
+            )
+            SELECT o_orderkey,
+                   CASE WHEN regexp_full_match(phone,
+                     '(\\+1[-. ])?(\\(\\d{3}\\)\\s?|\\d{3}[-.])\\d{3}[-.]\\d{4}')
+                   THEN concat('+1-', substr(regexp_replace(phone, '[^0-9]', '', 'g'), 1, 3),
+                               '-', substr(regexp_replace(phone, '[^0-9]', '', 'g'), 4, 3),
+                               '-', substr(regexp_replace(phone, '[^0-9]', '', 'g'), 7, 4))
+                   ELSE NULL END AS std_phone
+            FROM p""",
+        "encoding_remove": f"""
+            SELECT doc_id,
+                   regexp_replace(concat(text, {_sql_lit(_ENC_SUFFIX_RM)}),
+                                  '[^\\x00-\\x7F]', '', 'g') AS text
+            FROM documents""",
+        "encoding_replace": f"""
+            SELECT doc_id,
+                   regexp_replace(concat(text, {_sql_lit(_ENC_SUFFIX_RP)}),
+                                  '[^\\x00-\\x7F]', '?', 'g') AS text
+            FROM documents""",
+        "encoding_detect": """
+            SELECT CAST(count(*) AS BIGINT) AS total_values,
+                   CAST(sum(CASE WHEN NOT regexp_matches(text, '[^\\x00-\\x7F]')
+                       THEN 1 ELSE 0 END) AS BIGINT) AS ascii_count,
+                   CAST(sum(CASE WHEN regexp_matches(text, '[^\\x00-\\x7F]')
+                       THEN 1 ELSE 0 END) AS BIGINT) AS non_ascii_count,
+                   CAST(sum(CASE WHEN regexp_matches(text,
+                       '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]')
+                       THEN 1 ELSE 0 END) AS BIGINT) AS control_damaged_count,
+                   CASE WHEN sum(CASE WHEN NOT regexp_matches(text, '[^\\x00-\\x7F]')
+                       THEN 1 ELSE 0 END) = count(*)
+                       THEN 'ascii' ELSE 'utf-8' END AS detected_encoding
+            FROM documents""",
         "embed_cosine_topk": """
             WITH q AS (
               SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qvec

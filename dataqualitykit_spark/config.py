@@ -71,10 +71,15 @@ class PipelineConfig:
 
 
 # Priority order of drop reasons: the first failing rule names the reason.
-# Mirrors the reference's remediation taxonomy ordering (docs/RFP.md) where
-# structural problems (missing / malformed) outrank statistical ones.
+# Dedup-first ordering (CCNet-style): structural degenerate rows and
+# duplicates are eliminated BEFORE the model stage, so the expensive
+# langid/perplexity UDFs only ever score unique, present documents —
+# at 10^12 docs this is the difference between scoring the corpus once
+# and scoring every mirror of it.
 DROP_REASON_ORDER: tuple[str, ...] = (
     "missing_text",
+    "dup_url",
+    "dup_content",
     "too_short",
     "too_long",
     "too_few_words",
@@ -86,8 +91,6 @@ DROP_REASON_ORDER: tuple[str, ...] = (
     "stopword_density",
     "lang",
     "perplexity",
-    "dup_url",
-    "dup_content",
 )
 
 DEFAULT_CONFIG = PipelineConfig()

@@ -87,12 +87,16 @@ def run_resumable(
             prior = (
                 io.read("labeled")
                 .filter(F.col("keep"))
-                .select(T.content_hash(F.col("scrubbed_text")).alias("_h"))
+                .select(
+                    T.content_hash(F.coalesce(F.col("text"), F.lit(""))).alias("_h")
+                )
                 .distinct()
             )
             hit = prior.withColumn("_dup_prior", F.lit(True))
             labeled = (
-                labeled.withColumn("_h", T.content_hash(F.col("scrubbed_text")))
+                labeled.withColumn(
+                    "_h", T.content_hash(F.coalesce(F.col("text"), F.lit("")))
+                )
                 .join(F.broadcast(hit), "_h", "left")
                 .withColumn(
                     "drop_reason",

@@ -30,13 +30,14 @@ def coerce(df: DataFrame, col: str, to_type: str, flag: bool = False) -> DataFra
     """fix(strategy='coerce'): failed casts become NULL, row kept; optional
     {col}_cast_failed flag column (reference 'flag' remediation)."""
     c = F.col(col)
-    out = df.withColumn(col, c.try_cast(to_type))
+    out = df
     if flag:
+        # flag computed from the ORIGINAL column, before coercion replaces it
         out = out.withColumn(
             f"{col}_cast_failed",
             (c.try_cast(to_type).isNull() & c.isNotNull()).cast("int"),
         )
-    return out
+    return out.withColumn(col, c.try_cast(to_type))
 
 
 def infer_type_scores(df: DataFrame, col: str) -> DataFrame:

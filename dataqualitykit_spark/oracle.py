@@ -1,24 +1,30 @@
 """Slow, obviously-correct single-process oracle for the full pipeline.
 
-Computes keep / drop_reason / scrubbed_text for a list of page dicts using
-ONLY the shared semantics module — no Spark. The golden-fixture tests
-(tests/test_pipeline_oracle.py) compare the Spark pipeline against this
-row-for-row: keep/drop F1 (target 1.0) and byte-equal scrubbed text
-(BASELINE.json correctness gates).
+Mirrors pipeline.run_pipeline's dedup-first ordering exactly:
 
-Dedup mirrors pipeline.with_dedup_flags exactly:
-- url keep-most-recent, total order (warc_ts DESC, scrubbed ASC);
-- content-hash keep-one among alive docs, order (url ASC, warc_ts ASC).
+1. missing_text on the raw text (reference missing-token set)
+2. url keep-most-recent (order: warc_ts DESC, md5(raw) ASC)
+3. content keep-one on md5(raw text) among eligible rows
+   (order: url ASC, warc_ts ASC)
+4. survivors only: scrub -> quality rules (semantics.doc_reasons)
+
+scrubbed_text is produced ONLY for survivors (the pipeline never scrubs
+rows it has already dropped — at 10^12 docs you do not run models on
+mirrors); dropped rows carry scrubbed_text=None.
+
+The golden-fixture tests compare the Spark pipeline against this
+row-for-row: keep/drop F1 (target 1.0), exact drop_reason, and byte-equal
+scrubbed text for every survivor (BASELINE.json correctness gates).
 """
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 from datetime import datetime
 from typing import Any
 
 from .config import DEFAULT_CONFIG, PipelineConfig
-from .semantics import content_hash, doc_reasons
+from .semantics import content_hash, doc_reasons, is_missing
 
 _EPOCH = datetime(1970, 1, 1)
 
@@ -28,8 +34,8 @@ class OracleRow:
     url: str
     warc_ts: datetime | None
     text: str | None
-    scrubbed_text: str
-    reasons: list[str]
+    scrubbed_text: str | None = None
+    reasons: list[str] = field(default_factory=list)
     keep: bool = False
     drop_reason: str | None = None
 
@@ -37,47 +43,56 @@ class OracleRow:
 def run_oracle(
     rows: list[dict[str, Any]], cfg: PipelineConfig = DEFAULT_CONFIG
 ) -> list[OracleRow]:
-    out: list[OracleRow] = []
-    for r in rows:
-        reasons, scrubbed = doc_reasons(r.get("text"), cfg)
-        out.append(
-            OracleRow(
-                url=r["url"],
-                warc_ts=r.get("warc_ts"),
-                text=r.get("text"),
-                scrubbed_text=scrubbed,
-                reasons=list(reasons),
-            )
-        )
+    out = [
+        OracleRow(url=r["url"], warc_ts=r.get("warc_ts"), text=r.get("text"))
+        for r in rows
+    ]
+
+    missing = [is_missing(r.text) for r in out]
+    chash = [content_hash(r.text or "") for r in out]
 
     # url keep-most-recent
+    dup_url = [False] * len(out)
     if cfg.dedup_url and any(r.warc_ts is not None for r in out):
-        by_url: dict[str, list[OracleRow]] = {}
-        for r in out:
-            by_url.setdefault(r.url, []).append(r)
-        for group in by_url.values():
-            if len(group) > 1:
-                group.sort(key=lambda r: ((r.warc_ts or _EPOCH),), reverse=True)
-                # tie-break scrubbed ASC within equal ts (rare)
-                group.sort(
-                    key=lambda r: (-(r.warc_ts or _EPOCH).timestamp(), r.scrubbed_text)
+        by_url: dict[str, list[int]] = {}
+        for i, r in enumerate(out):
+            by_url.setdefault(r.url, []).append(i)
+        for idxs in by_url.values():
+            if len(idxs) > 1:
+                idxs.sort(
+                    key=lambda i: (
+                        -(out[i].warc_ts or _EPOCH).timestamp(),
+                        chash[i],
+                    )
                 )
-                for r in group[1:]:
-                    r.reasons.append("dup_url")
+                for i in idxs[1:]:
+                    dup_url[i] = True
 
-    # content keep-one among alive docs
+    # content keep-one among eligible
+    dup_content = [False] * len(out)
     if cfg.dedup_content:
-        alive = [r for r in out if not r.reasons]
-        alive.sort(key=lambda r: (r.url, (r.warc_ts or _EPOCH)))
+        eligible = [
+            i for i in range(len(out)) if not missing[i] and not dup_url[i]
+        ]
+        eligible.sort(key=lambda i: (out[i].url, (out[i].warc_ts or _EPOCH)))
         seen: set[str] = set()
-        for r in alive:
-            h = content_hash(r.scrubbed_text)
-            if h in seen:
-                r.reasons.append("dup_content")
+        for i in eligible:
+            if chash[i] in seen:
+                dup_content[i] = True
             else:
-                seen.add(h)
+                seen.add(chash[i])
 
-    for r in out:
+    for i, r in enumerate(out):
+        if missing[i]:
+            r.reasons = ["missing_text"]
+        elif dup_url[i]:
+            r.reasons = ["dup_url"]
+        elif dup_content[i]:
+            r.reasons = ["dup_content"]
+        else:
+            reasons, scrubbed = doc_reasons(r.text, cfg)
+            r.reasons = reasons
+            r.scrubbed_text = scrubbed
         r.keep = not r.reasons
         r.drop_reason = r.reasons[0] if r.reasons else None
     return out

@@ -1,18 +1,24 @@
-"""The web-text quality pipeline: textprep -> scrub -> metrics -> langid/ppl
--> dedup -> decide.
+"""The web-text quality pipeline, dedup-first (CCNet-style ordering):
 
-Execution shape (SURVEY.md §7, BASELINE.json north_rule):
+    ingest (project html away) -> salt repartition by url ->
+    missing flag -> url keep-most-recent -> content keep-one (raw-text md5)
+    -> [survivors only] scrub UDF -> metric columns -> langid/ppl UDF
+    -> quality decide -> union dropped rows back -> labeled frame
 
+Why this shape at 100 TB (BASELINE.json north_rule):
+
+- `html` never enters the pipeline: the ingest projection keeps
+  (url, warc_ts, text, lang) so no shuffle ever carries page bytes.
+- ONE explicit repartition by url both defuses hot-domain skew before any
+  compute and feeds the url window with no further exchange (projections
+  preserve partitioning; Window.partitionBy('url') is satisfied).
+- Dedup happens BEFORE the Arrow UDF stage on md5 of the raw text, so the
+  expensive model scoring (langid, perplexity — fastText/KenLM in
+  production) runs once per unique present document, not once per mirror.
 - All heuristic rules are native column algebra over the scrubbed text —
-  one projected stage, whole-stage codegen, zero Python until the two
-  Arrow-batched UDF columns (scrub; langid+ppl fused struct).
-- Optional explicit salted repartition before the UDF stage defuses
-  domain/url skew (hot domains concentrate rows in input splits).
-- Dedup is two window ops: url keep-most-recent (partitioned by url —
-  naturally fine-grained keys, no skew) and exact content-hash keep-one
-  (partitioned by md5 of scrubbed text).
-- decide folds the per-rule flags into (keep, drop_reason) with a pinned
-  priority order shared with the oracle (config.DROP_REASON_ORDER).
+  whole-stage codegen, zero Python outside the two Arrow UDFs.
+- decide folds flags into (keep, drop_reason) with the pinned priority
+  order shared with the oracle (config.DROP_REASON_ORDER).
 
 Re-imagines the reference's check/fix classes as pipeline stages — mapping
 table in SURVEY.md §7.0 (NullValues :16-297 -> missing rule; RangeValidity
@@ -30,11 +36,28 @@ from .config import DEFAULT_CONFIG, PipelineConfig
 from .functions import text as T
 from .udfs import lang_ppl_udf, scrub_udf
 
-# (reason, builder) in priority order; each builder returns a boolean Column
-# over a DataFrame that already has metric columns.
+# metric columns produced by the survivor stage (null for dropped rows)
+_METRIC_COLS: dict[str, str] = {
+    "scrubbed_text": "string",
+    "n_chars": "int",
+    "n_words": "int",
+    "mean_word_len": "double",
+    "symbol_ratio": "double",
+    "n_lines": "int",
+    "distinct_line_ratio": "double",
+    "boilerplate_hits": "int",
+    "stopword_hits": "int",
+    "stopword_density": "double",
+    "lang_pred": "string",
+    "lang_conf": "double",
+    "ppl": "double",
+}
 
 
-def _rule_flags(cfg: PipelineConfig) -> list[tuple[str, Column]]:
+def _quality_flags(cfg: PipelineConfig) -> list[tuple[str, Column]]:
+    """(reason, condition) in priority order, evaluated on survivor rows
+    that already carry metric columns. `_missing` here means the SCRUBBED
+    text became missing (raw-missing rows never reach this stage)."""
     c = F.col
     return [
         ("missing_text", c("_missing")),
@@ -83,16 +106,13 @@ def _rule_flags(cfg: PipelineConfig) -> list[tuple[str, Column]]:
 
 
 def with_metrics(df: DataFrame, cfg: PipelineConfig = DEFAULT_CONFIG) -> DataFrame:
-    """scrub + metric + score columns; pure projection (no shuffle)."""
-    if cfg.salt_partitions > 0:
-        # salted repartition: spreads hot-domain rows evenly before the
-        # Python-worker stage so no executor drowns in one domain's docs
-        df = df.repartition(cfg.salt_partitions, F.xxhash64("url"))
+    """scrub + metric + score columns; pure projection (no shuffle).
+
+    Adds every _METRIC_COLS column plus `_missing` (scrub-level missing)."""
     s = F.col("scrubbed_text")
     df = df.withColumn("scrubbed_text", scrub_udf(F.col("text")))
     df = df.select(
         "*",
-        T.is_missing(F.col("text")).alias("_raw_missing"),
         T.char_count(s).alias("n_chars"),
         T.word_count(s).alias("n_words"),
         T.mean_word_length(s).alias("mean_word_len"),
@@ -106,74 +126,101 @@ def with_metrics(df: DataFrame, cfg: PipelineConfig = DEFAULT_CONFIG) -> DataFra
     )
     return df.select(
         "*",
-        (F.col("_raw_missing") | T.is_missing(s)).alias("_missing"),
+        T.is_missing(s).alias("_missing"),
         F.col("_score.lang").alias("lang_pred"),
         F.col("_score.lang_conf").alias("lang_conf"),
         F.col("_score.ppl").alias("ppl"),
-    ).drop("_score", "_raw_missing")
+    ).drop("_score")
 
 
-def with_dedup_flags(df: DataFrame, cfg: PipelineConfig = DEFAULT_CONFIG) -> DataFrame:
-    """Adds _dup_url / _dup_content boolean columns via two windows.
-
-    - url keep-most-recent: row_number over (url) ordered by
-      (warc_ts DESC, scrubbed ASC) — total order, deterministic under any
-      partitioning (reference W1, QualityControl.py:1967-1981).
-    - content keep-one among still-alive docs: md5(scrubbed) groups ordered
-      alive-first then (url ASC, warc_ts ASC); an alive row with rn>1 has an
-      earlier alive twin -> dup_content.
-    """
-    if cfg.dedup_url and "url" in df.columns and "warc_ts" in df.columns:
-        w_url = Window.partitionBy("url").orderBy(
-            F.col("warc_ts").desc(), F.col("scrubbed_text").asc()
-        )
-        df = df.withColumn("_dup_url", F.row_number().over(w_url) > 1)
-    else:
-        df = df.withColumn("_dup_url", F.lit(False))
-
-    if cfg.dedup_content:
-        alive = ~F.col("_missing") & ~F.col("_dup_url") & F.col("_doc_pass")
-        df = df.withColumn("_alive", alive)
-        order = [F.col("_alive").desc(), F.col("url").asc()]
-        if "warc_ts" in df.columns:
-            order.append(F.col("warc_ts").asc())
-        w_content = Window.partitionBy(T.content_hash(F.col("scrubbed_text"))).orderBy(
-            *order
-        )
-        df = df.withColumn(
-            "_dup_content", F.col("_alive") & (F.row_number().over(w_content) > 1)
-        ).drop("_alive")
-    else:
-        df = df.withColumn("_dup_content", F.lit(False))
-    return df
-
-
-def decide(df: DataFrame, cfg: PipelineConfig = DEFAULT_CONFIG) -> DataFrame:
-    """Folds rule flags into keep/drop_reason (priority-ordered)."""
-    flags = _rule_flags(cfg)
-    doc_pass = None
-    for _, cond in flags:
-        doc_pass = ~cond if doc_pass is None else doc_pass & ~cond
-    df = df.withColumn("_doc_pass", doc_pass)
-    df = with_dedup_flags(df, cfg)
-    all_flags = flags + [
-        ("dup_url", F.col("_dup_url")),
-        ("dup_content", F.col("_dup_content")),
-    ]
-    reasons = F.array_compact(
-        F.array(*[F.when(cond, F.lit(name)) for name, cond in all_flags])
+def _quality_reasons_array(cfg: PipelineConfig) -> Column:
+    """array of failing quality-rule names, priority-ordered."""
+    flags = _quality_flags(cfg)
+    return F.array_compact(
+        F.array(*[F.when(cond, F.lit(name)) for name, cond in flags])
     )
+
+
+def decide_quality(df: DataFrame, cfg: PipelineConfig = DEFAULT_CONFIG) -> DataFrame:
+    """Folds quality flags into keep/drop_reason on a metrics frame
+    (standalone use: streaming / pre-deduped inputs)."""
+    reasons = _quality_reasons_array(cfg)
     return (
         df.withColumn("drop_reason", F.get(reasons, 0))
         .withColumn("keep", F.col("drop_reason").isNull())
-        .drop("_doc_pass", "_dup_url", "_dup_content", "_missing")
+        .drop("_missing")
     )
 
 
 def run_pipeline(df: DataFrame, cfg: PipelineConfig = DEFAULT_CONFIG) -> DataFrame:
     """Full pipeline: input (url, warc_ts?, html?, text, lang?) ->
-    labeled frame with scrubbed_text, metric columns, keep, drop_reason."""
-    return decide(with_metrics(df, cfg), cfg)
+    one labeled row per input row (keep, drop_reason, scrubbed_text +
+    metric columns; metrics are NULL for rows dropped pre-model)."""
+    keep_cols = [c for c in ("url", "warc_ts", "text", "lang") if c in df.columns]
+    base = df.select(*keep_cols)
+    if cfg.salt_partitions > 0:
+        # one explicit url repartition: balances hot domains ahead of every
+        # downstream stage AND satisfies the url window's distribution
+        base = base.repartition(cfg.salt_partitions, "url")
+
+    base = base.withColumn("_missing_raw", T.is_missing(F.col("text")))
+    chash = F.md5(F.encode(F.coalesce(F.col("text"), F.lit("")), "UTF-8"))
+
+    # url keep-most-recent (reference W1, QualityControl.py:1967-1981);
+    # total order (warc_ts DESC, md5 ASC) -> deterministic under any input order
+    if cfg.dedup_url and "url" in keep_cols and "warc_ts" in keep_cols:
+        w_url = Window.partitionBy("url").orderBy(F.col("warc_ts").desc(), chash.asc())
+        base = base.withColumn("_dup_url", F.row_number().over(w_url) > 1)
+    else:
+        base = base.withColumn("_dup_url", F.lit(False))
+
+    # content keep-one among eligible rows, keyed by raw-text md5
+    eligible = ~F.col("_missing_raw") & ~F.col("_dup_url")
+    if cfg.dedup_content:
+        base = base.withColumn("_eligible", eligible)
+        order = [F.col("_eligible").desc(), F.col("url").asc()]
+        if "warc_ts" in keep_cols:
+            order.append(F.col("warc_ts").asc())
+        w_content = Window.partitionBy(chash).orderBy(*order)
+        base = base.withColumn(
+            "_dup_content", F.col("_eligible") & (F.row_number().over(w_content) > 1)
+        )
+    else:
+        base = base.withColumn("_eligible", eligible).withColumn(
+            "_dup_content", F.lit(False)
+        )
+
+    base = base.withColumn(
+        "_survivor", F.col("_eligible") & ~F.col("_dup_content")
+    ).withColumn("_orig_text", F.col("text"))
+
+    # model + rules stage: ONE frame (a filter+union here would duplicate
+    # the whole dedup subtree — observed as doubled Exchanges in the plan).
+    # Dropped rows cross the Arrow boundary as NULL text, which the batch
+    # functions short-circuit, so the models still only score survivors.
+    masked = base.withColumn("text", F.when(F.col("_survivor"), F.col("text")))
+    scored = with_metrics(masked, cfg).withColumn("text", F.col("_orig_text"))
+
+    quality = _quality_reasons_array(cfg)
+    labeled = (
+        scored.withColumn(
+            "drop_reason",
+            F.when(F.col("_missing_raw"), F.lit("missing_text"))
+            .when(F.col("_dup_url"), F.lit("dup_url"))
+            .when(F.col("_dup_content"), F.lit("dup_content"))
+            .otherwise(F.get(quality, 0)),
+        )
+        .withColumn("keep", F.col("drop_reason").isNull())
+    )
+    # metric columns are NULL (not garbage zeros) for pre-model drops
+    for col, typ in _METRIC_COLS.items():
+        labeled = labeled.withColumn(
+            col, F.when(F.col("_survivor"), F.col(col)).cast(typ)
+        )
+    return labeled.drop(
+        "_missing_raw", "_dup_url", "_dup_content", "_eligible", "_survivor",
+        "_missing", "_orig_text",
+    )
 
 
 def quality_metrics(labeled: DataFrame) -> DataFrame:
@@ -184,7 +231,7 @@ def quality_metrics(labeled: DataFrame) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("docs"),
             F.sum("n_chars").alias("chars"),
-            F.avg("ppl").alias("avg_ppl"),
+            F.avg(F.when(F.col("ppl") < 1e8, F.col("ppl"))).alias("avg_ppl"),
         )
         .orderBy("reason")
     )

@@ -77,15 +77,7 @@ def _oracle_checked_names():
     return [n for n in entry_mod.queries() if n in entry_mod.oracle_sql()]
 
 
-@pytest.mark.parametrize("name", [n for n in [
-    "missing_scan", "missing_delete", "missing_flag", "range_stats", "range_cap",
-    "range_remove", "range_flag", "dtype_violations", "dup_groups", "dup_stats",
-    "dup_hist", "business_key", "dedup_keep_first", "dedup_most_recent",
-    "lag_breach", "moving_avg", "forward_fill", "zscore_outliers", "segment_stats",
-    "category_freq", "rare_categories", "mode", "topk_categories",
-    "case_standardize", "hash_key", "text_wordcount", "text_quality", "langid",
-    "content_hash", "pii_scrub", "ngram_jaccard", "embed_cosine_topk",
-]])
+@pytest.mark.parametrize("name", sorted(entry_mod.oracle_sql().keys()))
 def test_query_vs_oracle(spark, ddb, name):
     qfn = entry_mod.queries()[name]
     sql = entry_mod.oracle_sql()[name]
@@ -96,9 +88,21 @@ def test_query_vs_oracle(spark, ddb, name):
 
 
 def test_rows_only_queries_run(spark):
-    for name in ["minhash_lsh_dups", "simhash", "pipeline_full", "lsh_cosine_topk"]:
+    rows_only = sorted(set(entry_mod.queries()) - set(entry_mod.oracle_sql()))
+    for name in rows_only:
         df = entry_mod.queries()[name](spark, SF_DIR)
         assert df.count() >= 0, name
+
+
+def test_every_query_has_oracle_or_is_hash_based():
+    rows_only = set(entry_mod.queries()) - set(entry_mod.oracle_sql())
+    # only genuinely non-SQL-expressible ops may skip the oracle
+    assert rows_only <= {
+        "minhash_lsh_dups",
+        "simhash",
+        "pipeline_full",
+        "lsh_cosine_topk",
+    }
 
 
 def test_entry_smoke(spark):
