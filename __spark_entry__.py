@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dataqualitykit_spark import semantics as S
-from dataqualitykit_spark.config import MISSING_TOKENS, WS_REGEX
+from dataqualitykit_spark.config import MISSING_TOKENS
 from dataqualitykit_spark.functions import text as T
 from dataqualitykit_spark.operators import (
     anomaly,
@@ -399,6 +399,40 @@ def q_encoding_detect(spark, sf):
     return encoding.detect_encoding_profile(_t(spark, sf, "documents"), "text")
 
 
+def q_token_count(spark, sf):
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        T.token_count_bpe(F.col("text")).alias("n_tokens"),
+        T.word_count(F.col("text")).alias("n_ws_tokens"),
+    )
+
+
+def q_fingerprints(spark, sf):
+    return dedup.winnowing_fingerprints(
+        _t(spark, sf, "documents"), "text", "doc_id", k=8, window=4
+    )
+
+
+def q_embed_cosine_dups(spark, sf):
+    emb = _t(spark, sf, "embeddings").filter(F.col("vec_id") < 300)
+    a = emb.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").cast("array<double>").alias("va"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").cast("array<double>").alias("vb"),
+    )
+    sim = similarity.cosine_similarity_col(F.col("va"), F.col("vb"))
+    return (
+        a.crossJoin(F.broadcast(b))
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(sim, 6).alias("cosine"))
+        .filter(F.col("cosine") >= 0.8)
+    )
+
+
 # ---- rows-only checks (non-SQL-expressible; driver records weaker check) --
 
 
@@ -461,6 +495,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "format_phone": q_format_phone,
         "encoding_remove": q_encoding_remove,
         "encoding_replace": q_encoding_replace,
+        "token_count": q_token_count,
+        "fingerprints": q_fingerprints,
+        "embed_cosine_dups": q_embed_cosine_dups,
         "encoding_detect": q_encoding_detect,
         "minhash_lsh_dups": q_minhash_lsh_dups,
         "simhash": q_simhash,
@@ -762,6 +799,46 @@ def oracle_sql() -> dict[str, str]:
                        THEN 1 ELSE 0 END) = count(*)
                        THEN 'ascii' ELSE 'utf-8' END AS detected_encoding
             FROM documents""",
+        "token_count": f"""
+            SELECT doc_id,
+                   len(regexp_extract_all(text, {_sql_lit(T.BPE_TOKEN_REGEX)}))
+                     AS n_tokens,
+                   len({_sql_tokens('text')}) AS n_ws_tokens
+            FROM documents""",
+        "fingerprints": """
+            WITH g AS (
+              SELECT doc_id, lower(text) AS low FROM documents
+            ), grams AS (
+              SELECT doc_id,
+                     CASE WHEN length(low) < 8 THEN [md5(low)]
+                          ELSE [md5(substr(low, i, 8))
+                                for i in generate_series(1, length(low) - 7)]
+                     END AS h
+              FROM g
+            ), mins AS (
+              SELECT doc_id,
+                     CASE WHEN len(h) <= 4 THEN [list_min(h)]
+                          ELSE [list_min(h[j:j+3])
+                                for j in generate_series(1, len(h) - 3)]
+                     END AS m
+              FROM grams
+            )
+            SELECT doc_id AS id, unnest(list_distinct(m)) AS fingerprint
+            FROM mins""",
+        "embed_cosine_dups": """
+            WITH e AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+              FROM embeddings WHERE vec_id < 300
+            )
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_dot_product(a.v, b.v)
+                         / (sqrt(list_dot_product(a.v, a.v))
+                            * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+            FROM e a, e b
+            WHERE a.vec_id < b.vec_id
+              AND round(list_dot_product(a.v, b.v)
+                        / (sqrt(list_dot_product(a.v, a.v))
+                           * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.8""",
         "embed_cosine_topk": """
             WITH q AS (
               SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qvec

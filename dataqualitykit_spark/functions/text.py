@@ -54,8 +54,14 @@ def mean_word_length(col: Column) -> Column:
 
 
 def symbol_count(col: Column) -> Column:
-    """Chars outside [A-Za-z0-9 + ASCII whitespace]."""
-    return F.regexp_count(col, F.lit(_SYMBOL_REGEX))
+    """Chars outside [A-Za-z0-9 + ASCII whitespace].
+
+    Computed as length minus length-after-removal: regexp_count compiles to
+    size(regexp_extract_all(...)) in Spark 4, which materializes an array
+    of every match per document — measured as a dominant cost in the
+    metric projection. The class matches single chars, so chars-removed ==
+    match count, with no allocation."""
+    return F.length(col) - F.length(F.regexp_replace(col, _SYMBOL_REGEX, ""))
 
 
 def symbol_ratio(col: Column) -> Column:
@@ -108,3 +114,14 @@ def boilerplate_hits(col: Column) -> Column:
 def content_hash(col: Column) -> Column:
     """md5 hex of utf-8 bytes — matches semantics.content_hash and DuckDB md5()."""
     return F.md5(F.encode(col, "UTF-8"))
+
+
+# BPE-ish pre-tokenizer (GPT-2 style, simplified to RE2/Java-portable form):
+# contractions, letter runs, digit runs, punctuation runs, whitespace runs.
+BPE_TOKEN_REGEX = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \t\n\r\x0b\f]+"
+
+
+def token_count_bpe(col: Column) -> Column:
+    """Approximate LLM token count: matches of the BPE-ish pre-tokenizer
+    regex (whitespace-run tokens excluded, like GPT-2 pretokenization)."""
+    return F.regexp_count(col, F.lit(BPE_TOKEN_REGEX))

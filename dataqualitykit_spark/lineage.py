@@ -25,7 +25,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .config import DEFAULT_CONFIG, PipelineConfig
-from .functions import text as T
 from .pipeline import quality_metrics, run_pipeline
 from .sources import TableIO
 
@@ -87,16 +86,12 @@ def run_resumable(
             prior = (
                 io.read("labeled")
                 .filter(F.col("keep"))
-                .select(
-                    T.content_hash(F.coalesce(F.col("text"), F.lit(""))).alias("_h")
-                )
+                .select(F.col("content_md5").alias("_h"))
                 .distinct()
             )
             hit = prior.withColumn("_dup_prior", F.lit(True))
             labeled = (
-                labeled.withColumn(
-                    "_h", T.content_hash(F.coalesce(F.col("text"), F.lit("")))
-                )
+                labeled.withColumn("_h", F.col("content_md5"))
                 .join(F.broadcast(hit), "_h", "left")
                 .withColumn(
                     "drop_reason",

@@ -1,11 +1,25 @@
-from . import anomaly, categorical, dedup, dtype, missing, range_validity, similarity
+from . import (
+    anomaly,
+    categorical,
+    dedup,
+    dtype,
+    encoding,
+    formats,
+    missing,
+    multimodal,
+    range_validity,
+    similarity,
+)
 
 __all__ = [
     "anomaly",
     "categorical",
     "dedup",
     "dtype",
+    "encoding",
+    "formats",
     "missing",
+    "multimodal",
     "range_validity",
     "similarity",
 ]

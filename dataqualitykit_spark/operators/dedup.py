@@ -233,6 +233,50 @@ def simhash64(df: DataFrame, text_col: str, id_col: str, shingle_k: int = 2) -> 
     return hashed.select("id", total.alias("simhash"))
 
 
+def winnowing_fingerprints(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 8,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al., MOSS): hash every
+    k-char gram (md5 — portable to any SQL oracle), then keep the minimum
+    hash of each sliding window of `window` grams; distinct mins are the
+    fingerprint set. Pure column algebra, one projection + explode.
+    Returns (id, fingerprint string) rows.
+
+    md5-hex lexicographic min is deterministic and engine-portable (unlike
+    xxhash64, which only Spark has)."""
+    low = F.lower(F.col(text_col))
+    n = F.length(low)
+    grams = df.select(
+        F.col(id_col).alias("id"),
+        F.when(
+            n < k, F.array(F.md5(F.encode(low, "UTF-8")))
+        ).otherwise(
+            F.transform(
+                F.sequence(F.lit(1), n - k + 1),
+                lambda i: F.md5(F.encode(F.substring(low, i, k).cast("string"), "UTF-8")),
+            )
+        ).alias("_g"),
+    )
+    mins = grams.select(
+        "id",
+        F.when(
+            F.size("_g") <= window, F.array(F.array_min("_g"))
+        ).otherwise(
+            F.transform(
+                F.sequence(F.lit(1), F.size("_g") - window + 1),
+                lambda j: F.array_min(F.slice(F.col("_g"), j, window)),
+            )
+        ).alias("_m"),
+    )
+    return mins.select(
+        "id", F.explode(F.array_distinct("_m")).alias("fingerprint")
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame, text_col: str, id_col: str, k: int = 3, min_jaccard: float = 0.5
 ) -> DataFrame:

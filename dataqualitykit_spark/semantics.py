@@ -336,6 +336,60 @@ def doc_reasons(text: str | None, cfg: PipelineConfig) -> tuple[list[str], str]:
     return reasons, scrubbed
 
 
+def score_document(text: str) -> tuple[str, float, float, int, float, int]:
+    """Fused per-document scoring: one tokenize pass feeding language-ID,
+    word-shape metrics and stopword hits, plus char-bigram perplexity.
+
+    Returns (lang, lang_conf, ppl, n_words, mean_word_len, stopword_hits).
+    Exactly equivalent to calling langid/perplexity/mean_word_length/
+    stopword_hits separately (the scoring UDF uses this; the oracle path
+    via doc_reasons uses the separate functions — parity is asserted in
+    tests)."""
+    words = tokenize(text)
+    lower = [w.lower() for w in words]
+    n_words = len(words)
+    mwl = (sum(len(w) for w in words) / n_words) if n_words else 0.0
+    sw_hits = sum(1 for w in lower if w in STOPWORDS_EN)
+    best_lang, best_hits = "und", 0
+    if n_words:
+        for code in sorted(LANG_PROFILES):
+            profile = LANG_PROFILES[code]
+            hits = sum(1 for w in lower if w in profile)
+            if hits > best_hits:
+                best_lang, best_hits = code, hits
+    conf = (best_hits / n_words) if n_words else 0.0
+    return best_lang, conf, perplexity(text), n_words, mwl, sw_hits
+
+
+def full_metrics(text: str) -> tuple:
+    """Every per-document metric in one pass — the fused fast path the
+    pipeline's scoring UDF uses (metrics_engine='udf'). Field-for-field
+    equal to the individual functions here and to the column algebra in
+    functions/text.py (parity tests pin all three).
+
+    Returns (lang, lang_conf, ppl, n_words, mean_word_len, stopword_hits,
+             n_chars, symbol_count, n_lines, distinct_lines,
+             boilerplate_hits, missing)."""
+    lang, conf, ppl, n_words, mwl, sw_hits = score_document(text)
+    n_lines, n_distinct = line_stats(text)
+    low = text.lower()
+    bp = sum(1 for m in BOILERPLATE_MARKERS if m in low)
+    return (
+        lang,
+        conf,
+        ppl,
+        n_words,
+        mwl,
+        sw_hits,
+        len(text),
+        len(_SYMBOL_RE.findall(text)),
+        n_lines,
+        n_distinct,
+        bp,
+        is_missing(text),
+    )
+
+
 def content_hash(text: str) -> str:
     """md5 hex of utf-8 bytes — matches Spark F.md5(F.encode(col,'UTF-8'))."""
     return hashlib.md5(text.encode("utf-8")).hexdigest()

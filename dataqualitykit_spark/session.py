@@ -37,10 +37,15 @@ def get_spark(
             str(cfg.arrow_batch_size),
         )
         .config("spark.sql.files.maxPartitionBytes", "134217728")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
     )
+    # shuffle spill on tmpfs when available: one local disk cannot feed 32
+    # concurrent shuffle writers (local-mode stand-in for cluster NVMe)
+    shm = "/dev/shm"
+    if os.path.isdir(shm) and os.access(shm, os.W_OK):
+        builder = builder.config("spark.local.dir", f"{shm}/spark-local")
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

@@ -1,48 +1,64 @@
-"""Arrow-batched scoring UDF: language-ID + char-bigram perplexity.
+"""Arrow-batched scoring UDF: ALL per-document metrics in one Python pass.
 
-One pandas UDF returning a struct<(lang string, lang_conf double,
-ppl double)> — fused so the text column crosses the JVM<->Python Arrow
-boundary once, not twice. The model code is imported from
-``dataqualitykit_spark.semantics`` (same functions the oracle calls), so
-engine and oracle cannot disagree.
+One pandas UDF returning the full metric struct — fused so (a) the text
+crosses the JVM<->Python Arrow boundary once, (b) one tokenize pass feeds
+langid + word metrics, and (c) no metric is computed by interpreted JVM
+string/array expressions. Measured on this host (500k docs, local[32]):
+the JVM column-algebra metric projection costs ~1.3 ms/doc (regexp array
+materialization, per-element lambdas, line splits); this fused UDF costs
+~0.27 ms/doc single-threaded and scales with Python workers.
 
-This is the fastText/KenLM seam: swap `_score_batch` internals for real
-models on a cluster where those wheels exist; signatures stay put.
-(Replaces reference row-at-a-time F.udf patterns, QualityControl.py:1341-1354.)
+The column-algebra equivalents live on in functions/text.py — they back
+the operator library and the DuckDB-checked driver queries, and
+tests/test_text_metrics.py pins all three paths (python, JVM columns,
+this UDF) to identical values.
+
+The model code is imported from ``dataqualitykit_spark.semantics`` (same
+functions the oracle calls), so engine and oracle cannot disagree. This is
+the fastText/KenLM seam: swap `full_metrics` internals for real models on
+a cluster; signatures stay put. (Replaces reference row-at-a-time F.udf
+patterns, QualityControl.py:1341-1354.)
 """
 
 from __future__ import annotations
 
 import pandas as pd
 from pyspark.sql import functions as F
-from pyspark.sql.types import DoubleType, StringType, StructField, StructType
-
-from ..semantics import langid, perplexity
-
-SCORE_SCHEMA = StructType(
-    [
-        StructField("lang", StringType()),
-        StructField("lang_conf", DoubleType()),
-        StructField("ppl", DoubleType()),
-    ]
+from pyspark.sql.types import (
+    BooleanType,
+    DoubleType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
 )
+
+from ..semantics import full_metrics
+
+_FIELDS = [
+    ("lang", StringType()),
+    ("lang_conf", DoubleType()),
+    ("ppl", DoubleType()),
+    ("n_words", IntegerType()),
+    ("mean_word_len", DoubleType()),
+    ("stopword_hits", IntegerType()),
+    ("n_chars", IntegerType()),
+    ("symbol_count", IntegerType()),
+    ("n_lines", IntegerType()),
+    ("distinct_lines", IntegerType()),
+    ("boilerplate_hits", IntegerType()),
+    ("missing", BooleanType()),
+]
+
+SCORE_SCHEMA = StructType([StructField(n, t) for n, t in _FIELDS])
+
+_NULL_SCORE = ("und", 0.0, 1e9, 0, 0.0, 0, 0, 0, 0, 0, 0, True)
+_COLS = [n for n, _ in _FIELDS]
 
 
 def _score_batch(texts: pd.Series) -> pd.DataFrame:
-    langs: list[str] = []
-    confs: list[float] = []
-    ppls: list[float] = []
-    for t in texts:
-        if t is None:
-            langs.append("und")
-            confs.append(0.0)
-            ppls.append(1e9)
-            continue
-        lg, cf = langid(t)
-        langs.append(lg)
-        confs.append(cf)
-        ppls.append(perplexity(t))
-    return pd.DataFrame({"lang": langs, "lang_conf": confs, "ppl": ppls})
+    scored = [_NULL_SCORE if t is None else full_metrics(t) for t in texts]
+    return pd.DataFrame(scored, columns=_COLS)
 
 
 lang_ppl_udf = F.pandas_udf(_score_batch, returnType=SCORE_SCHEMA)

@@ -1,0 +1,71 @@
+#!/usr/bin/env python
+"""Cluster entry point (north rule: `spark-submit --py-files` launch).
+
+    spark-submit \
+      --py-files dataqualitykit_spark.zip \
+      [--packages org.apache.iceberg:iceberg-spark-runtime-3.5_2.12:<v>] \
+      scripts/run_quality_pipeline.py \
+      --input  s3://bucket/pages_parquet_or_iceberg \
+      --output s3://bucket/labeled_out \
+      --format parquet|iceberg|wet \
+      --buckets 64 --salt-partitions 4096 [--resume]
+
+Local smoke:
+    python scripts/run_quality_pipeline.py \
+      --input /root/testdata/sf0.001/documents.parquet --adapter documents \
+      --output /tmp/dqx_out --buckets 4
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--input", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--format", default="parquet", choices=["parquet", "iceberg", "wet"])
+    p.add_argument("--adapter", default=None, choices=[None, "documents"])
+    p.add_argument("--buckets", type=int, default=64)
+    p.add_argument("--salt-partitions", type=int, default=0)
+    p.add_argument("--master", default=None)
+    p.add_argument("--no-resume", action="store_true",
+                   help="ignore an existing manifest and start over")
+    args = p.parse_args()
+
+    from dataqualitykit_spark import PipelineConfig, get_spark
+    from dataqualitykit_spark.lineage import run_resumable
+    from dataqualitykit_spark.pipeline import adapt_documents
+    from dataqualitykit_spark.sources.wet import read_wet
+
+    spark = get_spark(app_name="dqx-quality-pipeline", master=args.master)
+    if args.format == "wet":
+        source = read_wet(spark, args.input)
+    elif args.format == "iceberg":
+        source = spark.read.format("iceberg").load(args.input)
+    else:
+        source = spark.read.parquet(args.input)
+    if args.adapter == "documents":
+        source = adapt_documents(source)
+
+    if args.no_resume:
+        import shutil
+
+        shutil.rmtree(args.output, ignore_errors=True)
+
+    cfg = PipelineConfig(salt_partitions=args.salt_partitions)
+    manifest = run_resumable(
+        spark, source, args.output, n_buckets=args.buckets, cfg=cfg
+    )
+    total = sum(v["rows"] for v in manifest.state.values())
+    print(f"done: {len(manifest.state)} buckets, {total} rows -> {args.output}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

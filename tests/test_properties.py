@@ -1,0 +1,74 @@
+"""Property-based tests over the shared semantics (no Spark — fast).
+
+These pin invariants the pipeline depends on: determinism, priority
+ordering, scrub masking completeness, tokenizer ASCII-ws discipline.
+"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from dataqualitykit_spark import semantics as S
+from dataqualitykit_spark.config import DEFAULT_CONFIG, DROP_REASON_ORDER
+from dataqualitykit_spark.oracle import run_oracle
+
+text_strategy = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",)), max_size=400
+)
+
+
+@given(text_strategy)
+@settings(max_examples=200, deadline=None)
+def test_scrub_deterministic_and_masks_pii(t):
+    a, b = S.scrub_text(t), S.scrub_text(t)
+    assert a == b
+    # an email injected anywhere never survives the bank
+    assert "bob@example.com" not in S.scrub_text(f"{t} bob@example.com")
+
+
+@given(text_strategy)
+@settings(max_examples=200, deadline=None)
+def test_doc_reasons_ordered_and_deterministic(t):
+    reasons, scrubbed = S.doc_reasons(t, DEFAULT_CONFIG)
+    reasons2, scrubbed2 = S.doc_reasons(t, DEFAULT_CONFIG)
+    assert reasons == reasons2 and scrubbed == scrubbed2
+    order = {r: i for i, r in enumerate(DROP_REASON_ORDER)}
+    idx = [order[r] for r in reasons]
+    assert idx == sorted(idx), reasons
+
+
+@given(text_strategy)
+@settings(max_examples=200, deadline=None)
+def test_tokenize_never_produces_empty_or_ascii_ws_tokens(t):
+    for w in S.tokenize(t):
+        assert w != ""
+        assert not any(c in " \t\n\r\x0b\x0c" for c in w)
+
+
+@given(text_strategy)
+@settings(max_examples=100, deadline=None)
+def test_langid_confidence_bounds(t):
+    lang, conf = S.langid(t)
+    assert 0.0 <= conf <= 1.0
+    assert lang in set(S.LANG_PROFILES) | {"und"}
+
+
+@given(st.lists(st.integers(0, 2**31), min_size=1, max_size=30), st.integers(0, 5))
+@settings(max_examples=50, deadline=None)
+def test_oracle_row_count_preserved(seeds, extra):
+    # oracle never loses or invents rows, regardless of dup structure
+    from datetime import datetime, timedelta
+
+    rows = [
+        {
+            "url": f"https://x/{v % 7}",
+            "warc_ts": datetime(2024, 1, 1) + timedelta(minutes=i),
+            "text": f"text {v % 5}",
+        }
+        for i, v in enumerate(seeds)
+    ]
+    out = run_oracle(rows)
+    assert len(out) == len(rows)
+    for r in out:
+        assert r.keep == (r.drop_reason is None)

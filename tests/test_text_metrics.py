@@ -82,6 +82,50 @@ def test_udf_parity(spark):
         t = ADVERSARIAL[r["id"]]
         assert r["scrubbed"] == S.scrub_text(t), r["id"]
         lang, conf = S.langid(t)
+        words = S.tokenize(t)
         assert r["score"]["lang"] == lang
         assert math.isclose(r["score"]["lang_conf"], conf, abs_tol=1e-12)
         assert math.isclose(r["score"]["ppl"], S.perplexity(t), rel_tol=1e-12)
+        assert r["score"]["n_words"] == len(words)
+        assert math.isclose(
+            r["score"]["mean_word_len"], S.mean_word_length(words), abs_tol=1e-12
+        )
+        assert r["score"]["stopword_hits"] == S.stopword_hits(words)
+
+
+def test_score_document_equals_separate_functions():
+    for t in ADVERSARIAL:
+        lang, conf, ppl, n_words, mwl, sw = S.score_document(t)
+        words = S.tokenize(t)
+        assert (lang, conf) == S.langid(t), t
+        assert ppl == S.perplexity(t), t
+        assert n_words == len(words)
+        assert mwl == S.mean_word_length(words)
+        assert sw == S.stopword_hits(words)
+
+
+def test_full_metrics_equals_separate_functions():
+    for t in ADVERSARIAL:
+        (lang, conf, ppl, n_words, mwl, sw, n_chars, sym, n_lines,
+         n_distinct, bp, missing) = S.full_metrics(t)
+        assert (lang, conf, ppl, n_words, mwl, sw) == S.score_document(t)
+        assert n_chars == len(t)
+        assert sym == S.symbol_count(t)
+        assert (n_lines, n_distinct) == S.line_stats(t)
+        assert bp == S.boilerplate_hits(t)
+        assert missing == S.is_missing(t)
+
+
+def test_metrics_engines_agree(spark):
+    """'udf' and 'columns' metric engines produce identical labels."""
+    from dataqualitykit_spark.config import PipelineConfig
+    from dataqualitykit_spark.fixtures import pages_dataframe
+    from dataqualitykit_spark.pipeline import run_pipeline
+
+    df = pages_dataframe(spark, 300)
+    cols = ["url", "warc_ts", "keep", "drop_reason", "scrubbed_text"]
+    a = {tuple(r[c] for c in cols) for r in
+         run_pipeline(df, PipelineConfig(metrics_engine="udf")).select(*cols).collect()}
+    b = {tuple(r[c] for c in cols) for r in
+         run_pipeline(df, PipelineConfig(metrics_engine="columns")).select(*cols).collect()}
+    assert a == b
