@@ -220,6 +220,41 @@ def q_forward_fill(spark, sf):
     )
 
 
+def q_weighted_ma(spark, sf):
+    out = anomaly.weighted_moving_average(
+        _t(spark, sf, "events"), "value", "ts", [1.0, 2.0, 3.0],
+        partition_by=["user_id"],
+    )
+    # pin tie order: rebuild with composite order for oracle parity
+    w = Window.partitionBy("user_id").orderBy(F.col("ts"), F.col("event_id"))
+    wma = (
+        F.lag("value", 2).over(w) * 1.0
+        + F.lag("value", 1).over(w) * 2.0
+        + F.lag("value", 0).over(w) * 3.0
+    ) / 6.0
+    return _t(spark, sf, "events").select(
+        "event_id", F.round(wma, 6).alias("wma_3")
+    )
+
+
+def q_centered_ma(spark, sf):
+    w = Window.partitionBy("user_id").orderBy(F.col("ts"), F.col("event_id"))
+    return _t(spark, sf, "events").select(
+        "event_id",
+        F.round(F.avg("value").over(w.rowsBetween(-1, 1)), 6).alias("cma_3"),
+    )
+
+
+def q_neighborhood_dev(spark, sf):
+    w = Window.partitionBy("user_id").orderBy(F.col("ts"), F.col("event_id"))
+    return _t(spark, sf, "events").select(
+        "event_id",
+        F.round(
+            F.abs(F.col("value") - F.avg("value").over(w.rowsBetween(-1, 1))), 6
+        ).alias("neighborhood_dev"),
+    )
+
+
 def q_zscore_outliers(spark, sf):
     flagged = anomaly.zscore_flags(_t(spark, sf, "events"), "value", 3.0)
     return flagged.filter(F.col("is_outlier")).select("event_id")
@@ -476,6 +511,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "moving_avg": q_moving_avg,
         "forward_fill": q_forward_fill,
         "zscore_outliers": q_zscore_outliers,
+        "weighted_ma": q_weighted_ma,
+        "centered_ma": q_centered_ma,
+        "neighborhood_dev": q_neighborhood_dev,
         "segment_stats": q_segment_stats,
         "category_freq": q_category_freq,
         "rare_categories": q_rare_categories,
@@ -643,6 +681,26 @@ def oracle_sql() -> dict[str, str]:
             WITH s AS (SELECT avg(value) AS m, stddev_samp(value) AS sd FROM events)
             SELECT event_id FROM events, s
             WHERE sd IS NOT NULL AND sd > 0 AND abs(value - m) / sd > 3.0""",
+        "weighted_ma": """
+            SELECT event_id,
+                   round((lag(value, 2) OVER w * 1.0
+                          + lag(value, 1) OVER w * 2.0
+                          + value * 3.0) / 6.0, 6) AS wma_3
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""",
+        "centered_ma": """
+            SELECT event_id,
+                   round(avg(value) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING), 6) AS cma_3
+            FROM events""",
+        "neighborhood_dev": """
+            SELECT event_id,
+                   round(abs(value - avg(value) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING)), 6)
+                     AS neighborhood_dev
+            FROM events""",
         "segment_stats": """
             SELECT event_type, CAST(count(*) AS BIGINT) AS n,
                    round(avg(value), 4) AS mean_value,

@@ -128,6 +128,91 @@ def neighborhood_deviation(
     )
 
 
+def weighted_moving_average(
+    df: DataFrame,
+    col: str,
+    order_col: str,
+    weights: list[float],
+    partition_by: list[str] | None = None,
+) -> DataFrame:
+    """W4 corrected (reference :3092-3099 passes F.lit(np.array) — invalid):
+    linear-weighted trailing MA as a lag composition, wma = sum(w_i *
+    lag(x, k-1-i)) / sum(w); NULL until the frame is full (first k-1 rows)."""
+    w = Window.orderBy(order_col)
+    if partition_by:
+        w = Window.partitionBy(*partition_by).orderBy(order_col)
+    k = len(weights)
+    total = sum(weights)
+    expr = None
+    for i, wt in enumerate(weights):
+        term = F.lag(col, k - 1 - i).over(w) * F.lit(wt)
+        expr = term if expr is None else expr + term
+    return df.withColumn(f"wma_{k}", expr / F.lit(total))
+
+
+def centered_moving_average(
+    df: DataFrame,
+    col: str,
+    order_col: str,
+    k: int = 3,
+    partition_by: list[str] | None = None,
+) -> DataFrame:
+    """W5 (:3107-3111): centered frame [-(k//2), +(k//2)] directly instead
+    of the reference's trailing-MA-then-lead shift."""
+    w = Window.orderBy(order_col)
+    if partition_by:
+        w = Window.partitionBy(*partition_by).orderBy(order_col)
+    half = k // 2
+    return df.withColumn(
+        f"cma_{k}", F.avg(col).over(w.rowsBetween(-half, half))
+    )
+
+
+def impute(
+    df: DataFrame, cols: list[str], strategy: str = "mean"
+) -> DataFrame:
+    """A13 (:283-285): mean/median imputation via pyspark.ml.feature.Imputer."""
+    from pyspark.ml.feature import Imputer
+
+    model = Imputer(
+        strategy=strategy, inputCols=cols, outputCols=cols
+    ).fit(df)
+    return model.transform(df)
+
+
+def cusum_changepoints(
+    metric_rows: list[float], threshold: float = 5.0, drift: float = 0.0
+) -> list[int]:
+    """CUSUM over a per-batch metrics series (SURVEY §7.0 deferred stage:
+    driver-side over the TINY aggregate metrics table — the one place
+    driver-side compute is fine). Returns indices where the cumulative
+    positive or negative deviation from the running mean exceeds
+    threshold * stddev."""
+    n = len(metric_rows)
+    if n < 3:
+        return []
+    # in-control target calibrated on an initial window (standard CUSUM),
+    # not the global mean — a level shift would otherwise contaminate the
+    # target and fire inside the pre-shift segment
+    calib = max(5, n // 10)
+    target = sum(metric_rows[:calib]) / calib
+    mean = sum(metric_rows) / n
+    var = sum((x - mean) ** 2 for x in metric_rows) / max(n - 1, 1)
+    std = var**0.5
+    if std == 0:
+        return []
+    limit = threshold * std
+    pos = neg = 0.0
+    out = []
+    for i, x in enumerate(metric_rows):
+        pos = max(0.0, pos + (x - target - drift))
+        neg = min(0.0, neg + (x - target + drift))
+        if pos > limit or -neg > limit:
+            out.append(i)
+            pos = neg = 0.0
+    return out
+
+
 def distribution_moments(
     df: DataFrame, col: str, group_by: list[str] | None = None
 ) -> DataFrame:

@@ -89,6 +89,43 @@ def map_categories(df: DataFrame, col: str, mapping: dict[str, str], keep_unknow
     return df.withColumn(col, expr)
 
 
+def fuzzy_correct(
+    df: DataFrame,
+    col: str,
+    reference_values: list[str],
+    threshold: float = 0.85,
+) -> DataFrame:
+    """U2 (reference :1415-1428, row-at-a-time F.udf + uninstalled
+    jellyfish) as an Arrow-batched pandas UDF over the shared pure-python
+    jaro_winkler: map each value to its best reference match when
+    similarity >= threshold (the reference's similarity_threshold 0.85,
+    :1186), else keep the original."""
+    import pandas as pd
+    from pyspark.sql.types import StringType
+
+    from ..semantics import jaro_winkler
+
+    refs = list(reference_values)
+
+    # no annotations on the inner fn: `from __future__ import annotations`
+    # stringifies them and pyspark's pandas_udf signature inference chokes
+    # on unresolvable 'pd.Series'
+    def _correct(vals):
+        def best(v):
+            if v is None:
+                return None
+            top, top_score = v, threshold
+            for r in refs:
+                score = jaro_winkler(v.lower(), r.lower())
+                if score >= top_score:
+                    top, top_score = r, score
+            return top
+
+        return vals.map(best)
+
+    return df.withColumn(col, F.pandas_udf(_correct, StringType())(F.col(col)))
+
+
 def lookup_standardize(df: DataFrame, lookup: DataFrame, key: str, value_col: str) -> DataFrame:
     """J2 (:2425 — the reference's _lookup was never implemented): broadcast
     left join against a small reference table."""

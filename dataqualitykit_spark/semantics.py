@@ -390,6 +390,48 @@ def full_metrics(text: str) -> tuple:
     )
 
 
+def jaro_winkler(s1: str, s2: str, prefix_weight: float = 0.1) -> float:
+    """Jaro-Winkler similarity (pure python; the reference's fuzzy UDF
+    :1415-1428 depends on an uninstalled jellyfish). Standard definition:
+    match window floor(max/2)-1, transpositions/2, Winkler prefix boost up
+    to 4 chars."""
+    if s1 == s2:
+        return 1.0
+    l1, l2 = len(s1), len(s2)
+    if not l1 or not l2:
+        return 0.0
+    window = max(l1, l2) // 2 - 1
+    m1 = [False] * l1
+    m2 = [False] * l2
+    matches = 0
+    for i, c in enumerate(s1):
+        lo, hi = max(0, i - window), min(l2, i + window + 1)
+        for j in range(lo, hi):
+            if not m2[j] and s2[j] == c:
+                m1[i] = m2[j] = True
+                matches += 1
+                break
+    if matches == 0:
+        return 0.0
+    t = 0
+    k = 0
+    for i in range(l1):
+        if m1[i]:
+            while not m2[k]:
+                k += 1
+            if s1[i] != s2[k]:
+                t += 1
+            k += 1
+    jaro = (matches / l1 + matches / l2 + (matches - t / 2) / matches) / 3
+    prefix = 0
+    for a, b in zip(s1[:4], s2[:4]):
+        if a == b:
+            prefix += 1
+        else:
+            break
+    return jaro + prefix * prefix_weight * (1 - jaro)
+
+
 def content_hash(text: str) -> str:
     """md5 hex of utf-8 bytes — matches Spark F.md5(F.encode(col,'UTF-8'))."""
     return hashlib.md5(text.encode("utf-8")).hexdigest()
