@@ -451,21 +451,7 @@ def q_fingerprints(spark, sf):
 
 def q_embed_cosine_dups(spark, sf):
     emb = _t(spark, sf, "embeddings").filter(F.col("vec_id") < 300)
-    a = emb.select(
-        F.col("vec_id").alias("id_a"),
-        F.col("embedding").cast("array<double>").alias("va"),
-    )
-    b = emb.select(
-        F.col("vec_id").alias("id_b"),
-        F.col("embedding").cast("array<double>").alias("vb"),
-    )
-    sim = similarity.cosine_similarity_col(F.col("va"), F.col("vb"))
-    return (
-        a.crossJoin(F.broadcast(b))
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", F.round(sim, 6).alias("cosine"))
-        .filter(F.col("cosine") >= 0.8)
-    )
+    return similarity.cosine_dup_pairs(emb, "vec_id", "embedding", 0.8)
 
 
 # ---- rows-only checks (non-SQL-expressible; driver records weaker check) --

@@ -74,6 +74,34 @@ def cosine_topk(
     )
 
 
+def cosine_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: all (id_a < id_b) with
+    cosine >= threshold. Brute-force broadcast pair scan — correct
+    baseline for corpora that fit a broadcast; at 10^12 scale route
+    through lsh_bucketed_topk's sign buckets first so only colliding
+    buckets are compared."""
+    a = df.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).cast("array<double>").alias("va"),
+    )
+    b = df.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).cast("array<double>").alias("vb"),
+    )
+    sim = cosine_similarity_col(F.col("va"), F.col("vb"))
+    return (
+        a.crossJoin(F.broadcast(b))
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(sim, 6).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 def lsh_bucketed_topk(
     corpus: DataFrame,
     queries: DataFrame,
