@@ -362,6 +362,12 @@ def q_embed_cosine_topk(spark, sf):
     return similarity.cosine_topk(emb, queries, "vec_id", "embedding", k=5)
 
 
+def q_embed_cosine_topk_blocked(spark, sf):
+    emb = _t(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.cosine_topk_blocked(emb, queries, "vec_id", "embedding", k=5)
+
+
 def _synth_dates(spark, sf):
     """Deterministic multi-format date strings derived from orders —
     identical construction in the DuckDB oracle."""
@@ -514,6 +520,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "ngram_jaccard": q_ngram_jaccard,
         "embed_cosine_topk": q_embed_cosine_topk,
+        "embed_cosine_topk_blocked": q_embed_cosine_topk_blocked,
         "format_check_date": q_format_check_date,
         "format_standardize_date": q_format_standardize_date,
         "format_phone": q_format_phone,
@@ -570,7 +577,7 @@ def _stopword_sql_list() -> str:
 def oracle_sql() -> dict[str, str]:
     m_text = _sql_missing("text")
     sw = _stopword_sql_list()
-    return {
+    d = {
         "missing_scan": f"""
             SELECT CAST(count(*) AS BIGINT) AS total_rows,
                    CAST(sum(CASE WHEN {m_text} THEN 1 ELSE 0 END) AS BIGINT) AS text_missing,
@@ -906,6 +913,9 @@ def oracle_sql() -> dict[str, str]:
               FROM sims
             ) WHERE rank <= 5""",
     }
+    # identical contract, different physical strategy (BLAS-blocked)
+    d["embed_cosine_topk_blocked"] = d["embed_cosine_topk"]
+    return d
 
 
 if __name__ == "__main__":
