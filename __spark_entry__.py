@@ -440,6 +440,35 @@ def q_encoding_detect(spark, sf):
     return encoding.detect_encoding_profile(_t(spark, sf, "documents"), "text")
 
 
+def q_infer_types(spark, sf):
+    # synthesize a mixed-castability column (1/3 numeric strings) so the
+    # distributed inference has real signal, identically in both engines
+    d = _t(spark, sf, "documents").withColumn(
+        "mixed",
+        F.when(F.col("doc_id") % 3 == 0, F.col("n_chars").cast("string")).otherwise(
+            F.col("text")
+        ),
+    )
+    out = dtype.infer_type_scores(d, "mixed")
+    return out.select(
+        "non_null_rows",
+        F.round("castable_bigint", 6).alias("castable_bigint"),
+        F.round("castable_double", 6).alias("castable_double"),
+    )
+
+
+def q_quality_score(spark, sf):
+    # composite 0..1 quality score from the metric legs (length, symbol,
+    # stopword density) — the brief's "quality scoring" op as one column
+    d = _t(spark, sf, "documents")
+    t = F.col("text")
+    length_score = F.least(T.char_count(t) / F.lit(500.0), F.lit(1.0))
+    symbol_score = F.greatest(F.lit(0.0), F.lit(1.0) - T.symbol_ratio(t) * 4.0)
+    sw_score = F.least(T.stopword_density(t) * 4.0, F.lit(1.0))
+    score = (length_score + symbol_score + sw_score) / 3.0
+    return d.select("doc_id", F.round(score, 6).alias("quality_score"))
+
+
 def q_token_count(spark, sf):
     d = _t(spark, sf, "documents")
     return d.select(
@@ -526,6 +555,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "format_phone": q_format_phone,
         "encoding_remove": q_encoding_remove,
         "encoding_replace": q_encoding_replace,
+        "infer_types": q_infer_types,
+        "quality_score": q_quality_score,
         "token_count": q_token_count,
         "fingerprints": q_fingerprints,
         "embed_cosine_dups": q_embed_cosine_dups,
@@ -850,6 +881,44 @@ def oracle_sql() -> dict[str, str]:
                        THEN 1 ELSE 0 END) = count(*)
                        THEN 'ascii' ELSE 'utf-8' END AS detected_encoding
             FROM documents""",
+        "infer_types": """
+            WITH d AS (
+              SELECT CASE WHEN doc_id % 3 = 0 THEN CAST(n_chars AS VARCHAR)
+                          ELSE text END AS mixed
+              FROM documents
+            )
+            SELECT CAST(sum(CASE WHEN mixed IS NOT NULL THEN 1 ELSE 0 END)
+                     AS BIGINT) AS non_null_rows,
+                   round(sum(CASE WHEN try_cast(mixed AS BIGINT) IS NOT NULL
+                       THEN 1 ELSE 0 END)
+                     / CAST(greatest(sum(CASE WHEN mixed IS NOT NULL THEN 1
+                       ELSE 0 END), 1) AS DOUBLE), 6) AS castable_bigint,
+                   round(sum(CASE WHEN try_cast(mixed AS DOUBLE) IS NOT NULL
+                       THEN 1 ELSE 0 END)
+                     / CAST(greatest(sum(CASE WHEN mixed IS NOT NULL THEN 1
+                       ELSE 0 END), 1) AS DOUBLE), 6) AS castable_double
+            FROM d""",
+        "quality_score": f"""
+            WITH tok AS (
+              SELECT doc_id, text, {_sql_tokens('text')} AS toks FROM documents
+            ), m AS (
+              SELECT doc_id,
+                     least(length(text) / 500.0, 1.0) AS length_score,
+                     greatest(0.0, 1.0 -
+                       (length(text) - length(regexp_replace(text,
+                         '[^A-Za-z0-9 \\t\\n\\r\\x0b\\f]', '', 'g')))
+                       / CAST(greatest(length(text), 1) AS DOUBLE) * 4.0)
+                       AS symbol_score,
+                     least(len(list_filter(toks,
+                       x -> list_contains([{{sw}}], lower(x))))
+                       / CAST(greatest(len(toks), 1) AS DOUBLE) * 4.0, 1.0)
+                       AS sw_score
+              FROM tok
+            )
+            SELECT doc_id,
+                   round((length_score + symbol_score + sw_score) / 3.0, 6)
+                     AS quality_score
+            FROM m""".replace("{sw}", sw),
         "token_count": f"""
             SELECT doc_id,
                    len(regexp_extract_all(text, {_sql_lit(T.BPE_TOKEN_REGEX)}))
