@@ -1,0 +1,47 @@
+"""MinHash estimate quality: est_jaccard from 32 permutations must track
+exact shingle Jaccard on controlled-overlap documents; keep='last' dedup."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dataqualitykit_spark.operators import dedup
+from dataqualitykit_spark.semantics import _TRAIN_TEXT
+
+
+def _exact_jaccard(a: str, b: str, k: int = 3) -> float:
+    def sh(t):
+        w = t.lower().split()
+        return {" ".join(w[i : i + k]) for i in range(len(w) - k + 1)}
+
+    sa, sb = sh(a), sh(b)
+    return len(sa & sb) / len(sa | sb)
+
+
+def test_minhash_estimates_track_exact_jaccard(spark):
+    words = (_TRAIN_TEXT + " " + _TRAIN_TEXT).split()
+    docs = [
+        (0, " ".join(words[0:120])),
+        (1, " ".join(words[20:140])),   # high overlap with 0
+        (2, " ".join(words[60:180])),   # medium overlap with 0/1
+        (3, " ".join(reversed(words[0:120]))),  # same words, shuffled order
+    ]
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    pairs = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"]
+        for r in dedup.minhash_jaccard(df, "text", "doc_id", num_hashes=32).collect()
+    }
+    for (i, j), est in pairs.items():
+        exact = _exact_jaccard(docs[i][1], docs[j][1])
+        assert abs(est - exact) <= 0.25, ((i, j), est, exact)
+    # the high-overlap pair must be detected as a candidate at all
+    assert (0, 1) in pairs
+    assert pairs[(0, 1)] > 0.5
+
+
+def test_dedup_keep_last(spark):
+    rows = [(1, "a", 10), (2, "a", 20), (3, "b", 30)]
+    df = spark.createDataFrame(rows, "id int, key string, v int")
+    out = dedup.dedup_exact(df, ["key"], order_by=[F.col("id")], keep="last")
+    kept = {r["id"] for r in out.collect()}
+    assert kept == {2, 3}
