@@ -81,11 +81,18 @@ def run_resumable(
             continue
         part = bucketed.filter(F.col("_bucket") == b).drop("_bucket")
         labeled = run_pipeline(part, cfg)
-        # cross-bucket exact content dedup against already-written keeps
+        # cross-bucket exact content dedup against already-written keeps.
+        # Restrict to manifest-COMPLETED buckets: a torn previous run may
+        # have written this bucket's files without marking it, and reading
+        # them here would (a) dedup the bucket against its own stale copy
+        # and (b) race the dynamic overwrite that replaces those files.
         if cfg.dedup_content and done:
             prior = (
                 io.read("labeled")
-                .filter(F.col("keep"))
+                .filter(
+                    F.col("keep")
+                    & F.col("bucket_id").isin(*[int(x) for x in done])
+                )
                 .select(F.col("content_md5").alias("_h"))
                 .distinct()
             )
@@ -104,11 +111,28 @@ def run_resumable(
                 .drop("_h", "_dup_prior")
             )
         labeled = labeled.withColumn("bucket_id", F.lit(b))
-        io.append(labeled, "labeled")
-        io.append(
-            quality_metrics(labeled).withColumn("bucket_id", F.lit(b)), "metrics"
+        # idempotent per-bucket commit: dynamic partition overwrite on
+        # bucket_id means a crash AFTER the write but BEFORE manifest.mark
+        # replaces (not duplicates) the bucket's rows on resume
+        (
+            labeled.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("bucket_id")
+            .parquet(io._path("labeled"))
         )
-        rows = labeled.count()
+        (
+            quality_metrics(labeled.drop("bucket_id"))
+            .withColumn("bucket_id", F.lit(b))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("bucket_id")
+            .parquet(io._path("metrics"))
+        )
+        # count the WRITTEN parquet (cheap metadata scan) instead of
+        # recomputing the whole UDF pipeline a second time
+        rows = (
+            io.read("labeled").filter(F.col("bucket_id") == b).count()
+        )
         manifest.mark(b, rows)
         done.add(b)
         processed += 1

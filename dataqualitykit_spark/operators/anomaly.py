@@ -194,7 +194,7 @@ def cusum_changepoints(
     # in-control target calibrated on an initial window (standard CUSUM),
     # not the global mean — a level shift would otherwise contaminate the
     # target and fire inside the pre-shift segment
-    calib = max(5, n // 10)
+    calib = min(n, max(5, n // 10))
     target = sum(metric_rows[:calib]) / calib
     mean = sum(metric_rows) / n
     var = sum((x - mean) ** 2 for x in metric_rows) / max(n - 1, 1)

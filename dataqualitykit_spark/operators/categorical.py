@@ -72,7 +72,12 @@ def standardize_case(df: DataFrame, col: str, style: str = "lower") -> DataFrame
     elif style == "title":
         expr = F.initcap(c)
     elif style == "sentence":
-        expr = F.concat(F.upper(F.substring(c, 1, 1)), F.lower(F.expr(f"substring({col}, 2)")))
+        # Column API throughout — F.expr(f"substring({col},2)") breaks on
+        # column names needing quoting (spaces, reserved words)
+        expr = F.concat(
+            F.upper(F.substring(c, 1, 1)),
+            F.lower(c.substr(F.lit(2), F.length(c))),
+        )
     else:
         raise ValueError(style)
     return df.withColumn(col, expr)

@@ -69,14 +69,27 @@ def dedup_exact(
     keep='first'/'last' flips the order; order_by defaults to the key
     itself (deterministic for exact dups). Scales: shuffle on key_cols only.
     """
+    if keep not in ("first", "last"):
+        raise ValueError(
+            f"keep must be 'first' or 'last', got {keep!r} "
+            "(for keep-most-recent pass keep='first' with order_by="
+            "[col('ts').desc()], cf. reference :1977-1981)"
+        )
     order = order_by or [F.col(c) for c in key_cols]
-    if keep == "last":
-        order = [c.desc() if hasattr(c, "desc") else F.col(c).desc() for c in order]
     w = Window.partitionBy(*key_cols).orderBy(*order)
-    return (
-        df.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
+    df = df.withColumn("_rn", F.row_number().over(w))
+    if keep == "first":
+        pred = F.col("_rn") == 1
+    else:
+        # keep='last' without flipping the sort (order_by may already
+        # contain SortOrder expressions that cannot be .desc()'d again):
+        # last row == row_number equals the partition size
+        df = df.withColumn(
+            "_cnt", F.count(F.lit(1)).over(Window.partitionBy(*key_cols))
+        )
+        pred = F.col("_rn") == F.col("_cnt")
+    return df.filter(pred).drop("_rn", "_cnt") if keep == "last" else (
+        df.filter(pred).drop("_rn")
     )
 
 
@@ -177,12 +190,26 @@ def lsh_candidate_pairs(
 
 
 def minhash_jaccard(
-    df: DataFrame, text_col: str, id_col: str, num_hashes: int = 32
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 32,
+    rows_per_band: int = 4,
 ) -> DataFrame:
     """Estimated Jaccard for LSH candidate pairs: fraction of matching
-    signature slots. Returns (id_a, id_b, est_jaccard)."""
+    signature slots. Banding derives from num_hashes (bands =
+    num_hashes // rows_per_band) so any signature width is consistent.
+    Returns (id_a, id_b, est_jaccard).
+
+    Note: signatures are cached for the triple reuse (banding + two joins)
+    and stay cached until the session evicts them — callers running many
+    corpora in one session may want spark.catalog.clearCache()."""
+    if num_hashes % rows_per_band != 0:
+        raise ValueError("num_hashes must be divisible by rows_per_band")
     sigs = minhash_signatures(df, text_col, id_col, num_hashes).cache()
-    pairs = lsh_candidate_pairs(sigs)
+    pairs = lsh_candidate_pairs(
+        sigs, bands=num_hashes // rows_per_band, rows_per_band=rows_per_band
+    )
     sa = sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
     sb = sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
     est = (

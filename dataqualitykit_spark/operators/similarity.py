@@ -99,7 +99,9 @@ def cosine_topk_blocked(
     ).collect()
     q_ids = np.array([r["qid"] for r in q_rows])
     q_mat = np.array([r["v"] for r in q_rows])  # (Q, D)
-    q_norm = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+    qn = np.linalg.norm(q_mat, axis=1, keepdims=True)
+    qn[qn == 0] = 1.0  # zero-vector queries get 0 similarity, not NaN
+    q_norm = q_mat / qn
 
     out_schema = "query_id bigint, neighbor_id bigint, cosine double"
 
@@ -111,8 +113,10 @@ def cosine_topk_blocked(
             norms[norms == 0] = 1.0
             sims = (mat / norms) @ q_norm.T  # (B, Q)
             rows = []
-            # per-block top-k per query: bound the candidate fan-in
-            top = min(k + 1, sims.shape[0])
+            # per-block top-(k+8): margin so candidates that tie at the
+            # 6-decimal rounding boundary are not dropped before the
+            # global deterministic (rounded cosine, neighbor_id) ranking
+            top = min(k + 8, sims.shape[0])
             for qi in range(sims.shape[1]):
                 idx = np.argpartition(-sims[:, qi], top - 1)[:top]
                 for bi in idx:

@@ -51,9 +51,12 @@ def run_oracle(
     missing = [is_missing(r.text) for r in out]
     chash = [content_hash(r.text or "") for r in out]
 
-    # url keep-most-recent
+    # url keep-most-recent — gate on KEY PRESENCE (schema), exactly like
+    # the pipeline gates on column presence; an all-NULL warc_ts column
+    # must still dedup (NULLs order last, matching Spark desc NULLS LAST)
     dup_url = [False] * len(out)
-    if cfg.dedup_url and any(r.warc_ts is not None for r in out):
+    has_ts_column = any("warc_ts" in r for r in rows)
+    if cfg.dedup_url and has_ts_column:
         by_url: dict[str, list[int]] = {}
         for i, r in enumerate(out):
             by_url.setdefault(r.url, []).append(i)

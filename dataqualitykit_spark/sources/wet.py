@@ -36,9 +36,13 @@ def read_wet(spark: SparkSession, path: str) -> DataFrame:
     raw = spark.read.text(path, lineSep="WARC/1.0")
     v = F.col("value")
     url = F.regexp_extract(v, r"WARC-Target-URI:\s*(\S+)", 1)
-    ts = F.to_timestamp(
-        F.regexp_extract(v, r"WARC-Date:\s*(\S+)", 1),
-        "yyyy-MM-dd'T'HH:mm:ss'Z'",
+    # try_to_timestamp: under Spark 4 ANSI mode a plain to_timestamp would
+    # crash the whole ingest on one malformed/missing WARC-Date; fractional
+    # seconds handled by the second format
+    date_str = F.regexp_extract(v, r"WARC-Date:\s*(\S+)", 1)
+    ts = F.coalesce(
+        F.try_to_timestamp(date_str, F.lit("yyyy-MM-dd'T'HH:mm:ss'Z'")),
+        F.try_to_timestamp(date_str, F.lit("yyyy-MM-dd'T'HH:mm:ss.SSS'Z'")),
     )
     lang = F.regexp_extract(v, r"WARC-Identified-Content-Language:\s*(\w+)", 1)
     # body = after the first blank line (\r\n\r\n or \n\n)
