@@ -78,11 +78,29 @@ STOPWORDS_ES = frozenset(
     "sus le ya o este sí porque esta entre cuando muy sin sobre".split()
 )
 
+STOPWORDS_IT = frozenset(
+    "il la le e di che in un una è per con non si lo come più ma sono della "
+    "dei delle questo questa al dal nel sulla anche dove quando perché".split()
+)
+
+STOPWORDS_PT = frozenset(
+    "o a os as e de que em um uma é por com para não se do da dos das no na "
+    "como mais mas são este esta ao pelo pela também onde quando porque".split()
+)
+
+STOPWORDS_NL = frozenset(
+    "de het een en van in is dat op te niet met voor zijn er aan ook als "
+    "maar om dan nog bij uit naar door over deze dit wordt worden".split()
+)
+
 LANG_PROFILES: dict[str, frozenset[str]] = {
     "en": STOPWORDS_EN,
     "de": STOPWORDS_DE,
     "fr": STOPWORDS_FR,
     "es": STOPWORDS_ES,
+    "it": STOPWORDS_IT,
+    "pt": STOPWORDS_PT,
+    "nl": STOPWORDS_NL,
 }
 
 BOILERPLATE_MARKERS = (
