@@ -221,20 +221,13 @@ def q_forward_fill(spark, sf):
 
 
 def q_weighted_ma(spark, sf):
+    # the operator itself, with the composite (ts, event_id) tie order —
+    # the driver row certifies weighted_moving_average's own output
     out = anomaly.weighted_moving_average(
-        _t(spark, sf, "events"), "value", "ts", [1.0, 2.0, 3.0],
+        _t(spark, sf, "events"), "value", ["ts", "event_id"], [1.0, 2.0, 3.0],
         partition_by=["user_id"],
     )
-    # pin tie order: rebuild with composite order for oracle parity
-    w = Window.partitionBy("user_id").orderBy(F.col("ts"), F.col("event_id"))
-    wma = (
-        F.lag("value", 2).over(w) * 1.0
-        + F.lag("value", 1).over(w) * 2.0
-        + F.lag("value", 0).over(w) * 3.0
-    ) / 6.0
-    return _t(spark, sf, "events").select(
-        "event_id", F.round(wma, 6).alias("wma_3")
-    )
+    return out.select("event_id", F.round("wma_3", 6).alias("wma_3"))
 
 
 def q_centered_ma(spark, sf):

@@ -95,20 +95,36 @@ def forward_fill(
 def lag_tolerance_breach(
     df: DataFrame,
     col: str,
-    order_col: str,
-    tolerance: float,
+    order_col,
+    tolerance: float = 0.0,
     partition_by: list[str] | None = None,
+    kind: str = "numeric",
 ) -> DataFrame:
-    """W2 (:1876-1890): |x - lag(x)| > tolerance within key group."""
-    w = Window.orderBy(order_col)
+    """W2 (:1876-1890), all three reference legs:
+
+    - kind='numeric'     |x - lag(x)| > tolerance
+    - kind='temporal'    |datediff(x, lag(x))| > tolerance days (:1889)
+    - kind='categorical' x != lag(x)  (:1885-1887, tolerance ignored)
+
+    order_col may be a column name or a list of names/Columns (composite
+    total order pins ties so the flag is deterministic under shuffle).
+    """
+    order = order_col if isinstance(order_col, list) else [order_col]
+    w = Window.orderBy(*order)
     if partition_by:
-        w = Window.partitionBy(*partition_by).orderBy(order_col)
+        w = Window.partitionBy(*partition_by).orderBy(*order)
     prev = F.lag(col).over(w)
+    if kind == "numeric":
+        breach = F.abs(F.col(col) - prev) > F.lit(tolerance)
+    elif kind == "temporal":
+        breach = F.abs(F.datediff(F.col(col), prev)) > F.lit(tolerance)
+    elif kind == "categorical":
+        breach = F.col(col) != prev
+    else:
+        raise ValueError(f"kind must be numeric/temporal/categorical, got {kind!r}")
     return df.withColumn(
         "tolerance_breach",
-        F.when(prev.isNull(), F.lit(False)).otherwise(
-            F.abs(F.col(col) - prev) > F.lit(tolerance)
-        ),
+        F.when(prev.isNull(), F.lit(False)).otherwise(breach),
     )
 
 
@@ -131,16 +147,19 @@ def neighborhood_deviation(
 def weighted_moving_average(
     df: DataFrame,
     col: str,
-    order_col: str,
+    order_col,
     weights: list[float],
     partition_by: list[str] | None = None,
 ) -> DataFrame:
     """W4 corrected (reference :3092-3099 passes F.lit(np.array) — invalid):
     linear-weighted trailing MA as a lag composition, wma = sum(w_i *
-    lag(x, k-1-i)) / sum(w); NULL until the frame is full (first k-1 rows)."""
-    w = Window.orderBy(order_col)
+    lag(x, k-1-i)) / sum(w); NULL until the frame is full (first k-1 rows).
+
+    order_col may be a name or list of names/Columns (composite tie-break)."""
+    order = order_col if isinstance(order_col, list) else [order_col]
+    w = Window.orderBy(*order)
     if partition_by:
-        w = Window.partitionBy(*partition_by).orderBy(order_col)
+        w = Window.partitionBy(*partition_by).orderBy(*order)
     k = len(weights)
     total = sum(weights)
     expr = None

@@ -41,14 +41,21 @@ def rare_categories(df: DataFrame, col: str, threshold: float = 0.01) -> DataFra
 def group_rare_as_other(
     df: DataFrame, col: str, threshold: float = 0.01, other: str = "Other"
 ) -> DataFrame:
-    """U4 (:1563-1567) without the UDF: broadcast the rare set, map via
-    semi-join-free when/isin (rare set collected once — it is small by
-    definition; at 100 TB it is still only the distinct tail)."""
-    rare = [r[0] for r in rare_categories(df, col, threshold).select(col).collect()]
-    if not rare:
-        return df
-    return df.withColumn(
-        col, F.when(F.col(col).isin(*rare), F.lit(other)).otherwise(F.col(col))
+    """U4 (:1563-1567) without the UDF and without a driver collect: left
+    join against the rare-category frame. On heavy-tailed web categoricals
+    the rare tail is MOST of the distinct values — inlining it as an isin
+    literal list puts millions of literals in the plan; an equi-join on the
+    category keeps the plan O(1) and lets AQE broadcast when it is small."""
+    rare = rare_categories(df, col, threshold).select(
+        F.col(col).alias("_rare_val")
+    ).withColumn("_is_rare", F.lit(True))
+    return (
+        df.join(rare, df[col] == rare["_rare_val"], "left")
+        .withColumn(
+            col,
+            F.when(F.col("_is_rare").isNotNull(), F.lit(other)).otherwise(F.col(col)),
+        )
+        .drop("_rare_val", "_is_rare")
     )
 
 

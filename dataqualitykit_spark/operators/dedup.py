@@ -201,12 +201,14 @@ def minhash_jaccard(
     num_hashes // rows_per_band) so any signature width is consistent.
     Returns (id_a, id_b, est_jaccard).
 
-    Note: signatures are cached for the triple reuse (banding + two joins)
-    and stay cached until the session evicts them — callers running many
-    corpora in one session may want spark.catalog.clearCache()."""
+    Signatures are materialized once via localCheckpoint (eager) for the
+    triple reuse (banding + two joins); the blocks are freed when the
+    returned frame is garbage-collected — no cache leaking across calls
+    (a .cache() here would pin executor storage until someone remembers
+    spark.catalog.clearCache())."""
     if num_hashes % rows_per_band != 0:
         raise ValueError("num_hashes must be divisible by rows_per_band")
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes).cache()
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes).localCheckpoint()
     pairs = lsh_candidate_pairs(
         sigs, bands=num_hashes // rows_per_band, rows_per_band=rows_per_band
     )

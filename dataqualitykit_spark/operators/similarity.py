@@ -113,15 +113,20 @@ def cosine_topk_blocked(
             norms[norms == 0] = 1.0
             sims = (mat / norms) @ q_norm.T  # (B, Q)
             rows = []
-            # per-block top-(k+8): margin so candidates that tie at the
-            # 6-decimal rounding boundary are not dropped before the
-            # global deterministic (rounded cosine, neighbor_id) ranking
-            top = min(k + 8, sims.shape[0])
+            # per-block top-k by the SAME composite key the global window
+            # ranks on — (round(cosine,6) DESC, neighbor_id ASC) — so the
+            # global top-k is guaranteed inside the union of block top-ks
+            # even when many candidates tie at the rounding boundary
+            rounded = np.round(sims, 6)
             for qi in range(sims.shape[1]):
-                idx = np.argpartition(-sims[:, qi], top - 1)[:top]
-                for bi in idx:
+                order = np.lexsort((ids, -rounded[:, qi]))
+                taken = 0
+                for bi in order:
+                    if taken >= k:
+                        break
                     if ids[bi] != q_ids[qi]:
                         rows.append((int(q_ids[qi]), int(ids[bi]), float(sims[bi, qi])))
+                        taken += 1
             yield pd.DataFrame(rows, columns=["query_id", "neighbor_id", "cosine"])
 
     candidates = corpus.select(
