@@ -854,12 +854,12 @@ def oracle_sql() -> dict[str, str]:
         "encoding_remove": f"""
             SELECT doc_id,
                    regexp_replace(concat(text, {_sql_lit(_ENC_SUFFIX_RM)}),
-                                  '[^\\x00-\\x7F]', '', 'g') AS text
+                                  {_sql_lit(S.NONPRINTABLE_REGEX)}, '', 'g') AS text
             FROM documents""",
         "encoding_replace": f"""
             SELECT doc_id,
                    regexp_replace(concat(text, {_sql_lit(_ENC_SUFFIX_RP)}),
-                                  '[^\\x00-\\x7F]', '?', 'g') AS text
+                                  {_sql_lit(S.NONPRINTABLE_REGEX)}, '?', 'g') AS text
             FROM documents""",
         "encoding_detect": """
             SELECT CAST(count(*) AS BIGINT) AS total_values,

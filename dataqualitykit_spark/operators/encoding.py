@@ -1,16 +1,20 @@
 """EncodingConformity re-imagined (reference QualityControl.py:3241-3573).
 
 Fix strategies inherit the reference's golden outputs
-(tests/test_encoding_conformity.py:44,51,57-58):
-- remove  : 'invalid \\x80 text' -> 'invalid  text'
-- replace : 'invalid \\x80 text' -> 'invalid ? text'
+(tests/test_encoding_conformity.py:44,51,57-58) — note the goldens keep
+printable non-ASCII ('text with special char é' survives remove AND
+replace); only NON-PRINTABLE chars (char.isprintable() false, reference
+:3494) are stripped/replaced:
+- remove  : 'invalid \\x80 text' -> 'invalid  text', 'é' intact
+- replace : 'invalid \\x80 text' -> 'invalid ? text', 'é' intact
 - encode  : 'é' -> '&#233;', '\\x80' -> '&#128;'
 
-remove/replace are pure Java-regex columns (codegen); xmlcharref encode
-needs per-char code points -> Arrow-batched pandas UDF over the shared
-semantics functions (same code the oracle calls). detect_encoding's
-chardet sample-collect (:3515-3573) is replaced by a distributed
-aggregation over byte-class counts.
+remove/replace are pure Java-regex columns (codegen) over the shared
+semantics.NONPRINTABLE_REGEX class; xmlcharref encode needs per-char code
+points -> Arrow-batched pandas UDF over the shared semantics functions
+(same code the oracle calls). detect_encoding's chardet sample-collect
+(:3515-3573) is replaced by a distributed aggregation over byte-class
+counts.
 """
 
 from __future__ import annotations
@@ -20,19 +24,21 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import StringType
 
-from ..semantics import encoding_xmlcharref
+from ..semantics import NONPRINTABLE_REGEX, encoding_xmlcharref
 
 _NON_ASCII = r"[^\x00-\x7F]"
 
 
 def remove_invalid(df: DataFrame, col: str) -> DataFrame:
-    """Non-ASCII chars removed (golden :44)."""
-    return df.withColumn(col, F.regexp_replace(F.col(col), _NON_ASCII, ""))
+    """Non-printable chars removed (golden :44; printable non-ASCII kept)."""
+    return df.withColumn(col, F.regexp_replace(F.col(col), NONPRINTABLE_REGEX, ""))
 
 
 def replace_invalid(df: DataFrame, col: str, replacement: str = "?") -> DataFrame:
-    """Non-ASCII chars -> replacement (golden :51)."""
-    return df.withColumn(col, F.regexp_replace(F.col(col), _NON_ASCII, replacement))
+    """Non-printable chars -> replacement (golden :51; 'é' kept)."""
+    return df.withColumn(
+        col, F.regexp_replace(F.col(col), NONPRINTABLE_REGEX, replacement)
+    )
 
 
 def _xmlcharref_batch(texts: pd.Series) -> pd.Series:

@@ -174,14 +174,32 @@ def scrub_text(text: str) -> str:
 
 # encoding fix strategies inherited from the reference (EncodingConformity.fix
 # :3362-3513); goldens in tests/test_encoding_conformity.py:44,51,57-58.
+# The reference's remove/replace target NON-PRINTABLE chars only
+# (char.isprintable(), :3494) — printable non-ASCII like 'é' SURVIVES both
+# (goldens assert 'text with special char é' intact after remove AND
+# replace). Non-printable == Unicode categories C* and Z* except U+0020
+# (Python str.isprintable definition). The regex below is the same class
+# spelled portably for Java regex (Spark) and RE2 (DuckDB); unassigned
+# (Cn) membership can drift across engines' Unicode table versions, so
+# fixtures avoid unassigned codepoints.
+NONPRINTABLE_REGEX = (
+    r"[\p{Cc}\p{Cf}\p{Co}\p{Cs}\p{Zl}\p{Zp}"
+    r"\x{00A0}\x{1680}\x{2000}-\x{200A}\x{202F}\x{205F}\x{3000}]"
+)
+
+
 def encoding_remove_invalid(text: str) -> str:
-    """Drop chars that cannot encode to ASCII ('invalid \\x80 text' -> 'invalid  text')."""
-    return text.encode("ascii", errors="ignore").decode("ascii")
+    """Reference 'remove' (:3493-3497): drop non-printable chars only
+    ('invalid \\x80 text' -> 'invalid  text'; 'é' survives)."""
+    return "".join(ch for ch in text if ch.isprintable())
 
 
 def encoding_replace_invalid(text: str, replacement: str = "?") -> str:
-    """Replace non-ASCII chars ('invalid \\x80 text' -> 'invalid ? text')."""
-    return text.encode("ascii", errors="replace").decode("ascii").replace("�", replacement)
+    """Reference 'replace' intent (golden :51): non-printable chars ->
+    replacement; printable non-ASCII survives. (The reference's
+    encode/decode round-trip is a no-op under UTF-8 and its '�'.replace
+    arm is dead code — the golden's intent is char-class replacement.)"""
+    return "".join(ch if ch.isprintable() else replacement for ch in text)
 
 
 def encoding_xmlcharref(text: str) -> str:

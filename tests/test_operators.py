@@ -96,8 +96,12 @@ def test_encoding_goldens(spark):
     )
     rm = [r["text"] for r in encoding.remove_invalid(df, "text").collect()]
     assert "invalid  text" in rm
+    # printable non-ASCII SURVIVES remove (reference golden :44-45)
+    assert "text with special char é" in rm
     rp = [r["text"] for r in encoding.replace_invalid(df, "text").collect()]
     assert "invalid ? text" in rp
+    # ... and survives replace too (reference golden :50-51)
+    assert "text with special char é" in rp
     enc = [r["text"] for r in encoding.encode_xmlcharref(df, "text").collect()]
     assert "text with special char &#233;" in enc
     assert "invalid &#128; text" in enc

@@ -17,6 +17,32 @@ def test_encoding_goldens():
     # goldens from reference tests/test_encoding_conformity.py:44,51,57-58
     assert S.encoding_remove_invalid("invalid \x80 text") == "invalid  text"
     assert S.encoding_replace_invalid("invalid \x80 text") == "invalid ? text"
+    # printable non-ASCII survives remove AND replace (goldens :44-45,:50-51)
+    assert S.encoding_remove_invalid("text with special char é") == (
+        "text with special char é"
+    )
+    assert S.encoding_replace_invalid("text with special char é") == (
+        "text with special char é"
+    )
+    # replacement parameter is honored (was dead code pre-round-2)
+    assert S.encoding_replace_invalid("a\x80b", replacement="#") == "a#b"
+
+
+def test_nonprintable_regex_matches_python_isprintable():
+    # the shared class must agree with str.isprintable on every char the
+    # fixtures can contain — Python / Java regex / RE2 all consume it
+    import re
+
+    import duckdb
+
+    sample = "a b\tc\nd\re\x80é漢​   \x07ø€—"
+    expected = "".join(ch for ch in sample if ch.isprintable())
+    got_duck = duckdb.connect().execute(
+        "SELECT regexp_replace(?, ?, '', 'g')", [sample, S.NONPRINTABLE_REGEX]
+    ).fetchone()[0]
+    assert got_duck == expected
+    # python re has no \p{..}; assert via the semantics function instead
+    assert S.encoding_remove_invalid(sample) == expected
     assert S.encoding_xmlcharref("text with special char é") == (
         "text with special char &#233;"
     )
