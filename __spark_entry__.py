@@ -486,11 +486,25 @@ def q_embed_cosine_dups(spark, sf):
 
 
 def q_minhash_lsh_dups(spark, sf):
+    # md5-portable variant -> full DuckDB oracle (the xxhash64 fast path
+    # is certified rows-only as minhash_lsh_dups_fast)
+    pairs = dedup.minhash_jaccard_portable(
+        _t(spark, sf, "documents"), "text", "doc_id"
+    )
+    return pairs.filter(F.col("est_jaccard") >= 0.8).select("id_a", "id_b")
+
+
+def q_minhash_lsh_dups_fast(spark, sf):
     pairs = dedup.minhash_jaccard(_t(spark, sf, "documents"), "text", "doc_id")
     return pairs.filter(F.col("est_jaccard") >= 0.8).select("id_a", "id_b")
 
 
 def q_simhash(spark, sf):
+    # md5-portable 60-bit variant -> full DuckDB oracle
+    return dedup.simhash_portable(_t(spark, sf, "documents"), "text", "doc_id")
+
+
+def q_simhash_fast(spark, sf):
     return dedup.simhash64(_t(spark, sf, "documents"), "text", "doc_id")
 
 
@@ -555,7 +569,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_cosine_dups": q_embed_cosine_dups,
         "encoding_detect": q_encoding_detect,
         "minhash_lsh_dups": q_minhash_lsh_dups,
+        "minhash_lsh_dups_fast": q_minhash_lsh_dups_fast,
         "simhash": q_simhash,
+        "simhash_fast": q_simhash_fast,
         "pipeline_full": q_pipeline_full,
         "lsh_cosine_topk": q_lsh_cosine_topk,
     }
@@ -596,6 +612,71 @@ FROM hits
 
 def _stopword_sql_list() -> str:
     return ", ".join(_sql_lit(w) for w in sorted(S.STOPWORDS_EN))
+
+
+def _sql_shingle_cte(k: int = 3, table: str = "documents", id_col: str = "doc_id") -> str:
+    """tok/sh CTE fragment mirroring dedup.with_shingles (lowercased word
+    k-shingles; fewer than k words -> one all-words shingle)."""
+    idx_cols = ", ".join(f"toks[i+{j}]" for j in range(k))
+    return f"""tok AS (
+  SELECT {id_col}, {_sql_tokens('lower(text)')} AS toks FROM {table}
+), sh AS (
+  SELECT {id_col},
+         CASE WHEN len(toks) < {k} THEN [concat_ws(' ', toks)]
+              ELSE [concat_ws(' ', {idx_cols})
+                    for i in generate_series(1, len(toks) - {k - 1})]
+         END AS shingles
+  FROM tok
+)"""
+
+
+def _minhash_sql(num_hashes: int = 32, rows_per_band: int = 4, threshold: float = 0.8) -> str:
+    """md5-portable MinHash-LSH candidate pairs at est_jaccard >= threshold,
+    mirroring dedup.minhash_jaccard_portable exactly."""
+    bands = num_hashes // rows_per_band
+    slots = ", ".join(f"sig[{rows_per_band}*b+{r + 1}]" for r in range(rows_per_band))
+    return f"""
+WITH {_sql_shingle_cte(3)},
+ sig AS (
+  SELECT doc_id,
+         [list_min(list_transform(list_distinct(shingles),
+              s -> md5(concat(CAST(i AS VARCHAR), '|', s))))
+          for i in generate_series(0, {num_hashes - 1})] AS sig
+  FROM sh
+), banded AS (
+  SELECT doc_id, b, md5(concat_ws('|', {slots})) AS bucket
+  FROM sig CROSS JOIN (SELECT unnest(generate_series(0, {bands - 1})) AS b)
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+  FROM banded a
+  JOIN banded c ON a.b = c.b AND a.bucket = c.bucket AND a.doc_id < c.doc_id
+)
+SELECT id_a, id_b
+FROM cand
+JOIN sig sa ON sa.doc_id = cand.id_a
+JOIN sig sb ON sb.doc_id = cand.id_b
+WHERE len(list_filter(generate_series(1, {num_hashes}),
+                      i -> sa.sig[i] = sb.sig[i])) / {num_hashes}.0 >= {threshold}"""
+
+
+def _simhash_sql() -> str:
+    """md5-portable 60-bit SimHash mirroring dedup.simhash_portable."""
+    powers = ", ".join(str(1 << b) for b in range(60))
+    return f"""
+WITH {_sql_shingle_cte(2)},
+ h AS (
+  SELECT doc_id,
+         list_transform(shingles,
+            s -> CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT)) AS hs
+  FROM sh
+)
+SELECT doc_id AS id,
+       CAST(CASE WHEN hs IS NULL THEN NULL ELSE
+         list_sum([CASE WHEN 2 * len(list_filter(hs, x -> (x // p) % 2 = 1))
+                        > len(hs) THEN p ELSE 0 END
+                   for p in [{powers}]])
+       END AS BIGINT) AS simhash
+FROM h"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -977,6 +1058,8 @@ def oracle_sql() -> dict[str, str]:
     }
     # identical contract, different physical strategy (BLAS-blocked)
     d["embed_cosine_topk_blocked"] = d["embed_cosine_topk"]
+    d["minhash_lsh_dups"] = _minhash_sql()
+    d["simhash"] = _simhash_sql()
     return d
 
 

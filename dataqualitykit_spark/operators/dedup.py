@@ -229,6 +229,144 @@ def minhash_jaccard(
     )
 
 
+# ---------------------------------------------------------------------------
+# md5-portable twins — identical algorithms with engine-portable hashing
+# (md5 exists in Spark, DuckDB and hashlib; xxhash64 only in Spark). These
+# back the ORACLE-CHECKED driver queries and the pure-python pipeline
+# oracle; the xxhash64 versions above are the production fast path (longs
+# hash ~10x cheaper than 32 md5 string passes).
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures_portable(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 32,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """MinHash with md5 permutations: slot i = lexicographic min over
+    distinct shingles of md5('{i}|' + shingle) hex. Returns
+    (id, sig array<string>). Portable to DuckDB SQL and hashlib."""
+    sh = with_shingles(df, text_col, id_col, shingle_k)
+    base = sh.select("id", F.array_distinct(F.col("shingles")).alias("sh"))
+
+    def perm(i: int):
+        # closure factory: a `lambda s, i=i` would have TWO parameters and
+        # pyspark would treat it as an (element, index) HOF lambda
+        prefix = f"{i}|"
+        return lambda s: F.md5(F.encode(F.concat(F.lit(prefix), s), "UTF-8"))
+
+    sig = F.array(
+        *[
+            F.array_min(F.transform(F.col("sh"), perm(i)))
+            for i in range(num_hashes)
+        ]
+    )
+    return base.select("id", sig.alias("sig"))
+
+
+def minhash_jaccard_portable(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 32,
+    rows_per_band: int = 4,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """LSH candidate pairs + estimated Jaccard over the md5-portable
+    signatures: band buckets are md5 of the '|'-joined band slots; the
+    band self-join and slot-match estimate mirror minhash_jaccard exactly.
+    Returns (id_a, id_b, est_jaccard)."""
+    if num_hashes % rows_per_band != 0:
+        raise ValueError("num_hashes must be divisible by rows_per_band")
+    bands = num_hashes // rows_per_band
+    sigs = minhash_signatures_portable(
+        df, text_col, id_col, num_hashes, shingle_k
+    ).localCheckpoint()
+    banded = sigs.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.encode(
+                                F.concat_ws(
+                                    "|",
+                                    *[
+                                        F.col("sig").getItem(b * rows_per_band + r)
+                                        for r in range(rows_per_band)
+                                    ],
+                                ),
+                                "UTF-8",
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "bk.band", "bk.bucket")
+    a = banded.withColumnRenamed("id", "id_a")
+    b = banded.withColumnRenamed("id", "id_b")
+    pairs = (
+        a.join(b, on=["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sa = sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+    est = (
+        F.size(
+            F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m)
+        )
+        / F.lit(num_hashes)
+    )
+    return pairs.join(sa, "id_a").join(sb, "id_b").select(
+        "id_a", "id_b", est.alias("est_jaccard")
+    )
+
+
+def simhash_portable(
+    df: DataFrame, text_col: str, id_col: str, shingle_k: int = 2
+) -> DataFrame:
+    """60-bit SimHash over md5 shingle hashes (first 15 hex chars parsed
+    as the hash value — 60 bits keeps the value positive and exactly
+    representable in BIGINT on every engine). Same single-pass vote as
+    simhash64. Returns (id, simhash)."""
+    shingled = with_shingles(df.select(id_col, text_col), text_col, id_col, shingle_k)
+    hashed = shingled.select(
+        "id",
+        F.transform(
+            F.col("shingles"),
+            lambda s: F.conv(
+                F.substring(F.md5(F.encode(s, "UTF-8")), 1, 15), 16, 10
+            ).cast("long"),
+        ).alias("hashes"),
+    )
+    masks = F.array(*[F.lit(1 << b).cast("long") for b in range(60)])
+    counts = F.aggregate(
+        F.col("hashes"),
+        F.array_repeat(F.lit(0), 60),
+        lambda acc, h: F.zip_with(
+            acc,
+            masks,
+            lambda a, m: a + F.when(h.bitwiseAND(m) != 0, 1).otherwise(-1),
+        ),
+    )
+    sim = F.aggregate(
+        F.zip_with(
+            counts, masks, lambda c, m: F.when(c > 0, m).otherwise(F.lit(0).cast("long"))
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc.bitwiseOR(v),
+    )
+    return hashed.select("id", sim.alias("simhash"))
+
+
 def _bit_mask(b: int):
     """Signed-long literal for bit b (bit 63 is the sign bit: 1<<63 would
     overflow java long parsing, so encode it as Long.MIN_VALUE)."""

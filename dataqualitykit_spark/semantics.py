@@ -468,6 +468,75 @@ def jaro_winkler(s1: str, s2: str, prefix_weight: float = 0.1) -> float:
     return jaro + prefix * prefix_weight * (1 - jaro)
 
 
+# ---------------------------------------------------------------------------
+# md5-portable near-dup primitives — python mirrors of
+# operators/dedup.py::{minhash_signatures_portable, minhash_jaccard_portable,
+# simhash_portable}. Same algorithm, same hash, so the pure-python pipeline
+# oracle and the Spark engine produce identical signatures/pairs/clusters.
+# ---------------------------------------------------------------------------
+
+
+def word_shingles(text: str, k: int = 3) -> list[str]:
+    """Word k-shingles of the lowercased text; if fewer than k words, the
+    single shingle is all words joined (mirrors dedup._shingles_of)."""
+    words = tokenize(text.lower())
+    if len(words) < k:
+        return [" ".join(words)]
+    return [" ".join(words[i : i + k]) for i in range(len(words) - k + 1)]
+
+
+def minhash_signature(text: str, num_hashes: int = 32, shingle_k: int = 3) -> list[str]:
+    """md5-permutation MinHash: slot i = lexicographic min of
+    md5('{i}|'+shingle) hex over DISTINCT shingles."""
+    sh = set(word_shingles(text, shingle_k))
+    return [
+        min(hashlib.md5(f"{i}|{s}".encode()).hexdigest() for s in sh)
+        for i in range(num_hashes)
+    ]
+
+
+def minhash_candidate_pairs(
+    docs: dict, num_hashes: int = 32, rows_per_band: int = 4, shingle_k: int = 3
+) -> list[tuple]:
+    """LSH banding over md5-portable signatures: (id_a, id_b, est_jaccard)
+    for every banded-bucket collision, id_a < id_b (ids compared on their
+    natural ordering). `docs` maps id -> text."""
+    sigs = {i: minhash_signature(t, num_hashes, shingle_k) for i, t in docs.items()}
+    buckets: dict[tuple, list] = {}
+    bands = num_hashes // rows_per_band
+    for i, sig in sigs.items():
+        for b in range(bands):
+            key_src = "|".join(sig[b * rows_per_band : (b + 1) * rows_per_band])
+            key = (b, hashlib.md5(key_src.encode()).hexdigest())
+            buckets.setdefault(key, []).append(i)
+    pairs = set()
+    for members in buckets.values():
+        members = sorted(members)
+        for x in range(len(members)):
+            for y in range(x + 1, len(members)):
+                pairs.add((members[x], members[y]))
+    out = []
+    for a, b in sorted(pairs):
+        est = sum(1 for x, y in zip(sigs[a], sigs[b]) if x == y) / num_hashes
+        out.append((a, b, est))
+    return out
+
+
+def simhash_portable_py(text: str, shingle_k: int = 2) -> int:
+    """60-bit SimHash over md5 shingle hashes (first 15 hex chars)."""
+    hashes = [
+        int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+        for s in word_shingles(text, shingle_k)
+    ]
+    n = len(hashes)
+    sim = 0
+    for b in range(60):
+        c = sum(1 for h in hashes if (h >> b) & 1)
+        if 2 * c > n:
+            sim |= 1 << b
+    return sim
+
+
 def content_hash(text: str) -> str:
     """md5 hex of utf-8 bytes — matches Spark F.md5(F.encode(col,'UTF-8'))."""
     return hashlib.md5(text.encode("utf-8")).hexdigest()

@@ -45,3 +45,45 @@ def test_dedup_keep_last(spark):
     out = dedup.dedup_exact(df, ["key"], order_by=[F.col("id")], keep="last")
     kept = {r["id"] for r in out.collect()}
     assert kept == {2, 3}
+
+
+def test_portable_minhash_matches_python_mirror(spark):
+    import dataqualitykit_spark.semantics as S
+
+    words = (_TRAIN_TEXT + " " + _TRAIN_TEXT).split()
+    docs = {
+        0: " ".join(words[0:80]),
+        1: " ".join(words[10:90]),
+        2: " ".join(words[40:120]),
+        3: "tiny doc",
+    }
+    df = spark.createDataFrame(list(docs.items()), "doc_id int, text string")
+    sigs = {
+        r["id"]: list(r["sig"])
+        for r in dedup.minhash_signatures_portable(df, "text", "doc_id").collect()
+    }
+    for i, t in docs.items():
+        assert sigs[i] == S.minhash_signature(t), i
+    spark_pairs = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"]
+        for r in dedup.minhash_jaccard_portable(df, "text", "doc_id").collect()
+    }
+    py_pairs = {(a, b): e for a, b, e in S.minhash_candidate_pairs(docs)}
+    assert spark_pairs == py_pairs
+
+
+def test_portable_simhash_matches_python_mirror(spark):
+    import dataqualitykit_spark.semantics as S
+
+    words = _TRAIN_TEXT.split()
+    docs = {0: " ".join(words[0:60]), 1: " ".join(words[0:61]), 2: "x"}
+    df = spark.createDataFrame(list(docs.items()), "doc_id int, text string")
+    got = {
+        r["id"]: r["simhash"]
+        for r in dedup.simhash_portable(df, "text", "doc_id").collect()
+    }
+    for i, t in docs.items():
+        assert got[i] == S.simhash_portable_py(t), i
+    # near-identical docs -> small hamming distance
+    ham = bin(got[0] ^ got[1]).count("1")
+    assert ham <= 10, ham
