@@ -659,6 +659,135 @@ WHERE len(list_filter(generate_series(1, {num_hashes}),
                       i -> sa.sig[i] = sb.sig[i])) / {num_hashes}.0 >= {threshold}"""
 
 
+def _langid_cols(toks: str = "toks") -> tuple[str, str, str]:
+    """(hit-column fragment, lang CASE, conf expr) over a tokens column —
+    generated from the SAME LANG_PROFILES the engine scores with."""
+    hit_cols = []
+    for code in sorted(S.LANG_PROFILES):
+        lst = ", ".join(_sql_lit(w) for w in sorted(S.LANG_PROFILES[code]))
+        hit_cols.append(
+            f"len(list_filter({toks}, x -> list_contains([{lst}], lower(x)))) AS h_{code}"
+        )
+    codes = sorted(S.LANG_PROFILES)
+    best = "greatest(" + ", ".join(f"h_{c}" for c in codes) + ")"
+    case = "CASE WHEN nw = 0 OR " + best + " = 0 THEN 'und' "
+    for c in codes:
+        case += f"WHEN h_{c} = {best} THEN '{c}' "
+    case += "END"
+    conf = f"CASE WHEN nw = 0 THEN 0.0 ELSE {best} / CAST(nw AS DOUBLE) END"
+    return ", ".join(hit_cols), case, conf
+
+
+def _ppl_sql(seq: str) -> str:
+    """Char-bigram perplexity of a cleaned [a-z ] sequence column —
+    the 27x27 log-prob matrix is inlined from semantics._BIGRAM_LOGP."""
+    lp = (
+        "[["
+        + "], [".join(
+            ", ".join(repr(v) for v in row) for row in S._BIGRAM_LOGP
+        )
+        + "]]"
+    )
+    al = _sql_lit(S._ALPHABET)
+    return f"""CASE WHEN {seq} IS NULL OR length({seq}) < 2 THEN 1000000000.0
+       ELSE pow(2.0, -list_sum(list_transform(
+              generate_series(1, length({seq}) - 1),
+              i -> ({lp})[strpos({al}, substr({seq}, i, 1))]
+                         [strpos({al}, substr({seq}, i + 1, 1))]))
+            / (length({seq}) - 1))
+       END"""
+
+
+def _pipeline_sql() -> str:
+    """Full-pipeline oracle: content dedup -> scrub -> metrics -> langid/
+    perplexity -> priority-ordered decide, mirroring run_pipeline over
+    adapt_documents(documents) (no warc_ts column -> no url window)."""
+    from dataqualitykit_spark.config import DEFAULT_CONFIG as C
+
+    hits, lang_case, conf = _langid_cols()
+    scrub = _sql_scrub("text")
+    m_raw = _sql_missing("text")
+    m_s = _sql_missing("s")
+    return f"""
+WITH base AS (
+  SELECT concat('doc://', source, '/', doc_id) AS url,
+         text,
+         {m_raw} AS missing_raw,
+         md5(coalesce(text, '')) AS chash
+  FROM documents
+), ded AS (
+  SELECT url, text, missing_raw,
+         (NOT missing_raw) AND row_number() OVER (
+            PARTITION BY chash
+            ORDER BY (NOT missing_raw) DESC, url ASC) > 1 AS dup_content
+  FROM base
+), scr AS (
+  SELECT url, missing_raw, dup_content,
+         CASE WHEN NOT missing_raw AND NOT dup_content THEN {scrub} END AS s
+  FROM ded
+), met AS (
+  SELECT url, missing_raw, dup_content, s,
+         {m_s} AS s_missing,
+         length(s) AS n_chars,
+         {_sql_tokens('s')} AS toks,
+         length(regexp_replace(s, '[A-Za-z0-9 \\t\\n\\r\\x0b\\f]', '', 'g'))
+           AS symbol_count,
+         list_filter(string_split(s, chr(10)),
+                     l -> trim(l, {_SQL_TRIMCHARS}) <> '') AS nlines,
+         ({' + '.join(f"CASE WHEN contains(lower(s), {_sql_lit(m)}) THEN 1 ELSE 0 END" for m in S.BOILERPLATE_MARKERS)})
+           AS bp_hits,
+         trim(regexp_replace(regexp_replace(lower(s), '[^a-z ]+', ' ', 'g'),
+                             {_SQL_WS}, ' ', 'g'), ' ') AS seq
+  FROM scr
+), met2 AS (
+  SELECT url, missing_raw, dup_content, s_missing, n_chars, symbol_count,
+         bp_hits, seq,
+         len(toks) AS nw,
+         CASE WHEN len(toks) = 0 THEN 0.0
+              ELSE list_sum(list_transform(toks, x -> length(x)))
+                   / CAST(len(toks) AS DOUBLE) END AS mwl,
+         len(list_filter(toks, x -> list_contains([{_stopword_sql_list()}], lower(x))))
+           AS sw_hits,
+         len(nlines) AS n_lines,
+         len(list_distinct(nlines)) AS n_distinct_lines,
+         {hits}
+  FROM met
+), met3 AS (
+  SELECT *,
+         {lang_case} AS lang_pred,
+         {conf} AS lang_conf,
+         {_ppl_sql('seq')} AS ppl
+  FROM met2
+), decided AS (
+  SELECT url,
+         CASE
+           WHEN missing_raw THEN 'missing_text'
+           WHEN dup_content THEN 'dup_content'
+           WHEN s_missing THEN 'missing_text'
+           WHEN n_chars < {C.min_chars} THEN 'too_short'
+           WHEN n_chars > {C.max_chars} THEN 'too_long'
+           WHEN nw < {C.min_words} THEN 'too_few_words'
+           WHEN nw > {C.max_words} THEN 'too_many_words'
+           WHEN mwl < {C.min_mean_word_len} OR mwl > {C.max_mean_word_len}
+             THEN 'mean_word_length'
+           WHEN symbol_count / CAST(greatest(n_chars, 1) AS DOUBLE)
+                > {C.max_symbol_ratio} THEN 'symbol_ratio'
+           WHEN n_lines >= {C.min_lines_for_ratio}
+                AND n_distinct_lines / CAST(n_lines AS DOUBLE)
+                    < {C.min_distinct_line_ratio} THEN 'repeated_lines'
+           WHEN bp_hits >= {C.max_boilerplate_hits} THEN 'boilerplate'
+           WHEN nw > 0 AND (sw_hits < {C.min_stopword_hits}
+                OR sw_hits / CAST(greatest(nw, 1) AS DOUBLE)
+                   < {C.min_stopword_density}) THEN 'stopword_density'
+           WHEN lang_pred NOT IN ({', '.join(_sql_lit(lang) for lang in C.allowed_langs)})
+                OR lang_conf < {C.min_lang_conf} THEN 'lang'
+           WHEN ppl > {C.max_perplexity} THEN 'perplexity'
+         END AS drop_reason
+  FROM met3
+)
+SELECT url, drop_reason, drop_reason IS NULL AS keep FROM decided"""
+
+
 def _simhash_sql() -> str:
     """md5-portable 60-bit SimHash mirroring dedup.simhash_portable."""
     powers = ", ".join(str(1 << b) for b in range(60))
@@ -1060,6 +1189,7 @@ def oracle_sql() -> dict[str, str]:
     d["embed_cosine_topk_blocked"] = d["embed_cosine_topk"]
     d["minhash_lsh_dups"] = _minhash_sql()
     d["simhash"] = _simhash_sql()
+    d["pipeline_full"] = _pipeline_sql()
     return d
 
 
