@@ -513,6 +513,16 @@ def q_pipeline_full(spark, sf):
     return run_pipeline(adapt_documents(docs)).select("url", "keep", "drop_reason")
 
 
+def q_pipeline_near_dedup(spark, sf):
+    from dataqualitykit_spark.config import PipelineConfig
+
+    cfg = PipelineConfig(dedup_near=True, near_dup_hash="md5")
+    docs = _t(spark, sf, "documents")
+    return run_pipeline(adapt_documents(docs), cfg).select(
+        "url", "keep", "drop_reason"
+    )
+
+
 def q_lsh_cosine_topk(spark, sf):
     emb = _t(spark, sf, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
@@ -573,6 +583,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "simhash_fast": q_simhash_fast,
         "pipeline_full": q_pipeline_full,
+        "pipeline_near_dedup": q_pipeline_near_dedup,
         "lsh_cosine_topk": q_lsh_cosine_topk,
     }
 
@@ -698,18 +709,70 @@ def _ppl_sql(seq: str) -> str:
        END"""
 
 
-def _pipeline_sql() -> str:
-    """Full-pipeline oracle: content dedup -> scrub -> metrics -> langid/
-    perplexity -> priority-ordered decide, mirroring run_pipeline over
-    adapt_documents(documents) (no warc_ts column -> no url window)."""
+def _pipeline_sql(near_dedup: bool = False) -> str:
+    """Full-pipeline oracle: content dedup -> [near-dup dedup via
+    md5-MinHash-LSH pairs + recursive-CTE connected components] -> scrub
+    -> metrics -> langid/perplexity -> priority-ordered decide, mirroring
+    run_pipeline over adapt_documents(documents) (no warc_ts column ->
+    no url window)."""
     from dataqualitykit_spark.config import DEFAULT_CONFIG as C
 
     hits, lang_case, conf = _langid_cols()
     scrub = _sql_scrub("text")
     m_raw = _sql_missing("text")
     m_s = _sql_missing("s")
+
+    near_ctes = ""
+    if near_dedup:
+        idx_cols = ", ".join(f"toks[i+{j}]" for j in range(3))
+        slots = ", ".join(f"sig[4*b+{r + 1}]" for r in range(4))
+        near_ctes = f""" surv AS (
+  SELECT url, text FROM ded WHERE NOT missing_raw AND NOT dup_content
+), ndtok AS (
+  SELECT url, {_sql_tokens('lower(text)')} AS toks FROM surv
+), ndsh AS (
+  SELECT url,
+         CASE WHEN len(toks) < 3 THEN [concat_ws(' ', toks)]
+              ELSE [concat_ws(' ', {idx_cols})
+                    for i in generate_series(1, len(toks) - 2)]
+         END AS shingles
+  FROM ndtok
+), ndsig AS (
+  SELECT url,
+         [list_min(list_transform(list_distinct(shingles),
+              s -> md5(concat(CAST(i AS VARCHAR), '|', s))))
+          for i in generate_series(0, 31)] AS sig
+  FROM ndsh
+), ndband AS (
+  SELECT url, b, md5(concat_ws('|', {slots})) AS bucket
+  FROM ndsig CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS b)
+), ndpairs AS (
+  SELECT id_a, id_b FROM (
+    SELECT DISTINCT a.url AS id_a, c.url AS id_b
+    FROM ndband a
+    JOIN ndband c ON a.b = c.b AND a.bucket = c.bucket AND a.url < c.url
+  ) cand
+  JOIN ndsig sa ON sa.url = cand.id_a
+  JOIN ndsig sb ON sb.url = cand.id_b
+  WHERE len(list_filter(generate_series(1, 32), i -> sa.sig[i] = sb.sig[i]))
+        / 32.0 >= {C.near_dup_threshold}
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM ndpairs
+  UNION SELECT id_b, id_a FROM ndpairs
+), reach(id, r) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT reach.id, e.dst FROM reach JOIN edges e ON e.src = reach.r
+), noncanon AS (
+  SELECT id AS url FROM reach GROUP BY id HAVING min(r) <> id
+),"""
+    dup_near_col = (
+        "(noncanon.url IS NOT NULL) AS dup_near FROM ded LEFT JOIN noncanon USING (url)"
+        if near_dedup
+        else "FALSE AS dup_near FROM ded"
+    )
     return f"""
-WITH base AS (
+WITH RECURSIVE base AS (
   SELECT concat('doc://', source, '/', doc_id) AS url,
          text,
          {m_raw} AS missing_raw,
@@ -721,12 +784,16 @@ WITH base AS (
             PARTITION BY chash
             ORDER BY (NOT missing_raw) DESC, url ASC) > 1 AS dup_content
   FROM base
+),{near_ctes} ded2 AS (
+  SELECT ded.url, ded.text, ded.missing_raw, ded.dup_content,
+         {dup_near_col}
 ), scr AS (
-  SELECT url, missing_raw, dup_content,
-         CASE WHEN NOT missing_raw AND NOT dup_content THEN {scrub} END AS s
-  FROM ded
+  SELECT url, missing_raw, dup_content, dup_near,
+         CASE WHEN NOT missing_raw AND NOT dup_content AND NOT dup_near
+              THEN {scrub} END AS s
+  FROM ded2
 ), met AS (
-  SELECT url, missing_raw, dup_content, s,
+  SELECT url, missing_raw, dup_content, dup_near, s,
          {m_s} AS s_missing,
          length(s) AS n_chars,
          {_sql_tokens('s')} AS toks,
@@ -740,8 +807,8 @@ WITH base AS (
                              {_SQL_WS}, ' ', 'g'), ' ') AS seq
   FROM scr
 ), met2 AS (
-  SELECT url, missing_raw, dup_content, s_missing, n_chars, symbol_count,
-         bp_hits, seq,
+  SELECT url, missing_raw, dup_content, dup_near, s_missing, n_chars,
+         symbol_count, bp_hits, seq,
          len(toks) AS nw,
          CASE WHEN len(toks) = 0 THEN 0.0
               ELSE list_sum(list_transform(toks, x -> length(x)))
@@ -763,6 +830,7 @@ WITH base AS (
          CASE
            WHEN missing_raw THEN 'missing_text'
            WHEN dup_content THEN 'dup_content'
+           WHEN dup_near THEN 'dup_near'
            WHEN s_missing THEN 'missing_text'
            WHEN n_chars < {C.min_chars} THEN 'too_short'
            WHEN n_chars > {C.max_chars} THEN 'too_long'
@@ -1190,6 +1258,7 @@ def oracle_sql() -> dict[str, str]:
     d["minhash_lsh_dups"] = _minhash_sql()
     d["simhash"] = _simhash_sql()
     d["pipeline_full"] = _pipeline_sql()
+    d["pipeline_near_dedup"] = _pipeline_sql(near_dedup=True)
     return d
 
 

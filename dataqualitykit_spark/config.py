@@ -64,6 +64,16 @@ class PipelineConfig:
     dedup_url: bool = True
     dedup_content: bool = True
 
+    # near-duplicate dedup (MinHash-LSH pairs -> connected components ->
+    # keep the canonical min-url row per cluster, drop_reason='dup_near').
+    # Off by default: it adds two shuffled joins + an iterative CC stage.
+    dedup_near: bool = False
+    near_dup_threshold: float = 0.8
+    # 'xxhash64' = production fast path; 'md5' = engine-portable twin the
+    # DuckDB/python oracles can reproduce bit-for-bit
+    near_dup_hash: str = "xxhash64"
+    near_dup_hashes: int = 32
+
     # scale mechanics
     salt_partitions: int = 0  # 0 = leave to AQE; >0 = explicit salted repartition
     shuffle_partitions: int = 32
@@ -84,6 +94,7 @@ DROP_REASON_ORDER: tuple[str, ...] = (
     "missing_text",
     "dup_url",
     "dup_content",
+    "dup_near",
     "too_short",
     "too_long",
     "too_few_words",

@@ -43,7 +43,8 @@ _DOMAINS = (
 )
 
 _CLASSES = (
-    ["clean"] * 35
+    ["clean"] * 31
+    + ["near_dup"] * 4
     + ["missing"] * 6
     + ["short"] * 5
     + ["long_symbols"] * 5
@@ -61,6 +62,15 @@ _CLASSES = (
 assert len(_CLASSES) == 100
 
 _BASE_TS = datetime(2024, 1, 1)
+
+# near-dup cluster: every row is this base with its last 3 words swapped —
+# word-3-shingle Jaccard vs base ~0.95, well above the 0.8 LSH threshold,
+# while each row stays a distinct exact-hash document
+_ND_RNG = random.Random(1234)
+_NEAR_DUP_BASE = " ".join(
+    _ND_RNG.choice(_STOP_EN if i % 5 < 2 else _CONTENT_WORDS) for i in range(120)
+)
+
 _CANONICAL_DUP = (
     "this is the shared canonical page text that appears under many urls and "
     "it is long enough to pass all of the other quality rules because it has "
@@ -150,6 +160,10 @@ def _make_text(cls: str, rng: random.Random) -> str | None:
         )
     if cls == "dupe_content":
         return _CANONICAL_DUP
+    if cls == "near_dup":
+        words = _NEAR_DUP_BASE.split()
+        words[-3:] = [rng.choice(_CONTENT_WORDS) for _ in range(3)]
+        return " ".join(words)
     if cls == "tiny_words":
         return " ".join(rng.choice("a b c d e f g h i j".split()) for _ in range(80))
     raise ValueError(cls)

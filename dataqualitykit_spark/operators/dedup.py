@@ -229,6 +229,62 @@ def minhash_jaccard(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over an undirected edge list via iterative
+    min-label propagation — pairs -> clusters with NO graph library, the
+    step the reference's aspirational merge_similar_records
+    (QualityControl.py:2062-2073, blocking_columns undefined) never built.
+
+    Returns (id, component) for every node APPEARING IN PAIRS; component
+    is the minimum id (natural ordering) of the node's component. Nodes
+    with no pairs are singletons by definition and are deliberately not
+    materialized — at 10^12 docs the pair-participant set is tiny relative
+    to the corpus, so the loop frames stay small.
+
+    Each iteration is one equi-join + one groupBy (shuffles (id,label)
+    pairs only) and converges in O(component diameter) rounds — near-dup
+    clusters are shallow, so 2-4 rounds in practice; max_iter bounds
+    pathological chains. localCheckpoint cuts the lineage so plans do not
+    grow across iterations."""
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr = edges.join(
+            labels.withColumnRenamed("id", "src"), "src"
+        ).select(F.col("dst").alias("id"), "label")
+        new = (
+            labels.union(nbr)
+            .groupBy("id")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            new.withColumnRenamed("label", "_new")
+            .join(labels, "id")
+            .filter(F.col("_new") != F.col("label"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels.withColumnRenamed("label", "component")
+
+
 # ---------------------------------------------------------------------------
 # md5-portable twins — identical algorithms with engine-portable hashing
 # (md5 exists in Spark, DuckDB and hashlib; xxhash64 only in Spark). These

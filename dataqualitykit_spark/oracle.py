@@ -24,7 +24,12 @@ from datetime import datetime
 from typing import Any
 
 from .config import DEFAULT_CONFIG, PipelineConfig
-from .semantics import content_hash, doc_reasons, is_missing
+from .semantics import (
+    content_hash,
+    doc_reasons,
+    is_missing,
+    minhash_candidate_pairs,
+)
 
 _EPOCH = datetime(1970, 1, 1)
 
@@ -85,6 +90,45 @@ def run_oracle(
             else:
                 seen.add(chash[i])
 
+    # near-dup dedup among survivors: md5-portable MinHash-LSH pairs ->
+    # union-find -> drop all but the min-url row per cluster. The python
+    # mirror models the 'md5' hash family only (semantics.minhash_*);
+    # pipelines running near_dup_hash='xxhash64' are the production twin
+    # and are compared rows-only.
+    dup_near = [False] * len(out)
+    if cfg.dedup_near:
+        surv = [
+            i
+            for i in range(len(out))
+            if not missing[i] and not dup_url[i] and not dup_content[i]
+        ]
+        by_url = {out[i].url: i for i in surv}
+        pairs = [
+            (a, b)
+            for a, b, est in minhash_candidate_pairs(
+                {out[i].url: out[i].text for i in surv},
+                num_hashes=cfg.near_dup_hashes,
+            )
+            if est >= cfg.near_dup_threshold
+        ]
+        parent: dict[str, str] = {}
+
+        def find(x: str) -> str:
+            while parent.get(x, x) != x:
+                parent[x] = parent.get(parent[x], parent[x])
+                x = parent[x]
+            return x
+
+        for a, b in pairs:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # union by min — root is always the smaller url
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        for url in parent:
+            if find(url) != url:
+                dup_near[by_url[url]] = True
+
     for i, r in enumerate(out):
         if missing[i]:
             r.reasons = ["missing_text"]
@@ -92,6 +136,8 @@ def run_oracle(
             r.reasons = ["dup_url"]
         elif dup_content[i]:
             r.reasons = ["dup_content"]
+        elif dup_near[i]:
+            r.reasons = ["dup_near"]
         else:
             reasons, scrubbed = doc_reasons(r.text, cfg)
             r.reasons = reasons

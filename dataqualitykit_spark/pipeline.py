@@ -229,7 +229,44 @@ def run_pipeline(df: DataFrame, cfg: PipelineConfig = DEFAULT_CONFIG) -> DataFra
 
     base = base.withColumn(
         "_survivor", F.col("_eligible") & ~F.col("_dup_content")
-    ).withColumn("_orig_text", F.col("text"))
+    )
+
+    # near-dup dedup among exact-dedup survivors: MinHash-LSH pairs ->
+    # connected components -> keep the canonical (min url) row per
+    # cluster. The pair/CC frames hold only near-dup PARTICIPANTS — tiny
+    # relative to the corpus — so the left join back is broadcastable by
+    # AQE; the corpus itself is never re-shuffled. localCheckpoint
+    # materializes the dedup subtree once (the CC loop is iterative).
+    if cfg.dedup_near:
+        from .operators import dedup as _dedup
+
+        base = base.localCheckpoint()
+        surv = base.filter(F.col("_survivor")).select("url", "text")
+        if cfg.near_dup_hash == "md5":
+            pairs = _dedup.minhash_jaccard_portable(
+                surv, "text", "url", num_hashes=cfg.near_dup_hashes
+            )
+        else:
+            pairs = _dedup.minhash_jaccard(
+                surv, "text", "url", num_hashes=cfg.near_dup_hashes
+            )
+        pairs = pairs.filter(F.col("est_jaccard") >= cfg.near_dup_threshold)
+        comp = _dedup.connected_components(pairs)
+        noncanon = (
+            comp.filter(F.col("id") != F.col("component"))
+            .select(F.col("id").alias("url"))
+            .withColumn("_nd", F.lit(True))
+        )
+        base = (
+            base.join(noncanon, "url", "left")
+            .withColumn("_dup_near", F.coalesce(F.col("_nd"), F.lit(False)))
+            .drop("_nd")
+            .withColumn("_survivor", F.col("_survivor") & ~F.col("_dup_near"))
+        )
+    else:
+        base = base.withColumn("_dup_near", F.lit(False))
+
+    base = base.withColumn("_orig_text", F.col("text"))
 
     # model + rules stage: ONE frame (a filter+union here would duplicate
     # the whole dedup subtree — observed as doubled Exchanges in the plan).
@@ -245,6 +282,7 @@ def run_pipeline(df: DataFrame, cfg: PipelineConfig = DEFAULT_CONFIG) -> DataFra
             F.when(F.col("_missing_raw"), F.lit("missing_text"))
             .when(F.col("_dup_url"), F.lit("dup_url"))
             .when(F.col("_dup_content"), F.lit("dup_content"))
+            .when(F.col("_dup_near"), F.lit("dup_near"))
             .otherwise(F.get(quality, 0)),
         )
         .withColumn("keep", F.col("drop_reason").isNull())
@@ -262,8 +300,8 @@ def run_pipeline(df: DataFrame, cfg: PipelineConfig = DEFAULT_CONFIG) -> DataFra
         F.md5(F.encode(F.coalesce(F.col("_orig_text"), F.lit("")), "UTF-8")),
     )
     return labeled.drop(
-        "_missing_raw", "_dup_url", "_dup_content", "_eligible", "_survivor",
-        "_missing", "_orig_text", "text",
+        "_missing_raw", "_dup_url", "_dup_content", "_dup_near", "_eligible",
+        "_survivor", "_missing", "_orig_text", "text",
     )
 
 

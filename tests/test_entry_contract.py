@@ -96,11 +96,12 @@ def test_rows_only_queries_run(spark):
 
 def test_every_query_has_oracle_or_is_hash_based():
     rows_only = set(entry_mod.queries()) - set(entry_mod.oracle_sql())
-    # only genuinely non-SQL-expressible ops may skip the oracle
+    # only the xxhash64 fast-path twins (engine-specific hash family) and
+    # the ANN bucket path may skip the oracle; everything else — including
+    # the full pipeline and the md5-portable near-dup ops — is SQL-checked
     assert rows_only <= {
-        "minhash_lsh_dups",
-        "simhash",
-        "pipeline_full",
+        "minhash_lsh_dups_fast",
+        "simhash_fast",
         "lsh_cosine_topk",
     }
 

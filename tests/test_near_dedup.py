@@ -1,0 +1,84 @@
+"""Near-dup dedup integrated into the pipeline keep/drop (VERDICT r1 #1):
+MinHash-LSH pairs -> connected components -> canonical keep, others
+drop_reason='dup_near'. Spark pipeline vs the pure-python oracle must
+agree row-for-row when both use the md5-portable hash family.
+
+Re-imagines reference merge_similar_records (QualityControl.py:2062-2073,
+aspirational — blocking_columns undefined) as shuffle-parallel algebra.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dataqualitykit_spark.config import PipelineConfig
+from dataqualitykit_spark.fixtures import generate_pages, pages_dataframe
+from dataqualitykit_spark.operators import dedup
+from dataqualitykit_spark.oracle import run_oracle
+from dataqualitykit_spark.pipeline import run_pipeline
+
+CFG = PipelineConfig(dedup_near=True, near_dup_hash="md5")
+N_PAGES = 600
+
+
+def test_connected_components_basic(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 8), (10, 11), (11, 10)], "id_a int, id_b int"
+    )
+    comp = {r["id"]: r["component"] for r in dedup.connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 7: 7, 8: 7, 10: 10, 11: 10}
+
+
+def test_connected_components_chain_converges(spark):
+    # a 12-node path graph needs several propagation rounds
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "id_a int, id_b int"
+    )
+    comp = {r["id"]: r["component"] for r in dedup.connected_components(pairs).collect()}
+    assert set(comp.values()) == {0}
+    assert len(comp) == 13
+
+
+@pytest.fixture(scope="module")
+def near_labeled(spark):
+    df = pages_dataframe(spark, N_PAGES)
+    rows = run_pipeline(df, CFG).select(
+        "url", "warc_ts", "keep", "drop_reason"
+    ).collect()
+    return {(r["url"], r["warc_ts"]): r for r in rows}
+
+
+@pytest.fixture(scope="module")
+def near_golden():
+    return run_oracle(generate_pages(N_PAGES), CFG)
+
+
+def test_near_dedup_pipeline_matches_oracle(near_labeled, near_golden):
+    mism = []
+    for g in near_golden:
+        r = near_labeled[(g.url, g.warc_ts)]
+        if (r["keep"], r["drop_reason"]) != (g.keep, g.drop_reason):
+            mism.append((g.url, g.drop_reason, r["drop_reason"]))
+    assert not mism[:10], (len(mism), mism[:10])
+
+
+def test_near_dup_class_detected(near_golden):
+    from dataqualitykit_spark.fixtures.pages import _NEAR_DUP_BASE
+
+    prefix = _NEAR_DUP_BASE.split()[:20]
+    planted = [g for g in near_golden if g.text and g.text.split()[:20] == prefix]
+    n_near = sum(1 for g in planted if g.drop_reason == "dup_near")
+    kept = sum(1 for g in planted if g.keep)
+    # the fixture plants a ~4% cluster: all but one canonical row (and any
+    # rows lost earlier to url/content dedup) must drop as dup_near
+    assert len(planted) >= 10
+    assert kept == 1, kept
+    assert n_near >= len(planted) - 1 - sum(
+        1 for g in planted if g.drop_reason in ("dup_url", "dup_content")
+    ) - 1, (n_near, len(planted))
+
+
+def test_near_dedup_off_by_default(near_golden):
+    golden_default = run_oracle(generate_pages(N_PAGES))
+    assert all(g.drop_reason != "dup_near" for g in golden_default)
