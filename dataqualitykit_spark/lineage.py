@@ -2,17 +2,24 @@
 from checkpoint with per-partition lineage + metrics").
 
 The input is split into B deterministic url-hash buckets
-(pmod(xxhash64(url), B) — the same salted key that defuses domain skew).
+(pmod(xxhash64(url), B) — the same salted key that defuses domain skew)
+in ONE pass: the bucketed input is written once, partitioned by _bucket,
+and every per-bucket read afterwards partition-prunes to a single
+directory. (Round 1 filtered the original source per bucket — B full
+input scans; at 100 TB with B=8 that is 800 TB of read.)
+
 Each bucket is processed and appended to the output table, then its id is
 recorded in a JSON manifest. A restart skips completed buckets, so a run
 killed after bucket k reprocesses nothing and converges to the same table
 as an uninterrupted run.
 
 Content-dedup across buckets stays exact: before deciding dup_content, the
-current bucket is checked against the content hashes of rows already
-written by COMPLETED buckets (broadcast-joined — the kept-hash set is
-small relative to input). Within a bucket the window dedup applies as
-usual; across buckets the manifest state substitutes for a global shuffle.
+current bucket is LEFT-JOINED (plain shuffled equi-join on content_md5 —
+NOT broadcast: the kept-hash set is the MAJORITY of the corpus at scale,
+billions of md5s; AQE may still choose broadcast when the set is actually
+small) against the hashes already written by COMPLETED buckets. Within a
+bucket the window dedup applies as usual; across buckets the manifest
+state substitutes for a global shuffle.
 """
 
 from __future__ import annotations
@@ -72,9 +79,30 @@ def run_resumable(
     manifest = Manifest(os.path.join(out_root, "manifest.json"))
     done = manifest.completed()
 
-    bucketed = source.withColumn(
-        "_bucket", F.pmod(F.xxhash64("url"), F.lit(n_buckets)).cast("int")
-    )
+    # ONE source scan: materialize the bucketed input partitioned by
+    # _bucket, then every per-bucket read below prunes to one partition
+    # directory (PartitionFilters on _bucket). The marker file makes the
+    # stage idempotent across restarts — a resume never re-scans the
+    # source, matching the north rule's "resumable mid-table".
+    bucketed_path = io._path("bucketed")
+    marker = os.path.join(out_root, "_bucketed_done")
+    if not os.path.exists(marker):
+        # project the pipeline's columns only — never rewrite `html`
+        # page bytes into the bucketed copy
+        keep = [c for c in ("url", "warc_ts", "text", "lang") if c in source.columns]
+        (
+            source.select(*keep)
+            .withColumn(
+                "_bucket", F.pmod(F.xxhash64("url"), F.lit(n_buckets)).cast("int")
+            )
+            .write.mode("overwrite")
+            .partitionBy("_bucket")
+            .parquet(bucketed_path)
+        )
+        with open(marker, "w") as f:
+            f.write("ok")
+    bucketed = spark.read.parquet(bucketed_path)
+
     processed = 0
     for b in range(n_buckets):
         if b in done:
@@ -96,10 +124,14 @@ def run_resumable(
                 .select(F.col("content_md5").alias("_h"))
                 .distinct()
             )
+            # plain equi-join on a hash key — sort-merge/shuffled-hash is
+            # fine, and AQE broadcasts on its own when `hit` is small.
+            # Forcing broadcast here would ship the kept-hash set of the
+            # whole processed corpus into every executor.
             hit = prior.withColumn("_dup_prior", F.lit(True))
             labeled = (
                 labeled.withColumn("_h", F.col("content_md5"))
-                .join(F.broadcast(hit), "_h", "left")
+                .join(hit, "_h", "left")
                 .withColumn(
                     "drop_reason",
                     F.when(

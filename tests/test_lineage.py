@@ -46,3 +46,40 @@ def test_kill_and_resume_matches_uninterrupted(spark, tmp_path):
         assert after[b]["completed_at"] == before[b]["completed_at"]
 
     assert _labeled_set(spark, clean_root) == _labeled_set(spark, resumed_root)
+
+
+def test_bucketed_input_written_once_and_pruned(spark, tmp_path):
+    """Scale contract: the source is scanned ONCE into a partitioned
+    bucketed copy; per-bucket reads partition-prune; the cross-bucket
+    dedup join carries no forced broadcast hint."""
+    src = pages_dataframe(spark, 200)
+    root = str(tmp_path / "out")
+    run_resumable(spark, src, root, n_buckets=4)
+
+    # partitioned layout on disk, html column projected away
+    bdirs = sorted(
+        d for d in os.listdir(f"{root}/bucketed") if d.startswith("_bucket=")
+    )
+    assert bdirs == [f"_bucket={b}" for b in range(4)]
+    bucketed = spark.read.parquet(f"{root}/bucketed")
+    assert "html" not in bucketed.columns
+
+    # per-bucket read prunes on the partition column
+    from pyspark.sql import functions as F
+
+    plan = (
+        bucketed.filter(F.col("_bucket") == 2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters" in plan and "_bucket" in plan.split("PartitionFilters")[1][:120]
+
+    # the dedup join in lineage.py must not force a broadcast hint — grep
+    # the source, not the plan (AQE may legitimately pick broadcast at
+    # runtime for small sets)
+    import inspect
+
+    import dataqualitykit_spark.lineage as L
+
+    assert "F.broadcast" not in inspect.getsource(L.run_resumable)
