@@ -529,6 +529,13 @@ def q_lsh_cosine_topk(spark, sf):
     return similarity.lsh_bucketed_topk(emb, queries, "vec_id", "embedding", k=5)
 
 
+def q_embed_cosine_dups_lsh(spark, sf):
+    # multi-band LSH-routed near-dup pairs (scale path for
+    # embed_cosine_dups; recall contract in tests/test_embedding_lsh_recall.py)
+    emb = _t(spark, sf, "embeddings").filter(F.col("vec_id") < 300)
+    return similarity.cosine_dup_pairs_lsh(emb, "vec_id", "embedding", 0.8)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "missing_scan": q_missing_scan,
@@ -585,6 +592,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_full": q_pipeline_full,
         "pipeline_near_dedup": q_pipeline_near_dedup,
         "lsh_cosine_topk": q_lsh_cosine_topk,
+        "embed_cosine_dups_lsh": q_embed_cosine_dups_lsh,
     }
 
 

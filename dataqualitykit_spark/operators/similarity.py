@@ -170,70 +170,92 @@ def cosine_dup_pairs(
     )
 
 
+def _sign_band_buckets(vec, bands: int, rows_per_band: int, seed: int):
+    """array<struct<band,bucket>> of multi-band random-hyperplane buckets.
+
+    Plane weights w_{p,d} = (xxhash64(seed,p,d) mod 2000 - 1000)/1000 are
+    derived deterministically per (plane, dimension), so corpus and query
+    sides compute identical buckets with zero broadcast state. Band b's
+    bucket packs the sign bits of planes [b*r, (b+1)*r)."""
+    dim_idx = F.sequence(F.lit(0), F.size(vec) - 1)
+
+    def sign_bit(p: int):
+        proj = F.aggregate(
+            F.zip_with(
+                vec,
+                F.transform(
+                    dim_idx,
+                    lambda d: (
+                        F.pmod(F.xxhash64(F.lit(seed), F.lit(p), d), F.lit(2000))
+                        - F.lit(1000)
+                    )
+                    / F.lit(1000.0),
+                ),
+                lambda x, w: x * w,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        return F.when(proj > 0, F.lit(1)).otherwise(F.lit(0))
+
+    structs = []
+    for b in range(bands):
+        bucket = F.lit(0)
+        for r in range(rows_per_band):
+            bucket = bucket.bitwiseOR(
+                sign_bit(b * rows_per_band + r) * F.lit(1 << r)
+            )
+        structs.append(F.struct(F.lit(b).alias("band"), bucket.alias("bucket")))
+    return F.array(*structs)
+
+
 def lsh_bucketed_topk(
     corpus: DataFrame,
     queries: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
-    n_planes: int = 12,
+    bands: int = 6,
+    rows_per_band: int = 6,
     seed: int = 42,
 ) -> DataFrame:
-    """Scale path: random-hyperplane LSH — docs sharing the query's sign
-    bucket are the only candidates ranked. Hyperplanes are derived
-    deterministically from xxhash64(seed, dim_index) so both sides of the
-    join compute identical buckets without any broadcast state.
+    """ANN scale path: MULTI-BAND random-hyperplane LSH — a candidate is
+    any doc sharing at least one band bucket with the query (OR across
+    bands, like minhash banding), then exact cosine ranks the candidates.
 
-    At 10^12 docs: bucket the corpus ONCE (write bucketed table), then each
-    query batch joins on bucket — a co-partitioned equi-join, not a cross.
+    Round 1 used a single 12-plane exact-bucket match: one flipped sign
+    put a true near-neighbor in a different bucket (recall cliff). With
+    bands=6 x rows_per_band=6, a cosine-0.95 neighbor (sign-agreement
+    p~=0.9) collides with probability 1-(1-p^6)^6 ~= 0.99 while a random
+    vector (p=0.5) collides ~9% — sign-LSH prunes ONLY in the
+    high-similarity regime; for low-cosine "nearest" neighbors use
+    cosine_topk_blocked (see tests/test_embedding_lsh_recall.py).
+
+    At 10^12 docs: band the corpus ONCE (write the exploded band table),
+    broadcast the query buckets — the join is map-side, the corpus is
+    never shuffled; only candidate triples shuffle into the top-k window.
     """
-    def bucket(vec):
-        # sign bit per plane; plane weights w_{p,d} = hash in [-1, 1)
-        dim_idx = F.sequence(F.lit(0), F.size(vec) - 1)
-        bits = [
-            F.when(
-                F.aggregate(
-                    F.zip_with(
-                        vec,
-                        F.transform(
-                            dim_idx,
-                            lambda d: (
-                                F.pmod(F.xxhash64(F.lit(seed), F.lit(p), d), F.lit(2000))
-                                - F.lit(1000)
-                            )
-                            / F.lit(1000.0),
-                        ),
-                        lambda x, w: x * w,
-                    ),
-                    F.lit(0.0),
-                    lambda acc, v: acc + v,
-                )
-                > 0,
-                F.lit(1 << p),
-            ).otherwise(F.lit(0))
-            for p in range(n_planes)
-        ]
-        total = bits[0]
-        for b in bits[1:]:
-            total = total.bitwiseOR(b)
-        return total
-
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("cvec"),
-    ).withColumn("bucket", bucket(F.col("cvec")))
+    ).withColumn(
+        "bk", F.explode(_sign_band_buckets(F.col("cvec"), bands, rows_per_band, seed))
+    )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("qvec"),
-    ).withColumn("bucket", bucket(F.col("qvec")))
+    ).withColumn(
+        "bk", F.explode(_sign_band_buckets(F.col("qvec"), bands, rows_per_band, seed))
+    )
     sims = (
-        c.join(F.broadcast(q), "bucket")
+        c.join(F.broadcast(q), "bk")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
             "neighbor_id",
             cosine_similarity_col(F.col("qvec"), F.col("cvec")).alias("cosine"),
         )
+        .dropDuplicates(["query_id", "neighbor_id"])
     )
     w = Window.partitionBy("query_id").orderBy(
         F.round(F.col("cosine"), 6).desc(), F.col("neighbor_id").asc()
@@ -242,4 +264,35 @@ def lsh_bucketed_topk(
         sims.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .withColumn("cosine", F.round("cosine", 6))
+    )
+
+
+def cosine_dup_pairs_lsh(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    bands: int = 6,
+    rows_per_band: int = 6,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding near-dup pairs at scale: multi-band sign-LSH self-join
+    replaces cosine_dup_pairs' O(n^2) broadcast cross join — only bucket
+    collisions get an exact cosine check. Same output contract:
+    (id_a, id_b, cosine) with id_a < id_b, cosine >= threshold."""
+    banded = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).withColumn(
+        "bk", F.explode(_sign_band_buckets(F.col("v"), bands, rows_per_band, seed))
+    )
+    a = banded.select(F.col("id").alias("id_a"), F.col("v").alias("va"), "bk")
+    b = banded.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), "bk")
+    sim = cosine_similarity_col(F.col("va"), F.col("vb"))
+    return (
+        a.join(b, "bk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .select("id_a", "id_b", F.round(sim, 6).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
     )
