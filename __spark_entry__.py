@@ -320,9 +320,12 @@ def q_text_quality(spark, sf):
 
 
 def q_langid(spark, sf):
-    d = _t(spark, sf, "documents")
+    d = _t(spark, sf, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    probes = spark.createDataFrame(list(_SCRIPT_DOCS), "doc_id long, text string")
     score = lang_ppl_udf(F.col("text"))
-    return d.select(
+    return d.unionByName(probes).select(
         "doc_id",
         score["lang"].alias("lang_pred"),
         F.round(score["lang_conf"], 6).alias("lang_conf"),
@@ -601,30 +604,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------------------
 
 
+# deterministic non-Latin probe docs appended to the langid query on BOTH
+# sides, so the script-range legs are exercised by the driver oracle even
+# though the synthetic documents table is Latin-script only
+_SCRIPT_DOCS: tuple[tuple[int, str], ...] = (
+    (-1, "这是一个中文文档 包含足够多的汉字用于语言识别测试"),
+    (-2, "これは日本語のテキストです ひらがなとカタカナと漢字があります"),
+    (-3, "это русский текст для проверки определения языка в системе"),
+    (-4, "هذا نص عربي لاختبار تحديد اللغة في النظام"),
+    (-5, "이것은 언어 감지를 위한 한국어 텍스트입니다"),
+)
+
+
 def _langid_sql() -> str:
-    hit_cols = []
-    for code in sorted(S.LANG_PROFILES):
-        lst = ", ".join(_sql_lit(w) for w in sorted(S.LANG_PROFILES[code]))
-        hit_cols.append(
-            f"len(list_filter(toks, x -> list_contains([{lst}], lower(x)))) AS h_{code}"
-        )
-    # python tie-break: iterate sorted codes, strict greater-than wins
-    codes = sorted(S.LANG_PROFILES)
-    best = "greatest(" + ", ".join(f"h_{c}" for c in codes) + ")"
-    case = "CASE WHEN nw = 0 OR " + best + " = 0 THEN 'und' "
-    for c in codes:
-        case += f"WHEN h_{c} = {best} THEN '{c}' "
-    case += "END"
+    cols, case, conf = _langid_cols("toks", "text")
+    values = ", ".join(
+        f"(CAST({i} AS BIGINT), {_sql_lit(t)})" for i, t in _SCRIPT_DOCS
+    )
     return f"""
-WITH tok AS (
-  SELECT doc_id, {_sql_tokens('text')} AS toks FROM documents
+WITH src AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT * FROM (VALUES {values}) v(doc_id, text)
+), tok AS (
+  SELECT doc_id, text, {_sql_tokens('text')} AS toks FROM src
 ), hits AS (
-  SELECT doc_id, len(toks) AS nw, {', '.join(hit_cols)} FROM tok
+  SELECT doc_id, len(toks) AS nw, {cols} FROM tok
 )
 SELECT doc_id,
        {case} AS lang_pred,
-       round(CASE WHEN nw = 0 THEN 0.0 ELSE {best} / CAST(nw AS DOUBLE) END, 6)
-         AS lang_conf
+       round({conf}, 6) AS lang_conf
 FROM hits
 """
 
@@ -678,23 +687,44 @@ WHERE len(list_filter(generate_series(1, {num_hashes}),
                       i -> sa.sig[i] = sb.sig[i])) / {num_hashes}.0 >= {threshold}"""
 
 
-def _langid_cols(toks: str = "toks") -> tuple[str, str, str]:
-    """(hit-column fragment, lang CASE, conf expr) over a tokens column —
-    generated from the SAME LANG_PROFILES the engine scores with."""
-    hit_cols = []
+def _langid_cols(toks: str = "toks", src: str = "text") -> tuple[str, str, str]:
+    """(hit/script-count column fragment, lang CASE, conf expr) — generated
+    from the SAME LANG_PROFILES and SCRIPT_RANGES the engine scores with.
+    Script-ratio legs come first (ja/zh/ko/ru/ar), mirroring
+    semantics.langid's evaluation order."""
+    cols = [f"length({src}) AS n_src"]
+    for code, rng, _thr in S.SCRIPT_RANGES:
+        cols.append(
+            f"length({src}) - length(regexp_replace({src}, '[{rng}]', '', 'g'))"
+            f" AS sc_{code}"
+        )
     for code in sorted(S.LANG_PROFILES):
         lst = ", ".join(_sql_lit(w) for w in sorted(S.LANG_PROFILES[code]))
-        hit_cols.append(
+        cols.append(
             f"len(list_filter({toks}, x -> list_contains([{lst}], lower(x)))) AS h_{code}"
         )
     codes = sorted(S.LANG_PROFILES)
     best = "greatest(" + ", ".join(f"h_{c}" for c in codes) + ")"
-    case = "CASE WHEN nw = 0 OR " + best + " = 0 THEN 'und' "
+    script_whens = "".join(
+        f"WHEN n_src > 0 AND sc_{code} / CAST(n_src AS DOUBLE) >= {thr} "
+        f"THEN {then} "
+        for code, _rng, thr in S.SCRIPT_RANGES
+        for then in [f"'{code}'"]
+    )
+    case = f"CASE {script_whens}WHEN nw = 0 OR {best} = 0 THEN 'und' "
     for c in codes:
         case += f"WHEN h_{c} = {best} THEN '{c}' "
     case += "END"
-    conf = f"CASE WHEN nw = 0 THEN 0.0 ELSE {best} / CAST(nw AS DOUBLE) END"
-    return ", ".join(hit_cols), case, conf
+    conf_whens = "".join(
+        f"WHEN n_src > 0 AND sc_{code} / CAST(n_src AS DOUBLE) >= {thr} "
+        f"THEN sc_{code} / CAST(n_src AS DOUBLE) "
+        for code, _rng, thr in S.SCRIPT_RANGES
+    )
+    conf = (
+        f"CASE {conf_whens}WHEN nw = 0 THEN 0.0 "
+        f"ELSE {best} / CAST(nw AS DOUBLE) END"
+    )
+    return ", ".join(cols), case, conf
 
 
 def _ppl_sql(seq: str) -> str:
@@ -725,7 +755,7 @@ def _pipeline_sql(near_dedup: bool = False) -> str:
     no url window)."""
     from dataqualitykit_spark.config import DEFAULT_CONFIG as C
 
-    hits, lang_case, conf = _langid_cols()
+    hits, lang_case, conf = _langid_cols("toks", "s")
     scrub = _sql_scrub("text")
     m_raw = _sql_missing("text")
     m_s = _sql_missing("s")

@@ -34,6 +34,10 @@ _DE_WORDS = sorted(
     "haus wasser himmel stadt land jahr zeit mensch kind arbeit leben welt "
     "tag nacht weg berg fluss wald feld garten schule buch sprache".split()
 )
+_RU_WORDS = sorted(
+    "дом вода небо город страна год время человек работа жизнь мир день "
+    "ночь дорога гора река лес поле сад школа книга язык слово рука".split()
+)
 
 _DOMAINS = (
     ["hot-domain.example"] * 30
@@ -136,7 +140,10 @@ def _make_text(cls: str, rng: random.Random) -> str | None:
         ]
         return " ".join(words)
     if cls == "wrong_lang":
-        return _german_sentence(rng, rng.randint(60, 150))
+        # half German (stopword-profile leg), half Russian (script leg)
+        if rng.random() < 0.5:
+            return _german_sentence(rng, rng.randint(60, 150))
+        return " ".join(rng.choice(_RU_WORDS) for _ in range(rng.randint(60, 150)))
     if cls == "pii":
         mid = (
             f"contact {rng.choice(['bob','sue','ana'])}@example.com or call "

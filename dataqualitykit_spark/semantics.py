@@ -103,6 +103,37 @@ LANG_PROFILES: dict[str, frozenset[str]] = {
     "nl": STOPWORDS_NL,
 }
 
+# Non-Latin script detection: (code, char-class range, min char ratio),
+# evaluated IN ORDER before the stopword profiles — Japanese first because
+# ja text mixes kana with CJK ideographs (kana presence is the ja signal).
+# Ranges are raw codepoint classes so the same pattern text drives Python
+# re and DuckDB RE2 (generated oracle SQL).
+SCRIPT_RANGES: tuple[tuple[str, str, float], ...] = (
+    ("ja", "\u3040-\u30ff", 0.1),  # hiragana + katakana
+    ("zh", "\u4e00-\u9fff", 0.3),  # CJK unified ideographs
+    ("ko", "\uac00-\ud7af", 0.3),  # hangul syllables
+    ("ru", "\u0400-\u04ff", 0.3),  # cyrillic
+    ("ar", "\u0600-\u06ff", 0.3),  # arabic
+)
+
+_SCRIPT_RES = tuple(
+    (code, re.compile(f"[{rng}]"), thr) for code, rng, thr in SCRIPT_RANGES
+)
+
+
+def script_lang(text: str) -> tuple[str, float] | None:
+    """First script whose char ratio clears its threshold, else None.
+    Confidence = the ratio itself."""
+    n = len(text)
+    if n == 0:
+        return None
+    for code, rex, thr in _SCRIPT_RES:
+        ratio = len(rex.findall(text)) / n
+        if ratio >= thr:
+            return code, ratio
+    return None
+
+
 BOILERPLATE_MARKERS = (
     "all rights reserved",
     "terms of service",
@@ -245,12 +276,16 @@ def boilerplate_hits(text: str) -> int:
 
 
 def langid(text: str) -> tuple[str, float]:
-    """Predict language by stopword-profile density.
+    """Predict language: non-Latin script ratios first (SCRIPT_RANGES in
+    order), then stopword-profile density for Latin-script languages.
 
-    Returns (lang, confidence) where confidence = hits(best)/n_words.
-    Deterministic tie-break: alphabetical language code. 'und' when no
-    profile scores a single hit.
+    Returns (lang, confidence); confidence = script char ratio for script
+    languages, hits(best)/n_words for profile languages. Deterministic
+    tie-break: alphabetical language code. 'und' when nothing scores.
     """
+    script = script_lang(text)
+    if script is not None:
+        return script
     words = [w.lower() for w in tokenize(text)]
     if not words:
         return "und", 0.0
@@ -386,14 +421,18 @@ def score_document(text: str) -> tuple[str, float, float, int, float, int]:
     n_words = len(words)
     mwl = (sum(len(w) for w in words) / n_words) if n_words else 0.0
     sw_hits = sum(1 for w in lower if w in STOPWORDS_EN)
-    best_lang, best_hits = "und", 0
-    if n_words:
-        for code in sorted(LANG_PROFILES):
-            profile = LANG_PROFILES[code]
-            hits = sum(1 for w in lower if w in profile)
-            if hits > best_hits:
-                best_lang, best_hits = code, hits
-    conf = (best_hits / n_words) if n_words else 0.0
+    script = script_lang(text)
+    if script is not None:
+        best_lang, conf = script
+    else:
+        best_lang, best_hits = "und", 0
+        if n_words:
+            for code in sorted(LANG_PROFILES):
+                profile = LANG_PROFILES[code]
+                hits = sum(1 for w in lower if w in profile)
+                if hits > best_hits:
+                    best_lang, best_hits = code, hits
+        conf = (best_hits / n_words) if n_words else 0.0
     return best_lang, conf, perplexity(text), n_words, mwl, sw_hits
 
 

@@ -94,3 +94,18 @@ def test_tokenize_ascii_ws_only():
 def test_hashes():
     assert S.content_hash("abc") == "900150983cd24fb0d6963f7d28e17f72"
     assert S.sha256_hex("abc").startswith("ba7816bf")
+
+
+def test_script_langid():
+    # non-Latin script legs (ja before zh: kana is the Japanese signal)
+    assert S.langid("これは日本語のテキストです ひらがなとカタカナ")[0] == "ja"
+    assert S.langid("这是一个中文文档 包含足够多的汉字用于测试")[0] == "zh"
+    assert S.langid("это русский текст для проверки языка")[0] == "ru"
+    assert S.langid("هذا نص عربي لاختبار تحديد اللغة")[0] == "ar"
+    assert S.langid("이것은 한국어 텍스트입니다")[0] == "ko"
+    # Latin-script profiles unaffected
+    assert S.langid("the cat and the dog are in the house with them")[0] == "en"
+    # fused scorer agrees with langid on script docs
+    for t in ("これはテキストです ひらがな", "это русский текст для проверки"):
+        assert S.score_document(t)[0] == S.langid(t)[0]
+        assert S.score_document(t)[1] == S.langid(t)[1]
