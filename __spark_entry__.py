@@ -113,6 +113,34 @@ def q_missing_flag(spark, sf):
     return df.select("doc_id", "text_missing_flag")
 
 
+def q_missing_fill(spark, sf):
+    df = missing.fill_missing(_t(spark, sf, "documents"), {"text": "[EMPTY]"})
+    return df.select("doc_id", F.col("text").alias("filled_text"))
+
+
+def q_lag_breach_temporal(spark, sf):
+    # W2 temporal leg (reference :1889, F.datediff): consecutive events of
+    # a user more than 7 days apart
+    out = anomaly.lag_tolerance_breach(
+        _t(spark, sf, "events"),
+        "ts",
+        ["ts", "event_id"],
+        tolerance=7.0,
+        partition_by=["user_id"],
+        kind="temporal",
+    )
+    return out.select("event_id", F.col("tolerance_breach").alias("breach"))
+
+
+def q_encoding_xmlcharref(spark, sf):
+    from dataqualitykit_spark.operators import encoding
+
+    d = _t(spark, sf, "documents").withColumn(
+        "text", F.concat(F.col("text"), F.lit(_ENC_SUFFIX_RM))
+    )
+    return encoding.encode_xmlcharref(d, "text").select("doc_id", "text")
+
+
 def q_range_stats(spark, sf):
     st = range_validity.stats(_t(spark, sf, "lineitem"), "l_quantity")
     return st.select(
@@ -544,6 +572,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "missing_scan": q_missing_scan,
         "missing_delete": q_missing_delete,
         "missing_flag": q_missing_flag,
+        "missing_fill": q_missing_fill,
+        "lag_breach_temporal": q_lag_breach_temporal,
+        "encoding_xmlcharref": q_encoding_xmlcharref,
         "range_stats": q_range_stats,
         "range_cap": q_range_cap,
         "range_remove": q_range_remove,
@@ -925,6 +956,29 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN {_sql_missing('source')} THEN 1 ELSE 0 END) AS BIGINT) AS source_missing
             FROM documents""",
         "missing_delete": f"SELECT doc_id, n_chars FROM documents WHERE NOT {m_text}",
+        "missing_fill": f"""
+            SELECT doc_id,
+                   CASE WHEN {m_text} THEN '[EMPTY]' ELSE text END AS filled_text
+            FROM documents""",
+        "lag_breach_temporal": """
+            SELECT event_id,
+                   coalesce(abs(date_diff('day',
+                     CAST(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                          AS DATE),
+                     CAST(ts AS DATE))) > 7, FALSE) AS breach
+            FROM events""",
+        "encoding_xmlcharref": f"""
+            WITH t AS (
+              SELECT doc_id, concat(text, {_sql_lit(_ENC_SUFFIX_RM)}) AS t
+              FROM documents
+            )
+            SELECT doc_id,
+                   array_to_string(list_transform(generate_series(1, length(t)),
+                     i -> CASE WHEN unicode(substr(t, i, 1)) > 127
+                               THEN concat('&#',
+                                    CAST(unicode(substr(t, i, 1)) AS VARCHAR), ';')
+                               ELSE substr(t, i, 1) END), '') AS text
+            FROM t""",
         "missing_flag": f"""
             SELECT doc_id, CASE WHEN {m_text} THEN 1 ELSE 0 END AS text_missing_flag
             FROM documents""",
