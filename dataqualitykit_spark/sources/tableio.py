@@ -21,6 +21,11 @@ def _iceberg_available(spark: SparkSession) -> bool:
 
 
 class TableIO:
+    """fmt='parquet': `root` is a filesystem directory, tables are
+    subdirectories. fmt='iceberg': `root` is a catalog.namespace prefix
+    (e.g. 'ice.db' with spark.sql.catalog.ice configured), tables are
+    multipart identifiers — df.writeTo cannot parse filesystem paths."""
+
     def __init__(self, spark: SparkSession, root: str, fmt: str | None = None):
         self.spark = spark
         self.root = root.rstrip("/")
@@ -29,11 +34,13 @@ class TableIO:
         self.fmt = fmt
 
     def _path(self, name: str) -> str:
+        if self.fmt == "iceberg":
+            return f"{self.root}.{name}"
         return f"{self.root}/{name}"
 
     def read(self, name: str) -> DataFrame:
         if self.fmt == "iceberg":
-            return self.spark.read.format("iceberg").load(self._path(name))
+            return self.spark.table(self._path(name))
         return self.spark.read.parquet(self._path(name))
 
     def write(self, df: DataFrame, name: str, mode: str = "overwrite") -> None:
