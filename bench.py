@@ -146,6 +146,33 @@ def main() -> None:
         .collect(),
     )
 
+    # q6: single-pass simhash over the replicated corpus
+    timed(
+        "simhash",
+        lambda: dedup.simhash64(replicated, "text", "doc_id")
+        .agg(F.sum(F.col("simhash").bitwiseAND(F.lit(255))))
+        .collect(),
+    )
+
+    # q7: pipeline with near-dup dedup (xxhash64 fast path) on an 8-way
+    # replica corpus — a worst-case clustering load (every doc belongs to
+    # an 8-member near-dup cluster). One repetition: the leg is join/CC
+    # bound and ~2x the rest of the bench combined.
+    near_reps = 8
+    near = (
+        docs.repartition(2 * int(cpus))
+        .withColumn("_r", F.explode(F.sequence(F.lit(0), F.lit(near_reps - 1))))
+        .withColumn("doc_id", F.col("doc_id") * near_reps + F.col("_r"))
+        .withColumn("text", F.concat(F.col("text"), F.lit(" rep "), F.col("_r")))
+        .drop("_r")
+    )
+    near_cfg = PipelineConfig(salt_partitions=64, dedup_near=True)
+    t0 = time.perf_counter()
+    run_pipeline(adapt_documents(near), near_cfg).agg(
+        F.sum(F.col("keep").cast("long"))
+    ).collect()
+    timings["pipeline_near_dedup"] = round(time.perf_counter() - t0, 3)
+
     total = round(sum(timings.values()), 3)
     docs_per_sec = round(n_docs / timings["pipeline_full"], 1)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
