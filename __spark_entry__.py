@@ -925,6 +925,63 @@ WITH RECURSIVE base AS (
 SELECT url, drop_reason, drop_reason IS NULL AS keep FROM decided"""
 
 
+def _lsh_cosine_sql(
+    k: int = 5, bands: int = 6, rpb: int = 6, seed: int = 42, dim: int = 64
+) -> str:
+    """Multi-band sign-LSH ANN oracle: the literal hyperplane weights come
+    from similarity.plane_weights — the SAME constants the Spark plan
+    embeds, so buckets (and therefore the candidate set) are identical."""
+    from dataqualitykit_spark.operators.similarity import plane_weights
+
+    def bucket_expr(b: int) -> str:
+        terms = []
+        for r in range(rpb):
+            ws = ", ".join(repr(w) for w in plane_weights(seed, b * rpb + r, dim))
+            terms.append(
+                f"(CASE WHEN list_dot_product(v, [{ws}]) > 0 THEN {1 << r} ELSE 0 END)"
+            )
+        return " + ".join(terms)
+
+    cb = "\n  UNION ALL ".join(
+        f"SELECT neighbor_id, {b} AS b, {bucket_expr(b)} AS bucket FROM c"
+        for b in range(bands)
+    )
+    qb = "\n  UNION ALL ".join(
+        f"SELECT query_id, {b} AS b, {bucket_expr(b)} AS bucket FROM q"
+        for b in range(bands)
+    )
+    return f"""
+WITH c AS (
+  SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  WHERE vec_id < 10
+), cb AS (
+  {cb}
+), qb AS (
+  {qb}
+), cand AS (
+  SELECT DISTINCT query_id, neighbor_id
+  FROM qb JOIN cb ON qb.b = cb.b AND qb.bucket = cb.bucket
+  WHERE query_id <> neighbor_id
+), sims AS (
+  SELECT cand.query_id, cand.neighbor_id,
+         list_dot_product(q.v, c.v)
+           / (sqrt(list_dot_product(q.v, q.v))
+              * sqrt(list_dot_product(c.v, c.v))) AS cosine
+  FROM cand
+  JOIN q ON q.query_id = cand.query_id
+  JOIN c ON c.neighbor_id = cand.neighbor_id
+)
+SELECT query_id, neighbor_id, round(cosine, 6) AS cosine, CAST(rank AS INT) AS rank
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id
+    ORDER BY round(cosine, 6) DESC, neighbor_id ASC) AS rank
+  FROM sims
+) WHERE rank <= {k}"""
+
+
 def _simhash_sql() -> str:
     """md5-portable 60-bit SimHash mirroring dedup.simhash_portable."""
     powers = ", ".join(str(1 << b) for b in range(60))
@@ -1351,6 +1408,7 @@ def oracle_sql() -> dict[str, str]:
     d["simhash"] = _simhash_sql()
     d["pipeline_full"] = _pipeline_sql()
     d["pipeline_near_dedup"] = _pipeline_sql(near_dedup=True)
+    d["lsh_cosine_topk"] = _lsh_cosine_sql()
     return d
 
 

@@ -170,29 +170,32 @@ def cosine_dup_pairs(
     )
 
 
-def _sign_band_buckets(vec, bands: int, rows_per_band: int, seed: int):
-    """array<struct<band,bucket>> of multi-band random-hyperplane buckets.
+def plane_weights(seed: int, plane: int, dim: int) -> list[float]:
+    """Deterministic hyperplane weights in [-1, 1): w_d derives from
+    md5(f'{seed}|{plane}|{d}') — plain hashlib, so the SAME literal
+    numbers drive the Spark plan, the DuckDB oracle SQL and any python
+    mirror. Weights are plan CONSTANTS (they do not depend on the row);
+    round 1 re-hashed them per row via xxhash64 — 36 planes x 64 dims of
+    per-row hash calls for values that never change."""
+    import hashlib
 
-    Plane weights w_{p,d} = (xxhash64(seed,p,d) mod 2000 - 1000)/1000 are
-    derived deterministically per (plane, dimension), so corpus and query
-    sides compute identical buckets with zero broadcast state. Band b's
-    bucket packs the sign bits of planes [b*r, (b+1)*r)."""
-    dim_idx = F.sequence(F.lit(0), F.size(vec) - 1)
+    return [
+        (int(hashlib.md5(f"{seed}|{plane}|{d}".encode()).hexdigest()[:8], 16) % 2000
+         - 1000)
+        / 1000.0
+        for d in range(dim)
+    ]
+
+
+def _sign_band_buckets(vec, bands: int, rows_per_band: int, seed: int, dim: int):
+    """array<struct<band,bucket>> of multi-band random-hyperplane buckets.
+    Band b's bucket packs the sign bits of planes [b*r, (b+1)*r). `dim`
+    must equal the vector length (zip_with would null-pad otherwise)."""
 
     def sign_bit(p: int):
+        ws = F.array(*[F.lit(w) for w in plane_weights(seed, p, dim)])
         proj = F.aggregate(
-            F.zip_with(
-                vec,
-                F.transform(
-                    dim_idx,
-                    lambda d: (
-                        F.pmod(F.xxhash64(F.lit(seed), F.lit(p), d), F.lit(2000))
-                        - F.lit(1000)
-                    )
-                    / F.lit(1000.0),
-                ),
-                lambda x, w: x * w,
-            ),
+            F.zip_with(vec, ws, lambda x, w: x * w),
             F.lit(0.0),
             lambda acc, v: acc + v,
         )
@@ -218,6 +221,7 @@ def lsh_bucketed_topk(
     bands: int = 6,
     rows_per_band: int = 6,
     seed: int = 42,
+    dim: int = 64,
 ) -> DataFrame:
     """ANN scale path: MULTI-BAND random-hyperplane LSH — a candidate is
     any doc sharing at least one band bucket with the query (OR across
@@ -239,13 +243,15 @@ def lsh_bucketed_topk(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("cvec"),
     ).withColumn(
-        "bk", F.explode(_sign_band_buckets(F.col("cvec"), bands, rows_per_band, seed))
+        "bk",
+        F.explode(_sign_band_buckets(F.col("cvec"), bands, rows_per_band, seed, dim)),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("qvec"),
     ).withColumn(
-        "bk", F.explode(_sign_band_buckets(F.col("qvec"), bands, rows_per_band, seed))
+        "bk",
+        F.explode(_sign_band_buckets(F.col("qvec"), bands, rows_per_band, seed, dim)),
     )
     sims = (
         c.join(F.broadcast(q), "bk")
@@ -275,6 +281,7 @@ def cosine_dup_pairs_lsh(
     bands: int = 6,
     rows_per_band: int = 6,
     seed: int = 42,
+    dim: int = 64,
 ) -> DataFrame:
     """Embedding near-dup pairs at scale: multi-band sign-LSH self-join
     replaces cosine_dup_pairs' O(n^2) broadcast cross join — only bucket
@@ -284,7 +291,8 @@ def cosine_dup_pairs_lsh(
         F.col(id_col).alias("id"),
         F.col(vec_col).cast("array<double>").alias("v"),
     ).withColumn(
-        "bk", F.explode(_sign_band_buckets(F.col("v"), bands, rows_per_band, seed))
+        "bk",
+        F.explode(_sign_band_buckets(F.col("v"), bands, rows_per_band, seed, dim)),
     )
     a = banded.select(F.col("id").alias("id_a"), F.col("v").alias("va"), "bk")
     b = banded.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), "bk")

@@ -102,7 +102,6 @@ def test_every_query_has_oracle_or_is_hash_based():
     assert rows_only <= {
         "minhash_lsh_dups_fast",
         "simhash_fast",
-        "lsh_cosine_topk",
         "embed_cosine_dups_lsh",
     }
 
