@@ -322,6 +322,26 @@ def q_case_standardize(spark, sf):
     return df.select("c_mktsegment").distinct()
 
 
+def q_spelling_variants(spark, sf):
+    # deterministic typo injection (every 11th customer loses the LAST
+    # char of its segment) — identical construction in the DuckDB oracle.
+    # End-truncation keeps the Jaro transposition count at 0: DuckDB's
+    # jaro_winkler_similarity diverges from the textbook formula (and our
+    # semantics.jaro_winkler) on transposition-bearing pairs.
+    src = _t(spark, sf, "customer").select(
+        F.when(
+            F.col("c_custkey") % 11 == 0,
+            F.expr("substring(c_mktsegment, 1, length(c_mktsegment) - 1)"),
+        )
+        .otherwise(F.col("c_mktsegment"))
+        .alias("seg")
+    )
+    out = categorical.spelling_variant_report(src, "seg", threshold=0.85)
+    return out.select(
+        "value", "reference", F.round("similarity", 6).alias("similarity")
+    )
+
+
 def q_hash_key(spark, sf):
     df = dedup.composite_key(_t(spark, sf, "customer"), ["c_custkey", "c_name"])
     return df.select("c_custkey", "row_key")
@@ -599,6 +619,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mode": q_mode,
         "topk_categories": q_topk_categories,
         "case_standardize": q_case_standardize,
+        "spelling_variants": q_spelling_variants,
         "hash_key": q_hash_key,
         "text_wordcount": q_text_wordcount,
         "text_quality": q_text_quality,
@@ -1169,6 +1190,22 @@ def oracle_sql() -> dict[str, str]:
             FROM part GROUP BY p_type
             ORDER BY frequency DESC, p_type ASC LIMIT 10""",
         "case_standardize": "SELECT DISTINCT lower(c_mktsegment) AS c_mktsegment FROM customer",
+        "spelling_variants": """
+            WITH src AS (
+              SELECT CASE WHEN c_custkey % 11 = 0
+                          THEN substr(c_mktsegment, 1, length(c_mktsegment) - 1)
+                          ELSE c_mktsegment END AS seg
+              FROM customer
+            ), vals AS (
+              SELECT DISTINCT seg AS value FROM src WHERE seg IS NOT NULL
+            ), refs AS (
+              SELECT seg AS reference FROM src WHERE seg IS NOT NULL
+              GROUP BY seg ORDER BY count(*) DESC, seg ASC LIMIT 100
+            )
+            SELECT value, reference,
+                   round(jaro_winkler_similarity(value, reference), 6) AS similarity
+            FROM vals CROSS JOIN refs
+            WHERE jaro_winkler_similarity(value, reference) >= 0.85""",
         "hash_key": """
             SELECT c_custkey,
                    sha256(concat_ws('|', CAST(c_custkey AS VARCHAR), c_name)) AS row_key

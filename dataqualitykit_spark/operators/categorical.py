@@ -138,6 +138,64 @@ def fuzzy_correct(
     return df.withColumn(col, F.pandas_udf(_correct, StringType())(F.col(col)))
 
 
+def spelling_variant_report(
+    df: DataFrame,
+    col: str,
+    reference_values: list[str] | None = None,
+    threshold: float = 0.85,
+    top_k_refs: int = 100,
+) -> DataFrame:
+    """check_spelling_variants (:1182-1283) re-imagined. The reference
+    collects every distinct value AND the top-100 reference values to the
+    driver (:1242, :1262) and runs an O(distinct x refs) python loop; here
+    distinct values stay distributed (hash agg), references are a bounded
+    top-k (count DESC, value ASC tie-break — the reference's orderBy desc
+    count alone is nondeterministic), and scoring is a broadcast cross
+    join + Arrow-batched jaro_winkler over the shared semantics function.
+
+    Returns the reference's variant_groups as a frame:
+    (value, reference, similarity) for every pair >= threshold —
+    identity pairs included, as in the reference loop."""
+    import pandas as pd
+    from pyspark.sql.types import DoubleType
+
+    from ..semantics import jaro_winkler
+
+    def _jw_batch(a, b):
+        return pd.Series(
+            [
+                None if x is None or y is None else jaro_winkler(x, y)
+                for x, y in zip(a, b)
+            ]
+        )
+
+    jw_udf = F.pandas_udf(_jw_batch, DoubleType())
+
+    vals = (
+        df.select(F.col(col).alias("value"))
+        .filter(F.col("value").isNotNull())
+        .distinct()
+    )
+    if reference_values is None:
+        refs = (
+            df.filter(F.col(col).isNotNull())
+            .groupBy(F.col(col).alias("reference"))
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .orderBy(F.desc("_n"), F.asc("reference"))
+            .limit(top_k_refs)
+            .select("reference")
+        )
+    else:
+        refs = df.sparkSession.createDataFrame(
+            [(r,) for r in reference_values], ["reference"]
+        )
+    return (
+        vals.crossJoin(F.broadcast(refs))
+        .withColumn("similarity", jw_udf(F.col("value"), F.col("reference")))
+        .filter(F.col("similarity") >= F.lit(threshold))
+    )
+
+
 def lookup_standardize(df: DataFrame, lookup: DataFrame, key: str, value_col: str) -> DataFrame:
     """J2 (:2425 — the reference's _lookup was never implemented): broadcast
     left join against a small reference table."""

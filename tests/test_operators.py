@@ -208,3 +208,30 @@ def test_categorical_ops(spark):
     assert grouped.filter(F.col("cat") == "Other").count() == 1
     inv = categorical.invalid_categories(df, "cat", ["A", "B", "C"]).first()
     assert inv["invalid_count"] == 1
+
+
+def test_spelling_variant_report(spark):
+    # reference check_spelling_variants (:1182-1283): pairs >= threshold,
+    # identity matches included, refs default to top-frequency values
+    rows = (
+        [("MACHINERY",)] * 20
+        + [("MACHINRY",)] * 2
+        + [("BUILDING",)] * 15
+        + [("HOUSE",)] * 5
+    )
+    df = spark.createDataFrame(rows, "seg string")
+    out = {
+        (r["value"], r["reference"]): r["similarity"]
+        for r in categorical.spelling_variant_report(df, "seg", threshold=0.85).collect()
+    }
+    assert out[("MACHINERY", "MACHINERY")] == 1.0
+    assert ("MACHINRY", "MACHINERY") in out and out[("MACHINRY", "MACHINERY")] > 0.95
+    assert ("HOUSE", "BUILDING") not in out
+    # explicit reference list narrows the ref side
+    out2 = {
+        (r["value"], r["reference"])
+        for r in categorical.spelling_variant_report(
+            df, "seg", reference_values=["MACHINERY"], threshold=0.85
+        ).collect()
+    }
+    assert out2 == {("MACHINERY", "MACHINERY"), ("MACHINRY", "MACHINERY")}
