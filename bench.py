@@ -65,8 +65,17 @@ def main() -> None:
     out_dir = tempfile.mkdtemp(prefix="dqx_bench_")
     timings: dict[str, float] = {}
     n_reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+    # optional leg subset (comma-separated) — scaling_bench.py restricts to
+    # the legs its efficiency ratio actually uses
+    legs_env = os.environ.get("SPARK_GRAFT_BENCH_LEGS", "")
+    only_legs = set(legs_env.split(",")) if legs_env else None
+
+    def wanted(name: str) -> bool:
+        return only_legs is None or name in only_legs
 
     def timed(name: str, fn) -> None:
+        if not wanted(name):
+            return
         # min over repetitions: this sandbox shares a host (idle load avg
         # >3 observed); the minimum is the least-contended measurement
         best = None
@@ -166,15 +175,20 @@ def main() -> None:
         .withColumn("text", F.concat(F.col("text"), F.lit(" rep "), F.col("_r")))
         .drop("_r")
     )
-    near_cfg = PipelineConfig(salt_partitions=64, dedup_near=True)
-    t0 = time.perf_counter()
-    run_pipeline(adapt_documents(near), near_cfg).agg(
-        F.sum(F.col("keep").cast("long"))
-    ).collect()
-    timings["pipeline_near_dedup"] = round(time.perf_counter() - t0, 3)
+    if wanted("pipeline_near_dedup"):
+        near_cfg = PipelineConfig(salt_partitions=64, dedup_near=True)
+        t0 = time.perf_counter()
+        run_pipeline(adapt_documents(near), near_cfg).agg(
+            F.sum(F.col("keep").cast("long"))
+        ).collect()
+        timings["pipeline_near_dedup"] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)
-    docs_per_sec = round(n_docs / timings["pipeline_full"], 1)
+    docs_per_sec = (
+        round(n_docs / timings["pipeline_full"], 1)
+        if "pipeline_full" in timings
+        else None
+    )
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
