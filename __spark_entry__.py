@@ -580,6 +580,15 @@ def q_lsh_cosine_topk(spark, sf):
     return similarity.lsh_bucketed_topk(emb, queries, "vec_id", "embedding", k=5)
 
 
+def q_ivf_cosine_topk(spark, sf):
+    # IVF ANN (kmeans coarse quantizer + n_probe cell scan) — rows-only:
+    # the quantizer's learned centers are not SQL-reproducible. Recall
+    # contract in tests/test_embedding_lsh_recall.py.
+    emb = _t(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.ivf_topk(emb, queries, "vec_id", "embedding", k=5)
+
+
 def q_embed_cosine_dups_lsh(spark, sf):
     # multi-band LSH-routed near-dup pairs (scale path for
     # embed_cosine_dups; recall contract in tests/test_embedding_lsh_recall.py)
@@ -648,6 +657,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_near_dedup": q_pipeline_near_dedup,
         "lsh_cosine_topk": q_lsh_cosine_topk,
         "embed_cosine_dups_lsh": q_embed_cosine_dups_lsh,
+        "ivf_cosine_topk": q_ivf_cosine_topk,
     }
 
 

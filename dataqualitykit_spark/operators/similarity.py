@@ -273,6 +273,77 @@ def lsh_bucketed_topk(
     )
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF (inverted-file) ANN: a KMeans coarse quantizer assigns every
+    corpus vector to a cell ONCE; each query scans only its `n_probe`
+    nearest cells — the complementary scale path to sign-LSH (IVF adapts
+    to the data distribution; LSH is data-independent).
+
+    At 10^12 docs: fit the quantizer on a sample, write the corpus
+    partitioned by cell, and each query batch prunes to n_probe/n_cells
+    of the data. Queries are collected (small by contract — same contract
+    as cosine_topk_blocked); the corpus is never collected, never
+    broadcast, and shuffles only on the cell equi-join.
+
+    Same output contract as cosine_topk: (query_id, neighbor_id, cosine
+    rounded to 6, rank) — but candidates are limited to probed cells.
+    """
+    import numpy as np
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cvec"),
+    ).withColumn("_feat", array_to_vector(F.col("cvec")))
+    model = KMeans(
+        k=n_cells, seed=seed, featuresCol="_feat", predictionCol="cell"
+    ).fit(c)
+    assigned = model.transform(c).drop("_feat")
+
+    centers = np.array([np.asarray(ctr) for ctr in model.clusterCenters()])
+    q_rows = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qvec"),
+    ).collect()
+    probe_rows = []
+    for r in q_rows:
+        qv = np.array(r["qvec"])
+        d = ((centers - qv) ** 2).sum(axis=1)
+        for cell in np.argsort(d, kind="stable")[:n_probe]:
+            probe_rows.append((r["query_id"], list(r["qvec"]), int(cell)))
+    spark = corpus.sparkSession
+    probes = spark.createDataFrame(
+        probe_rows, "query_id long, qvec array<double>, cell int"
+    )
+    sims = (
+        assigned.join(F.broadcast(probes), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_similarity_col(F.col("qvec"), F.col("cvec")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.round(F.col("cosine"), 6).desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .withColumn("cosine", F.round("cosine", 6))
+    )
+
+
 def cosine_dup_pairs_lsh(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -33,6 +33,10 @@ def main() -> None:
     p.add_argument("--adapter", default=None, choices=[None, "documents"])
     p.add_argument("--buckets", type=int, default=64)
     p.add_argument("--salt-partitions", type=int, default=0)
+    p.add_argument("--near-dedup", action="store_true",
+                   help="MinHash-LSH near-dup dedup within each bucket "
+                        "(pairs -> connected components -> dup_near)")
+    p.add_argument("--near-dup-threshold", type=float, default=0.8)
     p.add_argument("--master", default=None)
     p.add_argument("--no-resume", action="store_true",
                    help="ignore an existing manifest and start over")
@@ -58,7 +62,11 @@ def main() -> None:
 
         shutil.rmtree(args.output, ignore_errors=True)
 
-    cfg = PipelineConfig(salt_partitions=args.salt_partitions)
+    cfg = PipelineConfig(
+        salt_partitions=args.salt_partitions,
+        dedup_near=args.near_dedup,
+        near_dup_threshold=args.near_dup_threshold,
+    )
     manifest = run_resumable(
         spark, source, args.output, n_buckets=args.buckets, cfg=cfg
     )

@@ -74,3 +74,20 @@ def test_lsh_dup_pairs_recall_vs_bruteforce(spark, planted):
     assert recall >= 0.9, (recall, len(truth), len(got))
     # no false positives: every returned pair really clears the threshold
     assert got <= truth
+
+
+def test_ivf_topk_recall_vs_bruteforce(spark, planted):
+    queries = planted.filter("vec_id >= 1000")
+    corpus = planted.filter("vec_id < 1000")
+    truth = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.cosine_topk(corpus, queries, k=5).collect()
+    }
+    got = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.ivf_topk(
+            corpus, queries, k=5, n_cells=16, n_probe=4
+        ).collect()
+    }
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.9, (recall, len(truth), len(got))

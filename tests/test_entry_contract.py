@@ -103,6 +103,7 @@ def test_every_query_has_oracle_or_is_hash_based():
         "minhash_lsh_dups_fast",
         "simhash_fast",
         "embed_cosine_dups_lsh",
+        "ivf_cosine_topk",
     }
 
 
