@@ -591,9 +591,13 @@ def q_ivf_cosine_topk(spark, sf):
 
 def q_embed_cosine_dups_lsh(spark, sf):
     # multi-band LSH-routed near-dup pairs (scale path for
-    # embed_cosine_dups; recall contract in tests/test_embedding_lsh_recall.py)
+    # embed_cosine_dups; recall contract in tests/test_embedding_lsh_recall.py).
+    # threshold 0.4: the synthetic embeddings are near-orthogonal, so a
+    # near-dup threshold returns zero rows — 0.4 exercises real bucket
+    # collisions, and the oracle reproduces the identical candidate set
+    # from the same literal plane weights.
     emb = _t(spark, sf, "embeddings").filter(F.col("vec_id") < 300)
-    return similarity.cosine_dup_pairs_lsh(emb, "vec_id", "embedding", 0.8)
+    return similarity.cosine_dup_pairs_lsh(emb, "vec_id", "embedding", 0.4)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -956,22 +960,29 @@ WITH RECURSIVE base AS (
 SELECT url, drop_reason, drop_reason IS NULL AS keep FROM decided"""
 
 
+def _sign_bucket_expr(b: int, rpb: int, seed: int, dim: int) -> str:
+    """SQL band-bucket expression over a DOUBLE[] column `v`, built from
+    the SAME plane_weights literals the Spark plan embeds."""
+    from dataqualitykit_spark.operators.similarity import plane_weights
+
+    terms = []
+    for r in range(rpb):
+        ws = ", ".join(repr(w) for w in plane_weights(seed, b * rpb + r, dim))
+        terms.append(
+            f"(CASE WHEN list_dot_product(v, [{ws}]) > 0 THEN {1 << r} ELSE 0 END)"
+        )
+    return " + ".join(terms)
+
+
 def _lsh_cosine_sql(
     k: int = 5, bands: int = 6, rpb: int = 6, seed: int = 42, dim: int = 64
 ) -> str:
     """Multi-band sign-LSH ANN oracle: the literal hyperplane weights come
     from similarity.plane_weights — the SAME constants the Spark plan
     embeds, so buckets (and therefore the candidate set) are identical."""
-    from dataqualitykit_spark.operators.similarity import plane_weights
 
     def bucket_expr(b: int) -> str:
-        terms = []
-        for r in range(rpb):
-            ws = ", ".join(repr(w) for w in plane_weights(seed, b * rpb + r, dim))
-            terms.append(
-                f"(CASE WHEN list_dot_product(v, [{ws}]) > 0 THEN {1 << r} ELSE 0 END)"
-            )
-        return " + ".join(terms)
+        return _sign_bucket_expr(b, rpb, seed, dim)
 
     cb = "\n  UNION ALL ".join(
         f"SELECT neighbor_id, {b} AS b, {bucket_expr(b)} AS bucket FROM c"
@@ -1011,6 +1022,43 @@ FROM (
     ORDER BY round(cosine, 6) DESC, neighbor_id ASC) AS rank
   FROM sims
 ) WHERE rank <= {k}"""
+
+
+def _lsh_dup_pairs_sql(
+    threshold: float = 0.8,
+    bands: int = 6,
+    rpb: int = 6,
+    seed: int = 42,
+    dim: int = 64,
+    max_id: int = 300,
+) -> str:
+    """Multi-band sign-LSH near-dup pair oracle mirroring
+    similarity.cosine_dup_pairs_lsh: band-bucket self-join -> distinct
+    pairs -> exact cosine filter."""
+    banded = "\n  UNION ALL ".join(
+        f"SELECT id, v, {b} AS b, {_sign_bucket_expr(b, rpb, seed, dim)} AS bucket FROM e"
+        for b in range(bands)
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings WHERE vec_id < {max_id}
+), banded AS (
+  {banded}
+), cand AS (
+  SELECT DISTINCT a.id AS id_a, c.id AS id_b
+  FROM banded a JOIN banded c ON a.b = c.b AND a.bucket = c.bucket AND a.id < c.id
+)
+SELECT id_a, id_b,
+       round(list_dot_product(ea.v, eb.v)
+             / (sqrt(list_dot_product(ea.v, ea.v))
+                * sqrt(list_dot_product(eb.v, eb.v))), 6) AS cosine
+FROM cand
+JOIN e ea ON ea.id = id_a
+JOIN e eb ON eb.id = id_b
+WHERE round(list_dot_product(ea.v, eb.v)
+            / (sqrt(list_dot_product(ea.v, ea.v))
+               * sqrt(list_dot_product(eb.v, eb.v))), 6) >= {threshold}"""
 
 
 def _simhash_sql() -> str:
@@ -1456,6 +1504,7 @@ def oracle_sql() -> dict[str, str]:
     d["pipeline_full"] = _pipeline_sql()
     d["pipeline_near_dedup"] = _pipeline_sql(near_dedup=True)
     d["lsh_cosine_topk"] = _lsh_cosine_sql()
+    d["embed_cosine_dups_lsh"] = _lsh_dup_pairs_sql(threshold=0.4)
     return d
 
 
