@@ -121,6 +121,40 @@ def with_shingles(
     return w.select("id", _shingles_of(F.col("_w"), k).alias("shingles"))
 
 
+def with_shingle_hashes(
+    df: DataFrame, text_col: str, id_col: str, k: int = 3
+) -> DataFrame:
+    """(id, hashes array<bigint>) of word k-shingle hashes WITHOUT building
+    shingle strings: each word is string-hashed once (xxhash64), then the
+    k adjacent word-hashes combine via xxhash64 over longs — long hashing
+    is ~10x cheaper than string hashing and the concat-ws shingle strings
+    (which duplicate the text k-fold) are never materialized. This is the
+    production shingle path for minhash/simhash; the *_portable md5 twins
+    keep string shingles for engine portability.
+
+    Hash basis differs from xxhash64(shingle string) — fine for the
+    near-dup estimators (any uniform family works), pinned by the
+    accuracy tests rather than golden values."""
+    words = F.filter(
+        F.split(F.lower(F.col(text_col)), WS_REGEX), lambda w: w != F.lit("")
+    )
+    w = df.select(F.col(id_col).alias("id"), words.alias("_w"))
+    wh = w.select(
+        "id",
+        "_w",
+        F.transform(F.col("_w"), lambda x: F.xxhash64(x)).alias("_wh"),
+    )
+    n = F.size(F.col("_wh"))
+    slices = [F.slice(F.col("_wh"), i + 1, n - (k - 1)) for i in range(k)]
+    combined = slices[0]
+    for s in slices[1:]:
+        combined = F.zip_with(combined, s, lambda a, b: F.xxhash64(a, b))
+    hashes = F.when(
+        n < k, F.array(F.xxhash64(F.concat_ws(" ", F.col("_w"))))
+    ).otherwise(combined)
+    return wh.select("id", hashes.alias("hashes"))
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str,
@@ -128,19 +162,17 @@ def minhash_signatures(
     num_hashes: int = 32,
     shingle_k: int = 3,
 ) -> DataFrame:
-    """MinHash signature per doc: each distinct shingle is string-hashed
-    ONCE (xxhash64), then the i-th permutation re-hashes that long with
-    seed i — longs hash ~10x cheaper than strings, so the 32-permutation
-    family costs one string pass + 32 long passes. Pure column algebra —
+    """MinHash signature per doc over word-hash-combined shingle hashes
+    (with_shingle_hashes — no shingle strings built); the i-th permutation
+    re-hashes each distinct shingle hash with seed i — one string pass
+    over the words + (k-1) + 32 long passes total. Pure column algebra —
     one projection, no UDF, no shuffle. Returns (id, sig array<bigint>)."""
-    sh = with_shingles(df, text_col, id_col, shingle_k)
+    sh = with_shingle_hashes(df, text_col, id_col, shingle_k)
     # separate projections: Catalyst keeps `base` materialized once rather
     # than inlining the shingle pipeline into each of the 32 permutation exprs
     hashed = sh.select(
         "id",
-        F.array_distinct(
-            F.transform(F.col("shingles"), lambda s: F.xxhash64(s))
-        ).alias("base"),
+        F.array_distinct(F.col("hashes")).alias("base"),
     )
     sig = F.array(
         *[
@@ -445,10 +477,10 @@ def simhash64(
     bound by the shingle hashing itself (~4.3 s), see BENCH/BASELINE.md.
     (An Arrow/numpy vote was prototyped and measured no faster once the
     bit matrix is memory-bounded — the JVM single-pass wins on simplicity
-    and zero Python-worker footprint.)"""
-    shingled = with_shingles(df.select(id_col, text_col), text_col, id_col, shingle_k)
-    hashed = shingled.select(
-        "id", F.transform(F.col("shingles"), lambda s: F.xxhash64(s)).alias("hashes")
+    and zero Python-worker footprint.) Shingle hashes come from
+    with_shingle_hashes (word-hash combination, no shingle strings)."""
+    hashed = with_shingle_hashes(
+        df.select(id_col, text_col), text_col, id_col, shingle_k
     )
     masks = F.array(*[_bit_mask(b) for b in range(64)])
     counts = F.aggregate(
