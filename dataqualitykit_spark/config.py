@@ -73,6 +73,11 @@ class PipelineConfig:
     # DuckDB/python oracles can reproduce bit-for-bit
     near_dup_hash: str = "xxhash64"
     near_dup_hashes: int = 32
+    # 'localCheckpoint' materializes the exact-dedup output once (pairs
+    # branch + labeled branch reuse it) — right while the corpus fits
+    # executor storage; 'recompute' trades a second source scan for zero
+    # cached state (the 100 TB setting; see pipeline.run_pipeline)
+    near_dup_materialize: str = "localCheckpoint"
 
     # scale mechanics
     salt_partitions: int = 0  # 0 = leave to AQE; >0 = explicit salted repartition

@@ -240,7 +240,14 @@ def run_pipeline(df: DataFrame, cfg: PipelineConfig = DEFAULT_CONFIG) -> DataFra
     if cfg.dedup_near:
         from .operators import dedup as _dedup
 
-        base = base.localCheckpoint()
+        if cfg.near_dup_materialize == "localCheckpoint":
+            # materialize the dedup subtree once — right up to corpora
+            # that fit executor storage. At 10^12 docs storing the corpus
+            # in the block manager is infeasible: use 'recompute' (the
+            # pairs branch re-scans the source — one extra read beats
+            # caching 100 TB), or better, run near-dedup per lineage
+            # bucket (lineage.run_resumable) so the working set is bounded.
+            base = base.localCheckpoint()
         surv = base.filter(F.col("_survivor")).select("url", "text")
         if cfg.near_dup_hash == "md5":
             pairs = _dedup.minhash_jaccard_portable(
