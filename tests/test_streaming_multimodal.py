@@ -61,3 +61,45 @@ def test_multimodal_resize_is_explicit_stub(spark):
     media = multimodal.media_fixture(spark, 3)
     with pytest.raises(Exception, match="PIL|NotImplemented|decode"):
         multimodal.resize_images(media, 32, 32).collect()
+
+
+def test_parse_image_headers(spark):
+    from dataqualitykit_spark.operators.multimodal import (
+        image_metadata,
+        parse_image_header,
+    )
+
+    png = (
+        b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\rIHDR"
+        + (640).to_bytes(4, "big") + (480).to_bytes(4, "big") + b"\x08\x06" + b"\x00" * 20
+    )
+    gif = b"GIF89a" + (320).to_bytes(2, "little") + (200).to_bytes(2, "little") + b"\x00" * 16
+    # JPEG: SOI, APP0 (len 16), SOF0 (len 17) with h=99 w=77
+    jpeg = (
+        b"\xff\xd8"
+        + b"\xff\xe0" + (15).to_bytes(2, "big") + b"JFIF\x00" + b"\x00" * 8
+        + b"\xff\xc0" + (17).to_bytes(2, "big") + b"\x08"
+        + (99).to_bytes(2, "big") + (77).to_bytes(2, "big") + b"\x03" + b"\x00" * 9
+        + b"\xff\xd9"
+    )
+    assert parse_image_header(png) == ("png", 640, 480)
+    assert parse_image_header(gif) == ("gif", 320, 200)
+    assert parse_image_header(jpeg) == ("jpeg", 77, 99)
+    assert parse_image_header(b"garbage bytes here") == (None, None, None)
+    assert parse_image_header(None) == (None, None, None)
+
+    df = spark.createDataFrame(
+        [
+            (1, "image", png, "image/png", 0, 0, 0),
+            (2, "image", gif, "image/gif", 0, 0, 0),
+            (3, "image", jpeg, "image/jpeg", 0, 0, 0),
+            (4, "image", b"junkjunkjunkjunk", "image/png", 0, 0, 0),
+        ],
+        "media_id bigint, kind string, payload binary, mime string, "
+        "width int, height int, duration_ms int",
+    )
+    out = {r["media_id"]: r for r in image_metadata(df).collect()}
+    assert (out[1]["detected_format"], out[1]["parsed_width"], out[1]["parsed_height"]) == ("png", 640, 480)
+    assert (out[2]["detected_format"], out[2]["parsed_width"]) == ("gif", 320)
+    assert (out[3]["detected_format"], out[3]["parsed_height"]) == ("jpeg", 99)
+    assert out[4]["parse_ok"] is False
