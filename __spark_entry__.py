@@ -281,6 +281,24 @@ def q_zscore_outliers(spark, sf):
     return flagged.filter(F.col("is_outlier")).select("event_id")
 
 
+def q_distribution_moments(spark, sf):
+    # A4 full moments block (ref :2640-2646) incl. skewness/kurtosis —
+    # Spark computes POPULATION moments; the oracle mirrors them with a
+    # two-pass mean join (DuckDB's skewness()/kurtosis() are
+    # bias-corrected sample statistics and would not match)
+    out = anomaly.distribution_moments(
+        _t(spark, sf, "events"), "value", ["event_type"]
+    )
+    return out.select(
+        "event_type",
+        "n",
+        F.round("mean_value", 6).alias("mean_value"),
+        F.round("stddev_value", 6).alias("stddev_value"),
+        F.round("skewness_value", 6).alias("skewness_value"),
+        F.round("kurtosis_value", 6).alias("kurtosis_value"),
+    )
+
+
 def q_segment_stats(spark, sf):
     return (
         _t(spark, sf, "events")
@@ -627,6 +645,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "centered_ma": q_centered_ma,
         "neighborhood_dev": q_neighborhood_dev,
         "segment_stats": q_segment_stats,
+        "distribution_moments": q_distribution_moments,
         "category_freq": q_category_freq,
         "rare_categories": q_rare_categories,
         "mode": q_mode,
@@ -1230,6 +1249,19 @@ def oracle_sql() -> dict[str, str]:
                    round(min(value), 4) AS min_value,
                    round(max(value), 4) AS max_value
             FROM events GROUP BY event_type""",
+        "distribution_moments": """
+            WITH m AS (
+              SELECT event_type, avg(value) AS mu FROM events GROUP BY event_type
+            )
+            SELECT e.event_type, CAST(count(*) AS BIGINT) AS n,
+                   round(avg(value), 6) AS mean_value,
+                   round(stddev_samp(value), 6) AS stddev_value,
+                   round(avg(pow(value - mu, 3))
+                         / pow(avg(pow(value - mu, 2)), 1.5), 6) AS skewness_value,
+                   round(avg(pow(value - mu, 4))
+                         / pow(avg(pow(value - mu, 2)), 2) - 3, 6) AS kurtosis_value
+            FROM events e JOIN m ON e.event_type = m.event_type
+            GROUP BY e.event_type""",
         "category_freq": """
             SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS frequency,
                    round(count(*) / CAST(sum(count(*)) OVER () AS DOUBLE), 6) AS share

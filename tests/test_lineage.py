@@ -83,3 +83,26 @@ def test_bucketed_input_written_once_and_pruned(spark, tmp_path):
     import dataqualitykit_spark.lineage as L
 
     assert "F.broadcast" not in inspect.getsource(L.run_resumable)
+
+
+def test_lineage_with_near_dedup(spark, tmp_path):
+    """cfg.dedup_near composes with the bucketed runner: near-dups within
+    a bucket drop as dup_near, and kill/resume still converges."""
+    from dataqualitykit_spark.config import PipelineConfig
+
+    cfg = PipelineConfig(dedup_near=True, near_dup_hash="md5")
+    src = pages_dataframe(spark, 300)
+    clean = str(tmp_path / "nd_clean")
+    run_resumable(spark, src, clean, n_buckets=2, cfg=cfg)
+
+    resumed = str(tmp_path / "nd_resumed")
+    with pytest.raises(RuntimeError, match="injected failure"):
+        run_resumable(spark, src, resumed, n_buckets=2, cfg=cfg, fail_after=1)
+    run_resumable(spark, src, resumed, n_buckets=2, cfg=cfg)
+
+    assert _labeled_set(spark, clean) == _labeled_set(spark, resumed)
+    reasons = {
+        r["drop_reason"]
+        for r in spark.read.parquet(f"{clean}/labeled").select("drop_reason").collect()
+    }
+    assert "dup_near" in reasons
