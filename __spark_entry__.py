@@ -360,6 +360,60 @@ def q_spelling_variants(spark, sf):
     )
 
 
+def q_custom_rule(spark, sf):
+    # P8 (:786-787): arbitrary SQL predicate through the operator
+    out = range_validity.custom_rule(
+        _t(spark, sf, "lineitem"),
+        "l_quantity > 40 AND l_discount < 0.02",
+    )
+    return out.agg(F.count(F.lit(1)).alias("matching_rows"))
+
+
+_SEGMENTS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+
+
+def q_map_categories(spark, sf):
+    # U1 (:1341-1354): dict mapping, unknowns kept
+    mapping = {"BUILDING": "CONSTRUCTION", "MACHINERY": "INDUSTRIAL"}
+    out = categorical.map_categories(
+        _t(spark, sf, "customer"), "c_mktsegment", mapping
+    )
+    return out.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+def q_fuzzy_correct(spark, sf):
+    # U2 (:1415-1428): jaro_winkler best-match >= 0.85 vs a reference list
+    # on end-truncation typos (t=0 pairs — where DuckDB's JW matches ours)
+    src = _t(spark, sf, "customer").select(
+        "c_custkey",
+        F.when(
+            F.col("c_custkey") % 11 == 0,
+            F.expr("substring(c_mktsegment, 1, length(c_mktsegment) - 1)"),
+        )
+        .otherwise(F.col("c_mktsegment"))
+        .alias("seg"),
+    )
+    out = categorical.fuzzy_correct(src, "seg", _SEGMENTS, threshold=0.85)
+    return out.select("c_custkey", F.col("seg").alias("corrected"))
+
+
+def q_lookup_standardize(spark, sf):
+    # J2 (:2425 — the reference's _lookup was never implemented):
+    # broadcast-join standardization against a small lookup table
+    lookup = spark.createDataFrame(
+        [("BUILDING", "CONSTRUCTION"), ("MACHINERY", "INDUSTRIAL")],
+        "c_mktsegment string, standard string",
+    )
+    out = categorical.lookup_standardize(
+        _t(spark, sf, "customer"), lookup, "c_mktsegment", "standard"
+    )
+    return out.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
 def q_hash_key(spark, sf):
     df = dedup.composite_key(_t(spark, sf, "customer"), ["c_custkey", "c_name"])
     return df.select("c_custkey", "row_key")
@@ -652,6 +706,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_categories": q_topk_categories,
         "case_standardize": q_case_standardize,
         "spelling_variants": q_spelling_variants,
+        "custom_rule": q_custom_rule,
+        "map_categories": q_map_categories,
+        "fuzzy_correct": q_fuzzy_correct,
+        "lookup_standardize": q_lookup_standardize,
         "hash_key": q_hash_key,
         "text_wordcount": q_text_wordcount,
         "text_quality": q_text_quality,
@@ -1280,6 +1338,44 @@ def oracle_sql() -> dict[str, str]:
             FROM part GROUP BY p_type
             ORDER BY frequency DESC, p_type ASC LIMIT 10""",
         "case_standardize": "SELECT DISTINCT lower(c_mktsegment) AS c_mktsegment FROM customer",
+        "custom_rule": """
+            SELECT CAST(count(*) AS BIGINT) AS matching_rows FROM lineitem
+            WHERE l_quantity > 40 AND l_discount < 0.02""",
+        "map_categories": """
+            SELECT CASE c_mktsegment
+                   WHEN 'BUILDING' THEN 'CONSTRUCTION'
+                   WHEN 'MACHINERY' THEN 'INDUSTRIAL'
+                   ELSE c_mktsegment END AS segment,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM customer GROUP BY 1""",
+        "fuzzy_correct": f"""
+            WITH src AS (
+              SELECT c_custkey,
+                     CASE WHEN c_custkey % 11 = 0
+                          THEN substr(c_mktsegment, 1, length(c_mktsegment) - 1)
+                          ELSE c_mktsegment END AS seg
+              FROM customer
+            ), refs(ref) AS (
+              VALUES {', '.join(f"({_sql_lit(r)})" for r in _SEGMENTS)}
+            ), scored AS (
+              SELECT c_custkey, seg, ref,
+                     jaro_winkler_similarity(seg, ref) AS s
+              FROM src CROSS JOIN refs
+              WHERE jaro_winkler_similarity(seg, ref) >= 0.85
+            ), best AS (
+              SELECT c_custkey, ref FROM scored
+              QUALIFY row_number() OVER (
+                PARTITION BY c_custkey ORDER BY s DESC, ref DESC) = 1
+            )
+            SELECT src.c_custkey, coalesce(best.ref, src.seg) AS corrected
+            FROM src LEFT JOIN best USING (c_custkey)""",
+        "lookup_standardize": """
+            SELECT CASE c_mktsegment
+                   WHEN 'BUILDING' THEN 'CONSTRUCTION'
+                   WHEN 'MACHINERY' THEN 'INDUSTRIAL'
+                   ELSE c_mktsegment END AS segment,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM customer GROUP BY 1""",
         "spelling_variants": """
             WITH src AS (
               SELECT CASE WHEN c_custkey % 11 = 0
