@@ -244,9 +244,17 @@ def encoding_xmlcharref(text: str) -> str:
 
 _SYMBOL_RE = re.compile(r"[^A-Za-z0-9 \t\n\r\x0b\f]")
 
+# delete-table twin of _SYMBOL_RE: translate() removes every ALLOWED char,
+# so len(result) == count of symbol chars — C-speed, same count
+_SYMBOL_DELETE = str.maketrans(
+    "",
+    "",
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789 \t\n\r\x0b\f",
+)
+
 
 def symbol_count(text: str) -> int:
-    return len(_SYMBOL_RE.findall(text))
+    return len(text.translate(_SYMBOL_DELETE))
 
 
 def mean_word_length(words: list[str]) -> float:
@@ -289,9 +297,14 @@ def langid(text: str) -> tuple[str, float]:
     words = [w.lower() for w in tokenize(text)]
     if not words:
         return "und", 0.0
+    # Counter + profile-side iteration: cost O(|profile|) per language
+    # instead of O(n_words) — identical integer hit counts
+    from collections import Counter
+
+    cnt = Counter(words)
     best_lang, best_hits = "und", 0
     for code in sorted(LANG_PROFILES):
-        hits = sum(1 for w in words if w in LANG_PROFILES[code])
+        hits = sum(cnt[w] for w in LANG_PROFILES[code] if w in cnt)
         if hits > best_hits:
             best_lang, best_hits = code, hits
     return best_lang, best_hits / len(words)
@@ -340,6 +353,18 @@ def _train_bigram_model() -> list[list[float]]:
 
 _BIGRAM_LOGP = _train_bigram_model()
 
+# vectorized lookup tables for the hot scoring path: numpy fancy-indexing
+# replaces the per-pair python loop. np.cumsum is a SEQUENTIAL scan, so
+# the float accumulation order (left-to-right double adds) is bit-identical
+# to the previous `total += logp` loop — parity with the DuckDB oracle's
+# sequential list_sum is preserved, not approximated.
+import numpy as _np  # noqa: E402  (baked-in dependency)
+
+_LP_NP = _np.array(_BIGRAM_LOGP)
+_CHAR_LOOKUP = _np.zeros(128, dtype=_np.int8)
+for _c, _i in _CHAR_INDEX.items():
+    _CHAR_LOOKUP[ord(_c)] = _i
+
 
 def perplexity(text: str) -> float:
     """Char-bigram perplexity of the lowercased [a-z ] projection of text.
@@ -351,9 +376,9 @@ def perplexity(text: str) -> float:
     seq = _WS_RE.sub(" ", seq).strip()
     if len(seq) < 2:
         return 1e9
-    total = 0.0
-    for a, b in zip(seq, seq[1:]):
-        total += _BIGRAM_LOGP[_CHAR_INDEX[a]][_CHAR_INDEX[b]]
+    idx = _CHAR_LOOKUP[_np.frombuffer(seq.encode("ascii"), dtype=_np.uint8)]
+    vals = _LP_NP[idx[:-1], idx[1:]]
+    total = float(_np.cumsum(vals)[-1])
     return 2.0 ** (-total / (len(seq) - 1))
 
 
@@ -416,11 +441,14 @@ def score_document(text: str) -> tuple[str, float, float, int, float, int]:
     stopword_hits separately (the scoring UDF uses this; the oracle path
     via doc_reasons uses the separate functions — parity is asserted in
     tests)."""
+    from collections import Counter
+
     words = tokenize(text)
     lower = [w.lower() for w in words]
     n_words = len(words)
     mwl = (sum(len(w) for w in words) / n_words) if n_words else 0.0
-    sw_hits = sum(1 for w in lower if w in STOPWORDS_EN)
+    cnt = Counter(lower)
+    sw_hits = sum(cnt[w] for w in STOPWORDS_EN if w in cnt)
     script = script_lang(text)
     if script is not None:
         best_lang, conf = script
@@ -428,8 +456,7 @@ def score_document(text: str) -> tuple[str, float, float, int, float, int]:
         best_lang, best_hits = "und", 0
         if n_words:
             for code in sorted(LANG_PROFILES):
-                profile = LANG_PROFILES[code]
-                hits = sum(1 for w in lower if w in profile)
+                hits = sum(cnt[w] for w in LANG_PROFILES[code] if w in cnt)
                 if hits > best_hits:
                     best_lang, best_hits = code, hits
         conf = (best_hits / n_words) if n_words else 0.0
@@ -457,7 +484,7 @@ def full_metrics(text: str) -> tuple:
         mwl,
         sw_hits,
         len(text),
-        len(_SYMBOL_RE.findall(text)),
+        symbol_count(text),
         n_lines,
         n_distinct,
         bp,
