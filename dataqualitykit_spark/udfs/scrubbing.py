@@ -11,25 +11,57 @@ Replaces the reference's row-at-a-time encoding UDFs
 
 from __future__ import annotations
 
+import re
+
 import pandas as pd
 from pyspark.sql import functions as F
 from pyspark.sql.types import StringType
 
-from ..semantics import _CTRL_RE, _TOX_RE, MOJIBAKE_MAP, PII_BANK
+from ..semantics import _CTRL_RE, _TOX_RE, MOJIBAKE_MAP, PII_BANK, TOXICITY_LEXICON
+
+_DIGIT_RE = re.compile(r"\d")
+
+# Exact-equivalence gates: a pattern is applied only to rows where a
+# mandatory literal/class of that pattern occurs, so skipping the rest is
+# a provable no-op (email REQUIRES '@'; SSN/PHONE/IP REQUIRE a digit;
+# every toxicity alternative REQUIRES its word as a case-insensitive
+# substring; every mojibake needle starts with 'Ã' or 'â'). Most clean
+# web text has no '@' and no lexicon hits — the expensive regex passes
+# run on the small dirty subset instead of the whole batch. Byte-parity
+# with the ungated oracle is pinned by tests/test_pipeline_oracle.py.
 
 
 def _scrub_batch(texts: pd.Series) -> pd.Series:
     s = texts.fillna("")
-    # 1. mojibake repair (plain str replace — vectorized, non-regex)
-    for bad, good in MOJIBAKE_MAP:
-        s = s.str.replace(bad, good, regex=False)
-    # 2. control-char strip
+    # 1. mojibake repair (plain str replace — non-regex), gated on the
+    # two needle prefixes
+    moji = s.str.contains("Ã", regex=False) | s.str.contains("â", regex=False)
+    if moji.any():
+        sub = s[moji]
+        for bad, good in MOJIBAKE_MAP:
+            sub = sub.str.replace(bad, good, regex=False)
+        s = s.copy()
+        s[moji] = sub
+    # 2. control-char strip (cheap pattern — ungated)
     s = s.str.replace(_CTRL_RE, "", regex=True)
-    # 3. PII bank in pinned order
-    for pat, repl in PII_BANK:
-        s = s.str.replace(pat, repl, regex=True)
-    # 4. toxicity mask
-    s = s.str.replace(_TOX_RE, "<TOX>", regex=True)
+    # 3. PII bank in pinned order; masks computed up front are SUPERSETS
+    # of later match-possible rows (earlier subs only remove matches)
+    has_at = s.str.contains("@", regex=False)
+    has_digit = s.str.contains(_DIGIT_RE, regex=True)
+    gates = [has_at, has_digit, has_digit, has_digit]
+    # the gate list is hand-matched to the bank — a new PII pattern must
+    # bring its own gate (or `has_digit.notna()` i.e. all-rows)
+    assert len(gates) == len(PII_BANK), "extend gates with PII_BANK"
+    for (pat, repl), gate in zip(PII_BANK, gates):
+        if gate.any():
+            s.loc[gate] = s.loc[gate].str.replace(pat, repl, regex=True)
+    # 4. toxicity mask, gated on case-insensitive substring presence
+    tox = None
+    for w in TOXICITY_LEXICON:
+        m = s.str.contains(w, case=False, regex=False)
+        tox = m if tox is None else (tox | m)
+    if tox.any():
+        s.loc[tox] = s.loc[tox].str.replace(_TOX_RE, "<TOX>", regex=True)
     return s
 
 
