@@ -24,6 +24,106 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 
+def near_dup_pairs_stream(
+    stream: DataFrame,
+    text_col: str = "text",
+    id_col: str = "url",
+    num_hashes: int = 32,
+    rows_per_band: int = 4,
+    threshold: float = 0.8,
+    state_ttl_ms: int | None = None,
+) -> DataFrame:
+    """Streaming MinHash-LSH near-dup candidate pairs: the stateless
+    signature/banding algebra (identical to the batch operators) runs on
+    the stream; an applyInPandasWithState stage keyed by (band, bucket)
+    keeps each bucket's member signatures in the state store and emits a
+    pair the moment a new document collides with a remembered one — the
+    cross-micro-batch near-dup detector the batch CC pass cannot provide
+    online.
+
+    Emits (id_a, id_b, est_jaccard) with id_a < id_b and est >= threshold.
+    A pair colliding in several bands emits once per band (dedup
+    downstream with dropDuplicates or feed a batch CC compaction). State
+    per bucket = member ids + signatures; bound the horizon with
+    state_ttl_ms exactly like dedup_stream."""
+    from ..operators.dedup import minhash_signatures
+
+    if num_hashes % rows_per_band != 0:
+        raise ValueError("num_hashes must be divisible by rows_per_band")
+    bands = num_hashes // rows_per_band
+    sigs = minhash_signatures(stream, text_col, id_col, num_hashes)
+    banded = sigs.select(
+        "id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[
+                                F.col("sig").getItem(b * rows_per_band + r)
+                                for r in range(rows_per_band)
+                            ]
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "sig", "bk.band", "bk.bucket")
+
+    def collide(
+        key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state_ttl_ms is not None:
+            state.setTimeoutDuration(state_ttl_ms)
+        if state.hasTimedOut:
+            state.remove()
+            return
+        batch = pd.concat(list(pdfs), ignore_index=True).sort_values("id")
+        ids, sigs_flat = (state.get if state.exists else ([], []))
+        # state stores signatures flattened (id i owns slots
+        # [i*num_hashes, (i+1)*num_hashes))
+        members = [
+            (ids[i], sigs_flat[i * num_hashes : (i + 1) * num_hashes])
+            for i in range(len(ids))
+        ]
+        out = []
+        for _, row in batch.iterrows():
+            # plain-python ints: numpy int64 in the state tuple breaks the
+            # JVM-side unpickler
+            rid, rsig = row["id"], [int(x) for x in row["sig"]]
+            if any(rid == m_id for m_id, _ in members):
+                continue  # same doc re-observed: not a pair with itself
+            for m_id, m_sig in members:
+                est = sum(1 for x, y in zip(rsig, m_sig) if x == y) / num_hashes
+                if est >= threshold:
+                    a, b = (rid, m_id) if rid < m_id else (m_id, rid)
+                    out.append((a, b, est))
+            members.append((rid, rsig))
+        state.update(
+            (
+                [m_id for m_id, _ in members],
+                [s for _, m_sig in members for s in m_sig],
+            )
+        )
+        if out:
+            yield pd.DataFrame(out, columns=["id_a", "id_b", "est_jaccard"])
+
+    return banded.groupBy("band", "bucket").applyInPandasWithState(
+        collide,
+        outputStructType="id_a string, id_b string, est_jaccard double",
+        stateStructType="ids array<string>, sigs array<bigint>",
+        outputMode="append",
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if state_ttl_ms is not None
+            else GroupStateTimeout.NoTimeout
+        ),
+    )
+
+
 def dedup_stream(
     stream: DataFrame,
     key_col: str = "content_md5",

@@ -45,3 +45,45 @@ def test_dedup_stream_keeps_first_across_batches(spark, tmp_path):
     }
     # one row per distinct hash; h1's batch-1 winner is the min url u1
     assert rows == {("u1", "h1"), ("u3", "h2"), ("u4", "h3")}, rows
+
+
+def test_near_dup_pairs_stream_across_batches(spark, tmp_path):
+    """A near-dup arriving in batch 2 must pair with its batch-1 twin via
+    the state store; unrelated docs emit nothing."""
+    from dataqualitykit_spark.semantics import _TRAIN_TEXT
+    from dataqualitykit_spark.streaming.dedup_stream import near_dup_pairs_stream
+
+    words = (_TRAIN_TEXT + " " + _TRAIN_TEXT).split()
+    base = " ".join(words[0:100])
+    near = " ".join(words[0:97] + ["extra", "tail", "words"])
+    other = " ".join(reversed(words[100:200]))
+
+    src = str(tmp_path / "in")
+    spark.createDataFrame(
+        [("doc-a", base), ("doc-x", other)], "url string, text string"
+    ).coalesce(1).write.parquet(f"{src}/b1")
+    spark.createDataFrame(
+        [("doc-b", near)], "url string, text string"
+    ).coalesce(1).write.parquet(f"{src}/b2")
+
+    stream = (
+        spark.readStream.schema("url string, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/b*")
+    )
+    out = near_dup_pairs_stream(stream, "text", "url", threshold=0.8)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("near_stream_t")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in spark.sql("SELECT * FROM near_stream_t").collect()
+    }
+    assert ("doc-a", "doc-b") in pairs, pairs
+    assert all({a, b} == {"doc-a", "doc-b"} for a, b in pairs), pairs
