@@ -557,19 +557,31 @@ def q_encoding_detect(spark, sf):
 
 
 def q_infer_types(spark, sf):
-    # synthesize a mixed-castability column (1/3 numeric strings) so the
-    # distributed inference has real signal, identically in both engines
+    # synthesize a mixed-castability column (1/3 numeric strings, 1/3 ISO
+    # date strings — the reference's dateutil sniff leg :630-639, 1/3
+    # free text) so every inference leg has real signal, identically in
+    # both engines
     d = _t(spark, sf, "documents").withColumn(
         "mixed",
-        F.when(F.col("doc_id") % 3 == 0, F.col("n_chars").cast("string")).otherwise(
-            F.col("text")
-        ),
+        F.when(F.col("doc_id") % 3 == 0, F.col("n_chars").cast("string"))
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.date_format(
+                F.date_add(
+                    F.lit("2024-01-01").cast("date"),
+                    (F.col("doc_id") % 365).cast("int"),
+                ),
+                "yyyy-MM-dd",
+            ),
+        )
+        .otherwise(F.col("text")),
     )
     out = dtype.infer_type_scores(d, "mixed")
     return out.select(
         "non_null_rows",
         F.round("castable_bigint", 6).alias("castable_bigint"),
         F.round("castable_double", 6).alias("castable_double"),
+        F.round("castable_date", 6).alias("castable_date"),
     )
 
 
@@ -1527,6 +1539,9 @@ def oracle_sql() -> dict[str, str]:
         "infer_types": """
             WITH d AS (
               SELECT CASE WHEN doc_id % 3 = 0 THEN CAST(n_chars AS VARCHAR)
+                          WHEN doc_id % 3 = 1 THEN strftime(
+                            DATE '2024-01-01'
+                              + to_days(CAST(doc_id % 365 AS INT)), '%Y-%m-%d')
                           ELSE text END AS mixed
               FROM documents
             )
@@ -1539,7 +1554,11 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(CASE WHEN try_cast(mixed AS DOUBLE) IS NOT NULL
                        THEN 1 ELSE 0 END)
                      / CAST(greatest(sum(CASE WHEN mixed IS NOT NULL THEN 1
-                       ELSE 0 END), 1) AS DOUBLE), 6) AS castable_double
+                       ELSE 0 END), 1) AS DOUBLE), 6) AS castable_double,
+                   round(sum(CASE WHEN try_cast(mixed AS DATE) IS NOT NULL
+                       THEN 1 ELSE 0 END)
+                     / CAST(greatest(sum(CASE WHEN mixed IS NOT NULL THEN 1
+                       ELSE 0 END), 1) AS DOUBLE), 6) AS castable_date
             FROM d""",
         "quality_score": f"""
             WITH tok AS (
