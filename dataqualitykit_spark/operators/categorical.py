@@ -90,15 +90,33 @@ def standardize_case(df: DataFrame, col: str, style: str = "lower") -> DataFrame
     return df.withColumn(col, expr)
 
 
-def map_categories(df: DataFrame, col: str, mapping: dict[str, str], keep_unknown: bool = True) -> DataFrame:
-    """U1 (:1341-1354) without the UDF: chained when for small maps."""
+def map_categories(
+    df: DataFrame,
+    col: str,
+    mapping: dict[str, str],
+    keep_unknown: bool = True,
+    case_sensitive: bool = True,
+    unknown_value: str | None = None,
+) -> DataFrame:
+    """U1 + map_to_standard_categories (:1341-1354, :1286-1339) without
+    the UDF: chained when for small maps. handle_unknown legs: keep
+    (keep_unknown=True), null (False), 'Other'-style constant
+    (unknown_value='Other'); case_sensitive=False mirrors the reference
+    default by matching on lower()."""
     c = F.col(col)
     expr = None
     for k, v in mapping.items():
-        cond = F.when(c == F.lit(k), F.lit(v))
-        expr = cond if expr is None else expr.when(c == F.lit(k), F.lit(v))
-    expr = expr.otherwise(c if keep_unknown else F.lit(None))
-    return df.withColumn(col, expr)
+        cond = (
+            (c == F.lit(k))
+            if case_sensitive
+            else (F.lower(c) == F.lit(k.lower()))
+        )
+        expr = F.when(cond, F.lit(v)) if expr is None else expr.when(cond, F.lit(v))
+    if unknown_value is not None:
+        fallback = F.lit(unknown_value)
+    else:
+        fallback = c if keep_unknown else F.lit(None)
+    return df.withColumn(col, expr.otherwise(fallback))
 
 
 def fuzzy_correct(

@@ -235,3 +235,27 @@ def test_spelling_variant_report(spark):
         ).collect()
     }
     assert out2 == {("MACHINERY", "MACHINERY"), ("MACHINRY", "MACHINERY")}
+
+
+def test_map_categories_reference_legs(spark):
+    # map_to_standard_categories (:1286-1354): case-insensitive matching,
+    # keep/null/'Other' unknown handling
+    df = spark.createDataFrame(
+        [("Red",), ("BLUE",), ("green",), ("mauve",)], "c string"
+    )
+    def vals(out):
+        return [r["c"] for r in out.orderBy("c").collect()]
+
+    m = {"red": "R", "blue": "B"}
+    assert sorted(vals(categorical.map_categories(df, "c", m, case_sensitive=False))) \
+        == sorted(["R", "B", "green", "mauve"])
+    assert sorted(
+        vals(categorical.map_categories(df, "c", m, case_sensitive=False,
+                                        unknown_value="Other")),
+    ) == sorted(["R", "B", "Other", "Other"])
+    out = categorical.map_categories(df, "c", m, keep_unknown=False,
+                                     case_sensitive=False)
+    assert sorted(v for v in vals(out) if v is not None) == ["B", "R"]
+    # case-sensitive default: only exact keys map
+    assert sorted(vals(categorical.map_categories(df, "c", {"Red": "R"}))) \
+        == sorted(["R", "BLUE", "green", "mauve"])
