@@ -419,6 +419,35 @@ def q_hash_key(spark, sf):
     return df.select("c_custkey", "row_key")
 
 
+def _synth_urls(spark, sf):
+    """Messy deterministic URLs from orders — same construction in SQL."""
+    o = _t(spark, sf, "orders")
+    tail = (
+        F.when(F.col("o_orderkey") % 4 == 0,
+               F.concat(F.lit("?utm_source=mail&ref="), F.col("o_custkey")))
+        .when(F.col("o_orderkey") % 4 == 1, F.lit("/"))
+        .when(F.col("o_orderkey") % 4 == 2, F.lit("#section"))
+        .otherwise(F.concat(F.lit("?ref="), F.col("o_custkey")))
+    )
+    return o.select(
+        "o_orderkey",
+        F.concat(
+            F.lit("HTTPS://Shop-"),
+            (F.col("o_custkey") % 50).cast("string"),
+            F.lit(".Example.COM/item/"),
+            F.col("o_orderkey").cast("string"),
+            tail,
+        ).alias("raw_url"),
+    )
+
+
+def q_normalize_url(spark, sf):
+    out = _synth_urls(spark, sf)
+    return out.select(
+        "o_orderkey", T.normalize_url(F.col("raw_url")).alias("canonical_url")
+    )
+
+
 def q_text_wordcount(spark, sf):
     d = _t(spark, sf, "documents")
     return d.select(
@@ -723,6 +752,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_correct": q_fuzzy_correct,
         "lookup_standardize": q_lookup_standardize,
         "hash_key": q_hash_key,
+        "normalize_url": q_normalize_url,
         "text_wordcount": q_text_wordcount,
         "text_quality": q_text_quality,
         "langid": q_langid,
@@ -1408,6 +1438,41 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_custkey,
                    sha256(concat_ws('|', CAST(c_custkey AS VARCHAR), c_name)) AS row_key
             FROM customer""",
+        "normalize_url": f"""
+            WITH u AS (
+              SELECT o_orderkey,
+                     concat('HTTPS://Shop-', CAST(o_custkey % 50 AS VARCHAR),
+                            '.Example.COM/item/', CAST(o_orderkey AS VARCHAR),
+                            CASE CAST(o_orderkey % 4 AS INT)
+                            WHEN 0 THEN concat('?utm_source=mail&ref=',
+                                               CAST(o_custkey AS VARCHAR))
+                            WHEN 1 THEN '/'
+                            WHEN 2 THEN '#section'
+                            ELSE concat('?ref=', CAST(o_custkey AS VARCHAR))
+                            END) AS raw
+              FROM orders
+            ), h AS (
+              SELECT o_orderkey, raw,
+                     coalesce(regexp_extract(raw, {_sql_lit(S.URL_HEAD_REGEX)}), '')
+                       AS head
+              FROM u
+            )
+            SELECT o_orderkey,
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(
+                         regexp_replace(
+                           regexp_replace(
+                             regexp_replace(
+                               concat(lower(head), substr(raw, length(head) + 1)),
+                               {_sql_lit(S.URL_FRAGMENT_REGEX)}, '', 'g'),
+                             {_sql_lit(S.URL_TRACKING_REGEXES[0][0])}, '', 'g'),
+                           {_sql_lit(S.URL_TRACKING_REGEXES[1][0])}, '?', 'g'),
+                         {_sql_lit(S.URL_TRACKING_REGEXES[2][0])}, '', 'g'),
+                       {_sql_lit(S.URL_DANGLING_REGEX)}, '', 'g'),
+                     {_sql_lit(S.URL_TRAILING_SLASH_REGEX)}, '\\1', 'g')
+                     AS canonical_url
+            FROM h""",
         "text_wordcount": f"""
             SELECT doc_id, length(text) AS n_chars_measured,
                    len({_sql_tokens('text')}) AS n_words

@@ -125,3 +125,32 @@ def token_count_bpe(col: Column) -> Column:
     """Approximate LLM token count: matches of the BPE-ish pre-tokenizer
     regex (whitespace-run tokens excluded, like GPT-2 pretokenization)."""
     return F.regexp_count(col, F.lit(BPE_TOKEN_REGEX))
+
+
+# --------------------------------------------------------------------------
+# URL canonicalization (web-pipeline op: normalize BEFORE the url-dedup
+# window so trivially-different mirrors collapse). Pattern text shared via
+# semantics.py with the python mirror and the generated DuckDB oracle SQL.
+# --------------------------------------------------------------------------
+
+
+def normalize_url(col: Column) -> Column:
+    """Column twin of semantics.normalize_url (same pattern constants,
+    Java $-backreference dialect)."""
+    from ..semantics import (
+        URL_DANGLING_REGEX,
+        URL_FRAGMENT_REGEX,
+        URL_HEAD_REGEX,
+        URL_TRACKING_REGEXES,
+        URL_TRAILING_SLASH_REGEX,
+    )
+
+    head = F.regexp_extract(col, URL_HEAD_REGEX, 0)
+    rest = col.substr(F.length(head) + 1, F.length(col))
+    u = F.concat(F.lower(head), rest)
+    u = F.regexp_replace(u, URL_FRAGMENT_REGEX, "")
+    for pat, repl in URL_TRACKING_REGEXES:
+        u = F.regexp_replace(u, pat, repl)
+    u = F.regexp_replace(u, URL_DANGLING_REGEX, "")
+    u = F.regexp_replace(u, URL_TRAILING_SLASH_REGEX, "$1")
+    return u

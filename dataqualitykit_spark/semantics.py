@@ -603,6 +603,43 @@ def simhash_portable_py(text: str, shingle_k: int = 2) -> int:
     return sim
 
 
+# ---------------------------------------------------------------------------
+# URL canonicalization — normalize BEFORE the url-dedup window so trivially
+# different mirrors collapse. Pattern TEXT is shared by the python mirror,
+# the Spark column version (functions/text.normalize_url) and the DuckDB
+# oracle; only the backreference dialect differs ($1 Java, \\1 RE2/python).
+# ---------------------------------------------------------------------------
+
+URL_HEAD_REGEX = r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*"
+_TRACK = r"(?:utm_[A-Za-z0-9_]*|gclid|fbclid)=[^&#]*"
+URL_FRAGMENT_REGEX = r"#.*$"
+# ordered: non-first param, first param with a successor, lone param
+URL_TRACKING_REGEXES = (
+    (rf"&{_TRACK}", ""),
+    (rf"\?{_TRACK}&", "?"),
+    (rf"\?{_TRACK}$", ""),
+)
+URL_DANGLING_REGEX = r"[?&]$"
+URL_TRAILING_SLASH_REGEX = r"(://[^/?#]*/.+)/$"
+
+_URL_HEAD_RE = re.compile(URL_HEAD_REGEX)
+
+
+def normalize_url(url: str) -> str:
+    """Canonical URL: lowercase scheme+host, fragment stripped, tracking
+    params (utm_*/gclid/fbclid) removed, dangling separators fixed, one
+    trailing slash stripped from a non-root path."""
+    m = _URL_HEAD_RE.match(url)
+    head = m.group(0) if m else ""
+    u = head.lower() + url[len(head):]
+    u = re.sub(URL_FRAGMENT_REGEX, "", u)
+    for pat, repl in URL_TRACKING_REGEXES:
+        u = re.sub(pat, repl, u)
+    u = re.sub(URL_DANGLING_REGEX, "", u)
+    u = re.sub(URL_TRAILING_SLASH_REGEX, r"\1", u)
+    return u
+
+
 def content_hash(text: str) -> str:
     """md5 hex of utf-8 bytes — matches Spark F.md5(F.encode(col,'UTF-8'))."""
     return hashlib.md5(text.encode("utf-8")).hexdigest()

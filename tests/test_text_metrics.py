@@ -129,3 +129,31 @@ def test_metrics_engines_agree(spark):
     b = {tuple(r[c] for c in cols) for r in
          run_pipeline(df, PipelineConfig(metrics_engine="columns")).select(*cols).collect()}
     assert a == b
+
+
+def test_normalize_url_mirror_parity(spark):
+    from pyspark.sql import functions as F
+
+    import dataqualitykit_spark.semantics as S
+    from dataqualitykit_spark.functions import text as T
+
+    cases = [
+        "HTTPS://Example.COM/Path/Page/?utm_source=x&id=7#frag",
+        "http://A.B/p?utm_a=1&utm_b=2",
+        "http://a.b/p?utm_a=1&b=2&utm_c=3",
+        "https://Site.Org/",
+        "https://site.org/deep/path/",
+        "ftp://Host/X?gclid=abc",
+        "no-scheme/path?utm_x=1",
+        "http://h/p?a=1&fbclid=zz&b=2",
+        "http://h/p",
+    ]
+    df = spark.createDataFrame([(c,) for c in cases], "u string")
+    got = [r["n"] for r in df.select(T.normalize_url(F.col("u")).alias("n")).collect()]
+    assert got == [S.normalize_url(c) for c in cases]
+    # golden canonical forms
+    assert S.normalize_url("HTTPS://Example.COM/P/?utm_source=x&id=7#f") == (
+        "https://example.com/P/?id=7"
+    )
+    assert S.normalize_url("http://A.B/p?utm_a=1&utm_b=2") == "http://a.b/p"
+    assert S.normalize_url("https://site.org/deep/path/") == "https://site.org/deep/path"
