@@ -63,6 +63,11 @@ class PipelineConfig:
     # dedup
     dedup_url: bool = True
     dedup_content: bool = True
+    # canonicalize urls (lowercase scheme+host, strip fragment/tracking
+    # params/trailing slash) and dedup on the CANONICAL key — trivially
+    # different mirrors of one page collapse; the output keeps the
+    # original url column untouched
+    normalize_urls: bool = False
 
     # near-duplicate dedup (MinHash-LSH pairs -> connected components ->
     # keep the canonical min-url row per cluster, drop_reason='dup_near').

@@ -198,9 +198,13 @@ def generate_pages(n: int, seed: int = 42) -> list[dict]:
         )
         if uh % 33 == 0:  # second crawl snapshot of the same url
             text2 = _make_text(cls, rng) if cls != "dupe_content" else text
+            # half the snapshots arrive under a tracking-param url variant:
+            # identical page under normalize_urls=True, a distinct document
+            # otherwise (url-canonicalization exercise)
+            url2 = url + "?utm_source=feed&gclid=x99" if uh % 2 == 0 else url
             rows.append(
                 {
-                    "url": url,
+                    "url": url2,
                     "warc_ts": ts + timedelta(days=7),
                     "html": html,
                     "text": text2,

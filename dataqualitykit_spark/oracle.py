@@ -29,6 +29,7 @@ from .semantics import (
     doc_reasons,
     is_missing,
     minhash_candidate_pairs,
+    normalize_url,
 )
 
 _EPOCH = datetime(1970, 1, 1)
@@ -64,13 +65,15 @@ def run_oracle(
     if cfg.dedup_url and has_ts_column:
         by_url: dict[str, list[int]] = {}
         for i, r in enumerate(out):
-            by_url.setdefault(r.url, []).append(i)
+            key = normalize_url(r.url) if cfg.normalize_urls else r.url
+            by_url.setdefault(key, []).append(i)
         for idxs in by_url.values():
             if len(idxs) > 1:
                 idxs.sort(
                     key=lambda i: (
                         -(out[i].warc_ts or _EPOCH).timestamp(),
                         chash[i],
+                        out[i].url,
                     )
                 )
                 for i in idxs[1:]:

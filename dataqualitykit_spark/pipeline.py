@@ -195,18 +195,28 @@ def run_pipeline(df: DataFrame, cfg: PipelineConfig = DEFAULT_CONFIG) -> DataFra
     metric columns; metrics are NULL for rows dropped pre-model)."""
     keep_cols = [c for c in ("url", "warc_ts", "text", "lang") if c in df.columns]
     base = df.select(*keep_cols)
+    # url-dedup key: the canonical form when cfg.normalize_urls (mirrors
+    # of one page differing only in case/fragment/tracking params collapse
+    # into one window group); the OUTPUT url column is never rewritten
+    url_key = (
+        T.normalize_url(F.col("url")) if cfg.normalize_urls else F.col("url")
+    )
     if cfg.salt_partitions > 0:
         # one explicit url repartition: balances hot domains ahead of every
         # downstream stage AND satisfies the url window's distribution
-        base = base.repartition(cfg.salt_partitions, "url")
+        base = base.repartition(cfg.salt_partitions, url_key)
 
     base = base.withColumn("_missing_raw", T.is_missing(F.col("text")))
     chash = F.md5(F.encode(F.coalesce(F.col("text"), F.lit("")), "UTF-8"))
 
     # url keep-most-recent (reference W1, QualityControl.py:1967-1981);
-    # total order (warc_ts DESC, md5 ASC) -> deterministic under any input order
+    # total order (warc_ts DESC, md5 ASC, url ASC) -> deterministic under
+    # any input order (the url leg matters only under normalize_urls,
+    # where distinct raw urls share a window group)
     if cfg.dedup_url and "url" in keep_cols and "warc_ts" in keep_cols:
-        w_url = Window.partitionBy("url").orderBy(F.col("warc_ts").desc(), chash.asc())
+        w_url = Window.partitionBy(url_key).orderBy(
+            F.col("warc_ts").desc(), chash.asc(), F.col("url").asc()
+        )
         base = base.withColumn("_dup_url", F.row_number().over(w_url) > 1)
     else:
         base = base.withColumn("_dup_url", F.lit(False))

@@ -37,6 +37,9 @@ def main() -> None:
                    help="MinHash-LSH near-dup dedup within each bucket "
                         "(pairs -> connected components -> dup_near)")
     p.add_argument("--near-dup-threshold", type=float, default=0.8)
+    p.add_argument("--normalize-urls", action="store_true",
+                   help="dedup on canonical urls (tracking params, case, "
+                        "fragments stripped)")
     p.add_argument("--master", default=None)
     p.add_argument("--no-resume", action="store_true",
                    help="ignore an existing manifest and start over")
@@ -66,6 +69,7 @@ def main() -> None:
         salt_partitions=args.salt_partitions,
         dedup_near=args.near_dedup,
         near_dup_threshold=args.near_dup_threshold,
+        normalize_urls=args.normalize_urls,
     )
     manifest = run_resumable(
         spark, source, args.output, n_buckets=args.buckets, cfg=cfg
