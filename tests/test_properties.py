@@ -51,7 +51,8 @@ def test_tokenize_never_produces_empty_or_ascii_ws_tokens(t):
 def test_langid_confidence_bounds(t):
     lang, conf = S.langid(t)
     assert 0.0 <= conf <= 1.0
-    assert lang in set(S.LANG_PROFILES) | {"und"}
+    script_codes = {c for c, _r, _t in S.SCRIPT_RANGES}
+    assert lang in set(S.LANG_PROFILES) | script_codes | {"und"}
 
 
 @given(st.lists(st.integers(0, 2**31), min_size=1, max_size=30), st.integers(0, 5))
