@@ -38,7 +38,7 @@ def test_dedup_stream_keeps_first_across_batches(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(300), 'stream did not finish'
     rows = {
         (r["url"], r["content_md5"])
         for r in spark.sql("SELECT * FROM dedup_stream_t").collect()
@@ -80,7 +80,7 @@ def test_near_dup_pairs_stream_across_batches(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    assert q.awaitTermination(300), 'stream did not finish'
     pairs = {
         (r["id_a"], r["id_b"])
         for r in spark.sql("SELECT * FROM near_stream_t").collect()
