@@ -207,9 +207,22 @@ def spelling_variant_report(
         refs = df.sparkSession.createDataFrame(
             [(r,) for r in reference_values], ["reference"]
         )
+    pairs = vals.crossJoin(F.broadcast(refs))
+    # lossless native prefilter before the Arrow scoring: jw >= t implies
+    # jaro >= (t-0.4)/0.6 (winkler boost <= 0.4*(1-jaro)), and
+    # jaro <= (m/l1 + m/l2 + 1)/3 with m <= min(l1,l2) forces
+    # min/max >= 3*jaro_min - 2 — pairs with a worse length ratio CANNOT
+    # clear the threshold, so the JVM drops them before Python sees them.
+    # (Only a finite bound when jaro_min > 2/3, i.e. t > 0.8.)
+    jaro_min = (threshold - 0.4) / 0.6
+    ratio_min = 3.0 * jaro_min - 2.0
+    if ratio_min > 0:
+        lv, lr = F.length("value"), F.length("reference")
+        pairs = pairs.filter(
+            F.least(lv, lr) >= F.lit(ratio_min) * F.greatest(lv, lr)
+        )
     return (
-        vals.crossJoin(F.broadcast(refs))
-        .withColumn("similarity", jw_udf(F.col("value"), F.col("reference")))
+        pairs.withColumn("similarity", jw_udf(F.col("value"), F.col("reference")))
         .filter(F.col("similarity") >= F.lit(threshold))
     )
 
