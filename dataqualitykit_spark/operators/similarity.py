@@ -344,6 +344,94 @@ def ivf_topk(
     )
 
 
+def build_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    seed: int = 42,
+) -> None:
+    """Persist the IVF index: fit the KMeans coarse quantizer once, write
+    the corpus PARTITIONED BY CELL (query probes then partition-prune to
+    n_probe/n_cells of the data) and save the model alongside. This is
+    the 10^12-doc shape — assignment happens once at build time, not per
+    query batch (ivf_topk's convenience form re-assigns per call)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cvec"),
+    ).withColumn("_feat", array_to_vector(F.col("cvec")))
+    model = KMeans(
+        k=n_cells, seed=seed, featuresCol="_feat", predictionCol="cell"
+    ).fit(c)
+    model.write().overwrite().save(f"{path}/model")
+    (
+        model.transform(c)
+        .drop("_feat")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(f"{path}/cells")
+    )
+
+
+def ivf_topk_indexed(
+    spark,
+    path: str,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_probe: int = 4,
+) -> DataFrame:
+    """Query a build_ivf_index output: probe cells come from the saved
+    centers; the cell filter partition-prunes the parquet scan, so only
+    n_probe cell directories are read. Same output contract as
+    cosine_topk/ivf_topk."""
+    import numpy as np
+    from pyspark.ml.clustering import KMeansModel
+
+    model = KMeansModel.load(f"{path}/model")
+    centers = np.array([np.asarray(ctr) for ctr in model.clusterCenters()])
+    q_rows = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qvec"),
+    ).collect()
+    probe_rows = []
+    probe_cells: set[int] = set()
+    for r in q_rows:
+        qv = np.array(r["qvec"])
+        d = ((centers - qv) ** 2).sum(axis=1)
+        for cell in np.argsort(d, kind="stable")[:n_probe]:
+            probe_rows.append((r["query_id"], list(r["qvec"]), int(cell)))
+            probe_cells.add(int(cell))
+    probes = spark.createDataFrame(
+        probe_rows, "query_id long, qvec array<double>, cell int"
+    )
+    assigned = spark.read.parquet(f"{path}/cells").filter(
+        F.col("cell").isin(*sorted(probe_cells))
+    )
+    sims = (
+        assigned.join(F.broadcast(probes), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_similarity_col(F.col("qvec"), F.col("cvec")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.round(F.col("cosine"), 6).desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .withColumn("cosine", F.round("cosine", 6))
+    )
+
+
 def cosine_dup_pairs_lsh(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -91,3 +91,21 @@ def test_ivf_topk_recall_vs_bruteforce(spark, planted):
     }
     recall = len(truth & got) / len(truth)
     assert recall >= 0.9, (recall, len(truth), len(got))
+
+
+def test_ivf_indexed_matches_per_call_and_prunes(spark, planted, tmp_path):
+    queries = planted.filter("vec_id >= 1000")
+    corpus = planted.filter("vec_id < 1000")
+    path = str(tmp_path / "ivf")
+    similarity.build_ivf_index(corpus, path, n_cells=16)
+    got = similarity.ivf_topk_indexed(spark, path, queries, k=5, n_probe=4)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    # the probe-cell filter reaches the parquet reader as a partition filter
+    assert "PartitionFilters" in plan and "cell" in plan.split("PartitionFilters")[1][:160]
+    # identical results to the per-call form (same quantizer seed)
+    per_call = {
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in similarity.ivf_topk(corpus, queries, k=5, n_probe=4).collect()
+    }
+    indexed = {(r["query_id"], r["neighbor_id"], r["rank"]) for r in got.collect()}
+    assert indexed == per_call
