@@ -82,3 +82,19 @@ def test_near_dup_class_detected(near_golden):
 def test_near_dedup_off_by_default(near_golden):
     golden_default = run_oracle(generate_pages(N_PAGES))
     assert all(g.drop_reason != "dup_near" for g in golden_default)
+
+
+def test_recompute_materialization_matches_checkpoint(spark, near_labeled):
+    """The 100-TB materialization policy ('recompute': no corpus in the
+    block manager, pairs branch re-scans) must produce identical labels."""
+    cfg = PipelineConfig(
+        dedup_near=True, near_dup_hash="md5", near_dup_materialize="recompute"
+    )
+    rows = run_pipeline(pages_dataframe(spark, N_PAGES), cfg).select(
+        "url", "warc_ts", "keep", "drop_reason"
+    ).collect()
+    got = {(r["url"], r["warc_ts"]): (r["keep"], r["drop_reason"]) for r in rows}
+    want = {
+        k: (v["keep"], v["drop_reason"]) for k, v in near_labeled.items()
+    }
+    assert got == want
