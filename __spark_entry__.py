@@ -68,7 +68,7 @@ def _sql_scrub(col: str) -> str:
     for bad, good in S.MOJIBAKE_MAP:
         expr = f"replace({expr}, {_sql_lit(bad)}, {_sql_lit(good)})"
     expr = f"regexp_replace({expr}, {_sql_lit(S._CTRL_RE.pattern)}, '', 'g')"
-    for pat, repl in S.PII_BANK:
+    for pat, repl, _gate in S.PII_BANK:
         expr = f"regexp_replace({expr}, {_sql_lit(pat.pattern)}, {_sql_lit(repl)}, 'g')"
     expr = f"regexp_replace({expr}, {_sql_lit(S._TOX_RE.pattern)}, '<TOX>', 'gi')"
     return expr
@@ -219,8 +219,7 @@ def q_lag_breach(spark, sf):
     prev = F.lag("value").over(w)
     return _t(spark, sf, "events").select(
         "event_id",
-        F.when(prev.isNull(), F.lit(False))
-        .otherwise(F.abs(F.col("value") - prev) > 50.0)
+        F.coalesce(F.abs(F.col("value") - prev) > 50.0, F.lit(False))
         .alias("breach"),
     )
 

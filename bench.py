@@ -136,10 +136,14 @@ def main() -> None:
         .collect(),
     )
 
-    # q4: MinHash-LSH near-dup candidates
+    # q4: MinHash-LSH near-dup candidates. Same single-split rationale as
+    # the pipeline leg: the tiny source parquet arrives as ONE partition,
+    # which would serialize the 32-permutation signature stage on one core
+    # — at 100 TB the input is thousands of splits, so spread it first.
+    docs_split = docs.repartition(int(cpus))
     timed(
         "minhash_lsh",
-        lambda: dedup.minhash_jaccard(docs, "text", "doc_id")
+        lambda: dedup.minhash_jaccard(docs_split, "text", "doc_id")
         .filter(F.col("est_jaccard") >= 0.8)
         .agg(F.count(F.lit(1)))
         .collect(),

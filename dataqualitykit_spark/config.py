@@ -78,14 +78,22 @@ class PipelineConfig:
     # DuckDB/python oracles can reproduce bit-for-bit
     near_dup_hash: str = "xxhash64"
     near_dup_hashes: int = 32
-    # 'localCheckpoint' materializes the exact-dedup output once (pairs
-    # branch + labeled branch reuse it) — right while the corpus fits
-    # executor storage; 'recompute' trades a second source scan for zero
-    # cached state (the 100 TB setting; see pipeline.run_pipeline)
-    near_dup_materialize: str = "localCheckpoint"
+    # 'recompute' (DEFAULT — the scale-safe policy) trades a second source
+    # scan for zero cached state: nothing is ever pinned in executor block
+    # storage, so the plan is identical at 10^12 docs. 'localCheckpoint'
+    # materializes the exact-dedup output once (pairs branch + labeled
+    # branch reuse it) — an opt-in for corpora that fit executor storage.
+    # Labels are policy-independent (tested in tests/test_near_dedup.py).
+    near_dup_materialize: str = "recompute"
 
-    # scale mechanics
-    salt_partitions: int = 0  # 0 = leave to AQE; >0 = explicit salted repartition
+    # scale mechanics.
+    # salt_partitions: the ONE explicit url repartition that both levels
+    # hot-domain skew and feeds the dedup windows with no further
+    # exchange. -1 = AUTO (DEFAULT): derive 2x defaultParallelism at plan
+    # time — on the local[32] bench machine that is the bench-proven 64;
+    # on a 1000-executor cluster it scales with the cores. 0 = disable
+    # (leave partitioning to AQE). >0 = explicit pin.
+    salt_partitions: int = -1
     shuffle_partitions: int = 32
     arrow_batch_size: int = 10_000
     # 'udf' = all per-doc metrics from the fused Arrow scorer (measured

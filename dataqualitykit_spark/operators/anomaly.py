@@ -122,9 +122,12 @@ def lag_tolerance_breach(
         breach = F.col(col) != prev
     else:
         raise ValueError(f"kind must be numeric/temporal/categorical, got {kind!r}")
+    # coalesce catches BOTH null legs: prev NULL (first row of a partition)
+    # and current-value NULL (breach expr null-propagates) — the output is
+    # always a real boolean, mirroring the oracle's coalesce(..., FALSE)
     return df.withColumn(
         "tolerance_breach",
-        F.when(prev.isNull(), F.lit(False)).otherwise(breach),
+        F.coalesce(breach, F.lit(False)),
     )
 
 

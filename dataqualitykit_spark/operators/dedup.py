@@ -233,14 +233,19 @@ def minhash_jaccard(
     num_hashes // rows_per_band) so any signature width is consistent.
     Returns (id_a, id_b, est_jaccard).
 
-    Signatures are materialized once via localCheckpoint (eager) for the
-    triple reuse (banding + two joins); the blocks are freed when the
-    returned frame is garbage-collected — no cache leaking across calls
-    (a .cache() here would pin executor storage until someone remembers
-    spark.catalog.clearCache())."""
+    Signatures are materialized once via LAZY localCheckpoint for the
+    triple reuse (banding + two joins): lineage is cut identically to the
+    eager form, but materialization happens inside the first consumer's
+    job instead of a separate blocking job up front (the eager barrier
+    cost a fixed extra job round-trip per call — round-2 bench regression).
+    The blocks are freed when the returned frame is garbage-collected — no
+    cache leaking across calls (a .cache() here would pin executor storage
+    until someone remembers spark.catalog.clearCache())."""
     if num_hashes % rows_per_band != 0:
         raise ValueError("num_hashes must be divisible by rows_per_band")
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes).localCheckpoint()
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes).localCheckpoint(
+        eager=False
+    )
     pairs = lsh_candidate_pairs(
         sigs, bands=num_hashes // rows_per_band, rows_per_band=rows_per_band
     )
@@ -314,6 +319,15 @@ def connected_components(
         labels = new
         if changed == 0:
             break
+    else:
+        # labels are NOT component minima when propagation is cut short —
+        # consuming them would silently split long near-dup chains and keep
+        # duplicates, so fail loudly instead of degrading
+        raise RuntimeError(
+            f"connected_components did not converge in max_iter={max_iter} "
+            f"rounds ({changed} labels still changing); raise max_iter — "
+            "rounds needed grow with the longest chain's diameter"
+        )
     return labels.withColumnRenamed("label", "component")
 
 

@@ -201,10 +201,13 @@ def run_pipeline(df: DataFrame, cfg: PipelineConfig = DEFAULT_CONFIG) -> DataFra
     url_key = (
         T.normalize_url(F.col("url")) if cfg.normalize_urls else F.col("url")
     )
-    if cfg.salt_partitions > 0:
+    n_salt = cfg.salt_partitions
+    if n_salt < 0:  # AUTO: 2x cores — AQE can still coalesce small stages
+        n_salt = 2 * df.sparkSession.sparkContext.defaultParallelism
+    if n_salt > 0:
         # one explicit url repartition: balances hot domains ahead of every
         # downstream stage AND satisfies the url window's distribution
-        base = base.repartition(cfg.salt_partitions, url_key)
+        base = base.repartition(n_salt, url_key)
 
     base = base.withColumn("_missing_raw", T.is_missing(F.col("text")))
     chash = F.md5(F.encode(F.coalesce(F.col("text"), F.lit("")), "UTF-8"))

@@ -171,11 +171,17 @@ MOJIBAKE_MAP = (
 # 3. PII bank — order matters (SSN before phone so 123-45-6789 is not
 # half-eaten by the phone pattern). Phone golden format from the reference
 # fixture tests/test_format_consistency.py:36 (123-456-7890, (123) 456-7890).
-PII_BANK: tuple[tuple[re.Pattern[str], str], ...] = (
-    (re.compile(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"), "<EMAIL>"),
-    (re.compile(r"\b\d{3}-\d{2}-\d{4}\b"), "<SSN>"),
-    (re.compile(r"(?:\+1[-. ])?(?:\(\d{3}\)\s?|\b\d{3}[-.])\d{3}[-.]\d{4}\b"), "<PHONE>"),
-    (re.compile(r"\b(?:\d{1,3}\.){3}\d{1,3}\b"), "<IP>"),
+# Each entry carries its own exact-equivalence GATE — a literal/class the
+# pattern REQUIRES, so skipping rows without it is a provable no-op. Keys:
+# "at" = row contains '@'; "digit" = row contains a decimal digit; None =
+# no gate (apply to all rows). The gate travels WITH the pattern so the
+# pairing cannot drift when the bank is reordered or extended (a parallel
+# hand-matched list in the scrub UDF previously could).
+PII_BANK: tuple[tuple[re.Pattern[str], str, str | None], ...] = (
+    (re.compile(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"), "<EMAIL>", "at"),
+    (re.compile(r"\b\d{3}-\d{2}-\d{4}\b"), "<SSN>", "digit"),
+    (re.compile(r"(?:\+1[-. ])?(?:\(\d{3}\)\s?|\b\d{3}[-.])\d{3}[-.]\d{4}\b"), "<PHONE>", "digit"),
+    (re.compile(r"\b(?:\d{1,3}\.){3}\d{1,3}\b"), "<IP>", "digit"),
 )
 
 _TOX_RE = re.compile(
@@ -197,7 +203,7 @@ def scrub_text(text: str) -> str:
     for bad, good in MOJIBAKE_MAP:
         out = out.replace(bad, good)
     out = _CTRL_RE.sub("", out)
-    for pat, repl in PII_BANK:
+    for pat, repl, _gate in PII_BANK:  # oracle is ungated — gates are no-ops
         out = pat.sub(repl, out)
     out = _TOX_RE.sub("<TOX>", out)
     return out

@@ -46,14 +46,17 @@ def _scrub_batch(texts: pd.Series) -> pd.Series:
     s = s.str.replace(_CTRL_RE, "", regex=True)
     # 3. PII bank in pinned order; masks computed up front are SUPERSETS
     # of later match-possible rows (earlier subs only remove matches)
-    has_at = s.str.contains("@", regex=False)
-    has_digit = s.str.contains(_DIGIT_RE, regex=True)
-    gates = [has_at, has_digit, has_digit, has_digit]
-    # the gate list is hand-matched to the bank — a new PII pattern must
-    # bring its own gate (or `has_digit.notna()` i.e. all-rows)
-    assert len(gates) == len(PII_BANK), "extend gates with PII_BANK"
-    for (pat, repl), gate in zip(PII_BANK, gates):
-        if gate.any():
+    # gate predicates are declared WITH each bank entry (semantics.PII_BANK
+    # 3-tuples), so reordering/extending the bank cannot desync the gates
+    gate_masks = {
+        "at": s.str.contains("@", regex=False),
+        "digit": s.str.contains(_DIGIT_RE, regex=True),
+    }
+    for pat, repl, gate_key in PII_BANK:
+        gate = gate_masks[gate_key] if gate_key is not None else None
+        if gate is None:
+            s = s.str.replace(pat, repl, regex=True)
+        elif gate.any():
             s.loc[gate] = s.loc[gate].str.replace(pat, repl, regex=True)
     # 4. toxicity mask, gated on case-insensitive substring presence
     tox = None
