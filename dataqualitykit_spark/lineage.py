@@ -20,6 +20,22 @@ billions of md5s; AQE may still choose broadcast when the set is actually
 small) against the hashes already written by COMPLETED buckets. Within a
 bucket the window dedup applies as usual; across buckets the manifest
 state substitutes for a global shuffle.
+
+NEAR-dup dedup spans buckets the same way (cfg.dedup_near): each bucket
+persists the MinHash signatures of its near-dedup participants (exact-dedup
+survivors — kept, quality-dropped and near-dropped rows alike, so
+transitive chains propagate) to a `near_sigs` table partitioned by
+bucket_id; before finalizing bucket b, its participants' signatures
+band-join (dedup.minhash_jaccard_cross) against completed buckets'
+signatures, and any row whose estimated Jaccard against a prior doc clears
+cfg.near_dup_threshold is relabeled drop_reason='dup_near'. Semantics are
+GREEDY FIRST-SEEN in bucket order (the prior doc always wins), which is
+deterministic across kill/resume because bucket order is fixed and resume
+skips completed buckets — an interrupted run converges to the
+uninterrupted run's exact labels. (A single global run_pipeline instead
+picks the min-url doc of each connected component as keeper, so WHICH
+member of a cross-bucket cluster is kept can differ between the global and
+bucketed shapes; each shape is internally deterministic.)
 """
 
 from __future__ import annotations
@@ -141,6 +157,90 @@ def run_resumable(
                 )
                 .withColumn("keep", F.col("keep") & F.col("_dup_prior").isNull())
                 .drop("_h", "_dup_prior")
+            )
+        # cross-bucket NEAR-dup dedup: mirror of the md5 prior-join above,
+        # but the key is a band-bucket collision over persisted MinHash
+        # signatures instead of an exact hash equality.
+        if cfg.dedup_near:
+            from .operators import dedup as _dedup
+
+            portable = cfg.near_dup_hash == "md5"
+            sig_fn = (
+                _dedup.minhash_signatures_portable
+                if portable
+                else _dedup.minhash_signatures
+            )
+            # the near stage reuses `labeled` three times (participants,
+            # relabel join, write) — cut the UDF-scoring lineage once; the
+            # working set is one BUCKET, bounded by construction
+            labeled = labeled.localCheckpoint(eager=False)
+            # near-dedup participants = exact-dedup survivors (the same
+            # set run_pipeline bands within the bucket): kept rows AND
+            # quality/near-dropped rows, so chains propagate via dropped
+            # members; never missing/dup_url/dup_content rows
+            participant = F.col("drop_reason").isNull() | ~F.col(
+                "drop_reason"
+            ).isin("missing_text", "dup_url", "dup_content")
+            part_keys = labeled.filter(participant).select(
+                "url", F.col("content_md5").alias("_h")
+            )
+            # recover participant text from the bucket input: join on
+            # (url, md5) — rows sharing both have byte-identical text, so
+            # dropDuplicates is exact
+            texts = (
+                part.withColumn(
+                    "_h",
+                    F.md5(
+                        F.encode(F.coalesce(F.col("text"), F.lit("")), "UTF-8")
+                    ),
+                )
+                .join(part_keys, ["url", "_h"])
+                .dropDuplicates(["url"])
+                .select("url", "text")
+            )
+            sigs_b = sig_fn(
+                texts, "text", "url", cfg.near_dup_hashes
+            ).localCheckpoint(eager=False)
+            if done:
+                prior_sigs = (
+                    spark.read.parquet(io._path("near_sigs"))
+                    .filter(F.col("bucket_id").isin(*[int(x) for x in done]))
+                    .select("id", "sig")
+                )
+                near_hits = (
+                    _dedup.minhash_jaccard_cross(
+                        sigs_b,
+                        prior_sigs,
+                        num_hashes=cfg.near_dup_hashes,
+                        portable=portable,
+                    )
+                    .filter(F.col("est_jaccard") >= cfg.near_dup_threshold)
+                    .select(F.col("id_a").alias("url"))
+                    .distinct()
+                    .withColumn("_nd_prior", F.lit(True))
+                )
+                labeled = (
+                    labeled.join(near_hits, "url", "left")
+                    .withColumn(
+                        "drop_reason",
+                        F.when(
+                            F.col("_nd_prior").isNotNull(), F.lit("dup_near")
+                        ).otherwise(F.col("drop_reason")),
+                    )
+                    .withColumn("keep", F.col("keep") & F.col("_nd_prior").isNull())
+                    .drop("_nd_prior")
+                )
+            # persist this bucket's participant signatures (idempotent
+            # dynamic overwrite, same contract as the labeled write). The
+            # sig type is hash-family-specific — do not switch
+            # cfg.near_dup_hash mid-run.
+            (
+                sigs_b.select(F.col("id"), F.col("sig"))
+                .withColumn("bucket_id", F.lit(b))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("bucket_id")
+                .parquet(io._path("near_sigs"))
             )
         labeled = labeled.withColumn("bucket_id", F.lit(b))
         # idempotent per-bucket commit: dynamic partition overwrite on

@@ -183,13 +183,10 @@ def minhash_signatures(
     return hashed.select("id", sig.alias("sig"))
 
 
-def lsh_candidate_pairs(
-    sigs: DataFrame, bands: int = 8, rows_per_band: int = 4
-) -> DataFrame:
-    """Band the signatures and self-join on (band, band_hash) — the classic
-    LSH bucket join. Shuffles only (band_key, id), never the text. Returns
-    distinct candidate (id_a, id_b) with id_a < id_b."""
-    banded = sigs.select(
+def _band_keys_fast(sigs: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
+    """(id, band, bucket:long) band keys over xxhash64 signatures — the
+    sig array is projected away before any exchange."""
+    return sigs.select(
         "id",
         F.explode(
             F.array(
@@ -208,6 +205,46 @@ def lsh_candidate_pairs(
             )
         ).alias("bk"),
     ).select("id", "bk.band", "bk.bucket")
+
+
+def _band_keys_portable(
+    sigs: DataFrame, bands: int, rows_per_band: int
+) -> DataFrame:
+    """(id, band, bucket:string) band keys over md5-portable signatures."""
+    return sigs.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.encode(
+                                F.concat_ws(
+                                    "|",
+                                    *[
+                                        F.col("sig").getItem(b * rows_per_band + r)
+                                        for r in range(rows_per_band)
+                                    ],
+                                ),
+                                "UTF-8",
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "bk.band", "bk.bucket")
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, bands: int = 8, rows_per_band: int = 4
+) -> DataFrame:
+    """Band the signatures and self-join on (band, band_hash) — the classic
+    LSH bucket join. Shuffles only (band_key, id), never the text. Returns
+    distinct candidate (id_a, id_b) with id_a < id_b."""
+    banded = _band_keys_fast(sigs, bands, rows_per_band)
     # join on=[names] so Catalyst plans a shuffled hash/sort-merge EQUI-join;
     # a raw self-join condition on aliased frames risks ambiguous-attribute
     # resolution degrading to BroadcastNestedLoopJoin (O(n^2) — observed)
@@ -246,8 +283,31 @@ def minhash_jaccard(
     sigs = minhash_signatures(df, text_col, id_col, num_hashes).localCheckpoint(
         eager=False
     )
-    pairs = lsh_candidate_pairs(
-        sigs, bands=num_hashes // rows_per_band, rows_per_band=rows_per_band
+    return minhash_jaccard_from_sigs(sigs, num_hashes, rows_per_band)
+
+
+def minhash_jaccard_from_sigs(
+    sigs: DataFrame,
+    num_hashes: int = 32,
+    rows_per_band: int = 4,
+    portable: bool = False,
+) -> DataFrame:
+    """LSH self-join candidates + slot-match estimate over an EXISTING
+    (id, sig) frame — the shared core of minhash_jaccard and its portable
+    twin, reusable when signatures are already materialized (streaming
+    micro-batches, lineage buckets, a persisted signature table)."""
+    if num_hashes % rows_per_band != 0:
+        raise ValueError("num_hashes must be divisible by rows_per_band")
+    bands = num_hashes // rows_per_band
+    band_fn = _band_keys_portable if portable else _band_keys_fast
+    banded = band_fn(sigs, bands, rows_per_band)
+    a = banded.withColumnRenamed("id", "id_a")
+    b = banded.withColumnRenamed("id", "id_b")
+    pairs = (
+        a.join(b, on=["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
     )
     sa = sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
     sb = sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
@@ -386,31 +446,7 @@ def minhash_jaccard_portable(
     sigs = minhash_signatures_portable(
         df, text_col, id_col, num_hashes, shingle_k
     ).localCheckpoint()
-    banded = sigs.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.md5(
-                            F.encode(
-                                F.concat_ws(
-                                    "|",
-                                    *[
-                                        F.col("sig").getItem(b * rows_per_band + r)
-                                        for r in range(rows_per_band)
-                                    ],
-                                ),
-                                "UTF-8",
-                            )
-                        ).alias("bucket"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bk"),
-    ).select("id", "bk.band", "bk.bucket")
+    banded = _band_keys_portable(sigs, bands, rows_per_band)
     a = banded.withColumnRenamed("id", "id_a")
     b = banded.withColumnRenamed("id", "id_b")
     pairs = (
@@ -421,6 +457,46 @@ def minhash_jaccard_portable(
     )
     sa = sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
     sb = sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+    est = (
+        F.size(
+            F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m)
+        )
+        / F.lit(num_hashes)
+    )
+    return pairs.join(sa, "id_a").join(sb, "id_b").select(
+        "id_a", "id_b", est.alias("est_jaccard")
+    )
+
+
+def minhash_jaccard_cross(
+    sigs_a: DataFrame,
+    sigs_b: DataFrame,
+    num_hashes: int = 32,
+    rows_per_band: int = 4,
+    portable: bool = False,
+) -> DataFrame:
+    """LSH candidates BETWEEN two signature sets (cross join, not self):
+    (id_a from sigs_a, id_b from sigs_b, est_jaccard) for every band-bucket
+    collision. Both inputs are (id, sig) frames from minhash_signatures
+    (portable=False, array<bigint>) or minhash_signatures_portable
+    (portable=True, array<string>) — the band derivation matches the
+    within-set functions bit-for-bit so within-set and cross-set candidacy
+    use identical collision geometry.
+
+    This is the cross-BUCKET near-dedup primitive: lineage.run_resumable
+    bands the current bucket's signatures against the persisted signatures
+    of completed buckets, mirroring the content_md5 prior-join. The band
+    join carries (id, band, bucket) only; signatures join back per
+    candidate pair for the slot-match estimate."""
+    if num_hashes % rows_per_band != 0:
+        raise ValueError("num_hashes must be divisible by rows_per_band")
+    bands = num_hashes // rows_per_band
+    band_fn = _band_keys_portable if portable else _band_keys_fast
+    a = band_fn(sigs_a, bands, rows_per_band).withColumnRenamed("id", "id_a")
+    b = band_fn(sigs_b, bands, rows_per_band).withColumnRenamed("id", "id_b")
+    pairs = a.join(b, on=["band", "bucket"]).select("id_a", "id_b").distinct()
+    sa = sigs_a.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = sigs_b.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
     est = (
         F.size(
             F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m)

@@ -124,6 +124,104 @@ def near_dup_pairs_stream(
     )
 
 
+def near_dedup_labeler(
+    labels_path: str,
+    sig_store_path: str,
+    text_col: str = "text",
+    id_col: str = "url",
+    num_hashes: int = 32,
+    rows_per_band: int = 4,
+    threshold: float = 0.8,
+):
+    """Streaming near-dup KEEP/DROP decisions (not just candidate pairs):
+    returns a `fn(batch_df, batch_id)` for `stream.writeStream.foreachBatch`.
+
+    Each micro-batch is near-deduped exactly like a lineage bucket
+    (lineage.run_resumable):
+
+    - WITHIN the batch: MinHash-LSH pairs -> connected components -> the
+      min-id member of each cluster keeps, the rest drop as 'dup_near'.
+    - ACROSS batches: greedy first-seen — the batch's signatures band-join
+      (dedup.minhash_jaccard_cross) against a DISK-BACKED signature store
+      of all prior batches; any doc clearing `threshold` against a prior
+      doc drops as 'dup_near'. Every batch doc's signature (kept AND
+      dropped, so transitive chains propagate) then appends to the store.
+
+    Why foreachBatch + a parquet store instead of a second
+    applyInPandasWithState stage: a doc's verdict is an OR across ALL its
+    band groups, which needs a per-doc combine after the band-keyed state
+    stage — chaining another stateful operator behind
+    applyInPandasWithState is unsupported, and at crawl scale the
+    signature set outgrows the state store anyway; a partitioned parquet
+    table IS the scalable state. Both writes are dynamic-overwrite
+    partitioned by _batch_id, so a retried batch replaces (never
+    duplicates) its own output, and the store read excludes the current
+    batch id — retries are idempotent.
+
+    Labeled output schema: input columns + keep boolean + drop_reason
+    string + _batch_id partition column.
+    """
+    from ..operators.dedup import (
+        connected_components,
+        minhash_jaccard_cross,
+        minhash_jaccard_from_sigs,
+        minhash_signatures,
+    )
+
+    def label_batch(batch: DataFrame, batch_id: int) -> None:
+        from pyspark.errors import AnalysisException
+
+        spark = batch.sparkSession
+        sigs = minhash_signatures(batch, text_col, id_col, num_hashes).localCheckpoint()
+        within = minhash_jaccard_from_sigs(sigs, num_hashes, rows_per_band).filter(
+            F.col("est_jaccard") >= threshold
+        )
+        comp = connected_components(within)
+        dropped = comp.filter(F.col("id") != F.col("component")).select("id")
+        try:
+            prior = (
+                spark.read.parquet(sig_store_path)
+                .filter(F.col("_batch_id") < F.lit(batch_id))
+                .select("id", "sig")
+            )
+            hits = (
+                minhash_jaccard_cross(sigs, prior, num_hashes, rows_per_band)
+                .filter(F.col("est_jaccard") >= threshold)
+                .select(F.col("id_a").alias("id"))
+            )
+            dropped = dropped.union(hits)
+        except AnalysisException:
+            pass  # first batch: no store yet
+        flag = dropped.distinct().withColumnRenamed("id", id_col).withColumn(
+            "_nd", F.lit(True)
+        )
+        labeled = (
+            batch.join(flag, id_col, "left")
+            .withColumn(
+                "drop_reason",
+                F.when(F.col("_nd").isNotNull(), F.lit("dup_near")),
+            )
+            .withColumn("keep", F.col("_nd").isNull())
+            .drop("_nd")
+            .withColumn("_batch_id", F.lit(batch_id))
+        )
+        (
+            labeled.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(labels_path)
+        )
+        (
+            sigs.withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(sig_store_path)
+        )
+
+    return label_batch
+
+
 def dedup_stream(
     stream: DataFrame,
     key_col: str = "content_md5",

@@ -85,6 +85,74 @@ def test_bucketed_input_written_once_and_pruned(spark, tmp_path):
     assert "F.broadcast" not in inspect.getsource(L.run_resumable)
 
 
+def test_cross_bucket_near_dedup_one_keeper(spark, tmp_path):
+    """Planted near-dup clones whose urls hash into DIFFERENT buckets get
+    exactly ONE keeper (the others drop as dup_near via the persisted-
+    signature prior-join), and a killed+resumed run converges to the
+    uninterrupted run's exact labels."""
+    import random
+    from datetime import datetime, timezone
+
+    from pyspark.sql import functions as F
+
+    from dataqualitykit_spark.config import PipelineConfig
+    from dataqualitykit_spark.fixtures import PAGES_SCHEMA
+    from dataqualitykit_spark.fixtures.pages import _english_sentence
+
+    base_text = _english_sentence(random.Random(7), 120)
+    ts = datetime(2024, 5, 1, tzinfo=timezone.utc)
+    clones = [
+        {
+            "url": f"https://ndclone-{i}.example/page",
+            "warc_ts": ts,
+            "html": None,
+            # one appended word: 3-shingle Jaccard ~0.98 between any two
+            "text": base_text + f" tailword{i}",
+            "lang": "en",
+        }
+        for i in range(6)
+    ]
+    planted = spark.createDataFrame(clones, schema=PAGES_SCHEMA)
+    # precondition (deterministic — xxhash64 is fixed): the planted urls
+    # must span >=2 url-hash buckets or the test would not exercise the
+    # cross-bucket path at all
+    bucket_of = {
+        r["url"]: r["b"]
+        for r in planted.select(
+            "url", F.pmod(F.xxhash64("url"), F.lit(4)).cast("int").alias("b")
+        ).collect()
+    }
+    assert len(set(bucket_of.values())) >= 2, bucket_of
+
+    src = pages_dataframe(spark, 150, seed=9).unionByName(planted)
+    cfg = PipelineConfig(dedup_near=True, near_dup_hash="md5")
+
+    clean = str(tmp_path / "xb_clean")
+    run_resumable(spark, src, clean, n_buckets=4, cfg=cfg)
+    labels = {
+        r["url"]: (r["keep"], r["drop_reason"], r["bucket_id"])
+        for r in spark.read.parquet(f"{clean}/labeled")
+        .filter(F.col("url").startswith("https://ndclone-"))
+        .select("url", "keep", "drop_reason", "bucket_id")
+        .collect()
+    }
+    assert len(labels) == 6
+    keepers = [u for u, (k, _, _) in labels.items() if k]
+    assert len(keepers) == 1, labels
+    assert all(dr == "dup_near" for u, (k, dr, _) in labels.items() if not k), labels
+    # greedy first-seen: the keeper lives in the EARLIEST bucket holding a
+    # clone, and at least one dup_near decision crossed a bucket boundary
+    keeper_bucket = labels[keepers[0]][2]
+    assert keeper_bucket == min(b for _, _, b in labels.values())
+    assert any(b != keeper_bucket for _, _, b in labels.values())
+
+    resumed = str(tmp_path / "xb_resumed")
+    with pytest.raises(RuntimeError, match="injected failure"):
+        run_resumable(spark, src, resumed, n_buckets=4, cfg=cfg, fail_after=2)
+    run_resumable(spark, src, resumed, n_buckets=4, cfg=cfg)
+    assert _labeled_set(spark, clean) == _labeled_set(spark, resumed)
+
+
 def test_lineage_with_near_dedup(spark, tmp_path):
     """cfg.dedup_near composes with the bucketed runner: near-dups within
     a bucket drop as dup_near, and kill/resume still converges."""

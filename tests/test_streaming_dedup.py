@@ -47,6 +47,56 @@ def test_dedup_stream_keeps_first_across_batches(spark, tmp_path):
     assert rows == {("u1", "h1"), ("u3", "h2"), ("u4", "h3")}, rows
 
 
+def test_near_dedup_stream_labels_across_batches(spark, tmp_path):
+    """foreachBatch near-dedup emits KEEP/DROP decisions: a batch-2
+    near-dup of a batch-1 doc drops with drop_reason='dup_near' via the
+    disk-backed signature store; a within-batch cluster keeps its min-id
+    member; unrelated docs keep."""
+    from dataqualitykit_spark.semantics import _TRAIN_TEXT
+    from dataqualitykit_spark.streaming.dedup_stream import near_dedup_labeler
+
+    words = (_TRAIN_TEXT + " " + _TRAIN_TEXT).split()
+    base = " ".join(words[0:100])
+    near = " ".join(words[0:97] + ["extra", "tail", "words"])
+    near2 = " ".join(words[0:97] + ["other", "end", "bits"])
+    other = " ".join(reversed(words[100:200]))
+
+    src = str(tmp_path / "in")
+    spark.createDataFrame(
+        [("doc-a", base), ("doc-c", near2), ("doc-x", other)],
+        "url string, text string",
+    ).coalesce(1).write.parquet(f"{src}/b1")
+    spark.createDataFrame(
+        [("doc-b", near), ("doc-y", " ".join(words[200:260]))],
+        "url string, text string",
+    ).coalesce(1).write.parquet(f"{src}/b2")
+
+    stream = (
+        spark.readStream.schema("url string, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/b*")
+    )
+    labels = str(tmp_path / "labels")
+    store = str(tmp_path / "sigstore")
+    q = (
+        stream.writeStream.foreachBatch(
+            near_dedup_labeler(labels, store, "text", "url", threshold=0.8)
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300), "stream did not finish"
+    rows = {
+        r["url"]: (r["keep"], r["drop_reason"])
+        for r in spark.read.parquet(labels).collect()
+    }
+    assert rows["doc-a"] == (True, None), rows
+    assert rows["doc-c"] == (False, "dup_near"), rows  # within-batch cluster
+    assert rows["doc-b"] == (False, "dup_near"), rows  # cross-batch vs store
+    assert rows["doc-x"][0] and rows["doc-y"][0], rows
+
+
 def test_near_dup_pairs_stream_across_batches(spark, tmp_path):
     """A near-dup arriving in batch 2 must pair with its batch-1 twin via
     the state store; unrelated docs emit nothing."""
