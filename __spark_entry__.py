@@ -50,6 +50,57 @@ _SQL_WS = "'[ \\t\\n\\r\\x0b\\f]+'"  # plain literal: RE2 parses the escapes
 _SQL_TRIMCHARS = "e' \\t\\n\\r\\x0B\\f'"
 
 
+def _bpe_merge_ctes(col: str, source: str, keep_cols: str = "doc_id") -> tuple[str, str]:
+    """DuckDB twin of functions/text.token_count_bpe's merge stage: the
+    marker representation + the rank-ordered literal-replace merge chain,
+    built from the SAME semantics.bpe_merge_patterns() the Spark column
+    uses. The chain is linearized into CTE stages of 32 replaces each
+    (DuckDB's binder caps expression nesting at 128). Returns
+    (cte_fragment, final_table, final_column); count with _bpe_tokens_of."""
+    u, c, p = S._BPE_U, S._BPE_C, S._BPE_P
+    # coalesce: DuckDB's array_to_string([]) is NULL, Spark's is ''
+    base = (
+        f"coalesce(array_to_string(list_transform("
+        f"regexp_extract_all(lower({col}), {_sql_lit(S.BPE_PRETOKEN_REGEX)}), "
+        f"pt -> array_to_string(list_transform(regexp_extract_all(pt, '.'), "
+        f"ch -> {_sql_lit(u)} || ch || {_sql_lit(c)}), '')), {_sql_lit(p)}), '')"
+    )
+    pats = S.bpe_merge_patterns()
+    chunk = 32
+    ctes = [f"bpe0 AS (SELECT {keep_cols}, {base} AS m0 FROM {source})"]
+    k = 0
+    for start in range(0, len(pats), chunk):
+        expr = f"m{k}"
+        for find, repl in pats[start : start + chunk]:
+            expr = f"replace({expr}, {_sql_lit(find)}, {_sql_lit(repl)})"
+        ctes.append(
+            f"bpe{k + 1} AS (SELECT {keep_cols}, {expr} AS m{k + 1} FROM bpe{k})"
+        )
+        k += 1
+    return ", ".join(ctes), f"bpe{k}", f"m{k}"
+
+
+def _bpe_tokens_of(s: str) -> str:
+    """Count of unit-open markers in a merged representation column."""
+    return (
+        f"CAST(length({s}) - length(replace({s}, {_sql_lit(S._BPE_U)}, '')) AS INT)"
+    )
+
+
+def _token_count_sql() -> str:
+    ctes, table, merged = _bpe_merge_ctes(
+        "text", "documents", keep_cols="doc_id, text"
+    )
+    return f"""
+        WITH {ctes}
+        SELECT doc_id,
+               len(regexp_extract_all(text, {_sql_lit(T.BPE_TOKEN_REGEX)}))
+                 AS n_tokens,
+               len({_sql_tokens('text')}) AS n_ws_tokens,
+               {_bpe_tokens_of(merged)} AS n_bpe_tokens
+        FROM {table}"""
+
+
 def _sql_missing(col: str) -> str:
     toks = ", ".join(_sql_lit(t) for t in MISSING_TOKENS)
     return (
@@ -629,8 +680,11 @@ def q_token_count(spark, sf):
     d = _t(spark, sf, "documents")
     return d.select(
         "doc_id",
-        T.token_count_bpe(F.col("text")).alias("n_tokens"),
+        T.token_count_pretokens(F.col("text")).alias("n_tokens"),
         T.word_count(F.col("text")).alias("n_ws_tokens"),
+        # REAL learned-merge BPE (semantics.BPE_MERGES); the DuckDB oracle
+        # applies the identical merge chain as literal replaces
+        T.token_count_bpe(F.col("text")).alias("n_bpe_tokens"),
     )
 
 
@@ -1655,12 +1709,7 @@ def oracle_sql() -> dict[str, str]:
                    round((length_score + symbol_score + sw_score) / 3.0, 6)
                      AS quality_score
             FROM m""".replace("{sw}", sw),
-        "token_count": f"""
-            SELECT doc_id,
-                   len(regexp_extract_all(text, {_sql_lit(T.BPE_TOKEN_REGEX)}))
-                     AS n_tokens,
-                   len({_sql_tokens('text')}) AS n_ws_tokens
-            FROM documents""",
+        "token_count": _token_count_sql(),
         "fingerprints": """
             WITH g AS (
               SELECT doc_id, lower(text) AS low FROM documents

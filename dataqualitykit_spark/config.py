@@ -10,7 +10,7 @@ Reference citations use /root/reference/QualityControl.py line numbers.
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 
 # Whitespace handled identically on the JVM (Java regex is ASCII-\s by
@@ -100,6 +100,19 @@ class PipelineConfig:
     # ~5x faster end-to-end); 'columns' = pure JVM column algebra
     # (functions/text.py). Identical values either way (parity-tested).
     metrics_engine: str = "udf"
+
+    # REAL model seam (udfs/scoring.scoring_udf): zero-arg picklable
+    # loaders executed once per python worker. lang_model_loader returns a
+    # fastText-shaped object (.predict(text) -> (labels, probs));
+    # ppl_model_loader a KenLM-shaped one (.perplexity(text) -> float).
+    # None (default) = the embedded deterministic stand-ins. Loaders are
+    # excluded from equality/hash so configs stay comparable.
+    lang_model_loader: object | None = field(
+        default=None, compare=False, hash=False
+    )
+    ppl_model_loader: object | None = field(
+        default=None, compare=False, hash=False
+    )
 
 
 # Priority order of drop reasons: the first failing rule names the reason.

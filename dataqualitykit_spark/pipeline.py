@@ -34,7 +34,7 @@ from pyspark.sql import functions as F
 
 from .config import DEFAULT_CONFIG, PipelineConfig
 from .functions import text as T
-from .udfs import lang_ppl_udf, scrub_udf
+from .udfs import lang_ppl_udf, scoring_udf, scrub_udf
 
 # metric columns produced by the survivor stage (null for dropped rows)
 _METRIC_COLS: dict[str, str] = {
@@ -117,9 +117,16 @@ def with_metrics(df: DataFrame, cfg: PipelineConfig = DEFAULT_CONFIG) -> DataFra
     Adds every _METRIC_COLS column plus `_missing` (scrub-level missing)."""
     s = F.col("scrubbed_text")
     df = df.withColumn("scrubbed_text", scrub_udf(F.col("text")))
+    # model seam: real fastText/KenLM loaders (cfg) replace the embedded
+    # stand-ins' lang/ppl outputs; everything else is unchanged
+    score = (
+        scoring_udf(cfg.lang_model_loader, cfg.ppl_model_loader)
+        if (cfg.lang_model_loader is not None or cfg.ppl_model_loader is not None)
+        else lang_ppl_udf
+    )
     if cfg.metrics_engine == "udf":
         m = F.col("_score")
-        df = df.withColumn("_score", lang_ppl_udf(s))
+        df = df.withColumn("_score", score(s))
         return df.select(
             "*",
             m["missing"].alias("_missing"),
@@ -156,7 +163,7 @@ def with_metrics(df: DataFrame, cfg: PipelineConfig = DEFAULT_CONFIG) -> DataFra
         T.stopword_hits(s).alias("stopword_hits"),
         T.word_count(s).alias("n_words"),
         T.mean_word_length(s).alias("mean_word_len"),
-        lang_ppl_udf(s).alias("_score"),
+        score(s).alias("_score"),
     )
     return df.select(
         "*",

@@ -389,6 +389,96 @@ def perplexity(text: str) -> float:
 
 
 # ---------------------------------------------------------------------------
+# byte-pair-encoding token counter (tiktoken/HF-tokenizer stand-in).
+#
+# A REAL learned merge table (trained at import on the same embedded corpus
+# as the bigram LM — deterministic, zero files), applied with standard BPE
+# inference: merges in rank order, all non-overlapping occurrences
+# left-to-right. Rank-order application is equivalent to the classic
+# "merge the lowest-rank pair present" loop because a merge consuming a
+# token can only have been learned AFTER the merge that created that token
+# (ranks respect creation order).
+#
+# ENGINE-PORTABLE representation: each unit is wrapped \x1f<unit>\x1e and
+# pretokens are joined by \x1d, so applying merge (a,b) is a PLAIN literal
+# string replace of "\x1fa\x1e\x1fb\x1e" with "\x1fab\x1e" — python
+# str.replace, Spark F.replace and DuckDB replace() all share identical
+# left-to-right non-overlap semantics, and the open/close markers make
+# false sub-/super-string matches impossible. Token count = count of \x1f.
+#
+# Byte parity note: units are CHARACTERS, which equals bytes on ASCII
+# corpora (the fixtures and testdata are ASCII); a non-ASCII char counts
+# as one unit instead of its UTF-8 byte count — the oracle-portable
+# compromise. Swap in tiktoken via the udfs/scoring model-seam pattern for
+# exact byte-level counts on a cluster.
+# ---------------------------------------------------------------------------
+
+# pretokenizer (GPT-2-spirit, RE2/Java/python-portable): letter runs,
+# digit runs, single non-alphanumeric chars; whitespace never tokenizes.
+BPE_PRETOKEN_REGEX = r"[a-z]+|[0-9]+|[^a-z0-9 \t\n\r\x0b\f]"
+_BPE_PRETOKEN_RE = re.compile(BPE_PRETOKEN_REGEX)
+BPE_N_MERGES = 128
+_BPE_U, _BPE_C, _BPE_P = "\x1f", "\x1e", "\x1d"  # unit-open, unit-close, pretoken sep
+
+
+def _train_bpe_merges(n_merges: int = BPE_N_MERGES) -> tuple[tuple[str, str], ...]:
+    """Greedy BPE training over _TRAIN_TEXT word frequencies: repeatedly
+    merge the most frequent adjacent unit pair (ties broken by
+    lexicographically smallest pair — fully deterministic)."""
+    from collections import Counter
+
+    words = Counter(_BPE_PRETOKEN_RE.findall(_TRAIN_TEXT.lower()))
+    seqs: dict[str, list[str]] = {w: list(w) for w in words}
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pairs: Counter = Counter()
+        for w, cnt in words.items():
+            s = seqs[w]
+            for a, b in zip(s, s[1:]):
+                pairs[(a, b)] += cnt
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        a, b = best
+        ab = a + b
+        for w, s in seqs.items():
+            i, out = 0, []
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(ab)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            seqs[w] = out
+    return tuple(merges)
+
+
+BPE_MERGES: tuple[tuple[str, str], ...] = _train_bpe_merges()
+
+
+def bpe_merge_patterns() -> tuple[tuple[str, str], ...]:
+    """(find, replace) literal pairs in rank order — the shared material
+    for the python mirror, the Spark column chain and the DuckDB oracle."""
+    return tuple(
+        (f"{_BPE_U}{a}{_BPE_C}{_BPE_U}{b}{_BPE_C}", f"{_BPE_U}{a}{b}{_BPE_C}")
+        for a, b in BPE_MERGES
+    )
+
+
+def bpe_token_count(text: str) -> int:
+    """Number of BPE tokens of `text` (pure-python mirror)."""
+    pres = _BPE_PRETOKEN_RE.findall(text.lower())
+    s = _BPE_P.join(
+        "".join(f"{_BPE_U}{c}{_BPE_C}" for c in p) for p in pres
+    )
+    for find, repl in bpe_merge_patterns():
+        s = s.replace(find, repl)
+    return s.count(_BPE_U)
+
+
+# ---------------------------------------------------------------------------
 # per-document decision (pre-dedup rules only; dedup is a dataset-level op)
 # ---------------------------------------------------------------------------
 

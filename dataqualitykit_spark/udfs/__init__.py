@@ -1,4 +1,4 @@
-from .scoring import lang_ppl_udf
+from .scoring import lang_ppl_udf, scoring_udf
 from .scrubbing import scrub_udf
 
-__all__ = ["lang_ppl_udf", "scrub_udf"]
+__all__ = ["lang_ppl_udf", "scoring_udf", "scrub_udf"]

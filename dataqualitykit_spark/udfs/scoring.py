@@ -61,4 +61,70 @@ def _score_batch(texts: pd.Series) -> pd.DataFrame:
     return pd.DataFrame(scored, columns=_COLS)
 
 
-lang_ppl_udf = F.pandas_udf(_score_batch, returnType=SCORE_SCHEMA)
+# one model instance per python worker PROCESS (fastText/KenLM load once,
+# score millions of rows); keyed by the loader's identity so two different
+# models never collide
+_PROCESS_MODEL_CACHE: dict[tuple, object] = {}
+
+
+def _cached_model(loader):
+    key = (getattr(loader, "__module__", ""), getattr(loader, "__qualname__", repr(loader)))
+    if key not in _PROCESS_MODEL_CACHE:
+        _PROCESS_MODEL_CACHE[key] = loader()
+    return _PROCESS_MODEL_CACHE[key]
+
+
+def scoring_udf(lang_model_loader=None, ppl_model_loader=None):
+    """Build the fused scoring UDF, optionally with REAL models.
+
+    The loaders are zero-arg picklable callables executed ONCE per python
+    worker process (cached) — the standard way to ship native models to
+    executors (`spark.sparkContext.addFile(model_path)` then load from
+    `SparkFiles.get(...)` inside the loader). Expected interfaces:
+
+    - ``lang_model_loader()`` -> fastText-shaped object:
+      ``model.predict(text)`` returns ``(("__label__xx", ...), (prob, ...))``
+      (fastText rejects newlines, so the batch feeds it newline-flattened
+      text).
+    - ``ppl_model_loader()`` -> KenLM-shaped object:
+      ``model.perplexity(text)`` returns a float.
+
+    THE one-line swap on a cluster::
+
+        cfg = PipelineConfig(
+            lang_model_loader=lambda: fasttext.load_model(SparkFiles.get("lid.176.bin")),
+            ppl_model_loader=lambda: kenlm.Model(SparkFiles.get("en.binary")),
+        )
+        run_pipeline(pages, cfg)
+
+    Model outputs override the embedded stand-ins' lang/lang_conf/ppl
+    fields; every other metric still comes from the fused pass. Executable
+    proof (fake models with the production interfaces) in
+    tests/test_model_seam.py.
+    """
+    if lang_model_loader is None and ppl_model_loader is None:
+        return F.pandas_udf(_score_batch, returnType=SCORE_SCHEMA)
+
+    def score(texts: pd.Series) -> pd.DataFrame:
+        df = _score_batch(texts)
+        present = [i for i, t in enumerate(texts) if t is not None and not df["missing"].iat[i]]
+        if lang_model_loader is not None and present:
+            model = _cached_model(lang_model_loader)
+            labels, confs = [], []
+            for i in present:
+                lab, prob = model.predict(texts.iat[i].replace("\n", " "))
+                labels.append(lab[0].removeprefix("__label__"))
+                confs.append(float(prob[0]))
+            df.loc[present, "lang"] = labels
+            df.loc[present, "lang_conf"] = confs
+        if ppl_model_loader is not None and present:
+            model = _cached_model(ppl_model_loader)
+            df.loc[present, "ppl"] = [
+                float(model.perplexity(texts.iat[i])) for i in present
+            ]
+        return df
+
+    return F.pandas_udf(score, returnType=SCORE_SCHEMA)
+
+
+lang_ppl_udf = scoring_udf()

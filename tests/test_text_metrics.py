@@ -157,3 +157,63 @@ def test_normalize_url_mirror_parity(spark):
     )
     assert S.normalize_url("http://A.B/p?utm_a=1&utm_b=2") == "http://a.b/p"
     assert S.normalize_url("https://site.org/deep/path/") == "https://site.org/deep/path"
+
+
+def test_bpe_token_count_three_way_parity(spark):
+    """REAL learned-merge BPE: python mirror == Spark column chain ==
+    DuckDB oracle, plus semantic sanity (merges compress; frequent words
+    from the training corpus collapse to one token)."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as E
+    import dataqualitykit_spark.semantics as S
+    from dataqualitykit_spark.functions import text as T
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "The Children PLAYED in the fields, and the river ran slowly!",
+        "zzqx 12345 !! weird-gibberish",
+        "",
+        "   ",
+        "a",
+        "hello, world. mixing 42 numbers and punct... #$%",
+        "the the the",
+    ]
+    py = [S.bpe_token_count(t) for t in texts]
+    df = spark.createDataFrame(list(enumerate(texts)), "i int, text string")
+    sp = [
+        r["n"]
+        for r in df.select("i", T.token_count_bpe(F.col("text")).alias("n"))
+        .orderBy("i")
+        .collect()
+    ]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, {E._sql_lit(t)})" for i, t in enumerate(texts))
+        + ") v(doc_id, text)"
+    )
+    ctes, table, merged = E._bpe_merge_ctes("text", "documents")
+    dk = [
+        r[1]
+        for r in con.execute(
+            f"WITH {ctes} SELECT doc_id, {E._bpe_tokens_of(merged)} AS n "
+            f"FROM {table} ORDER BY doc_id"
+        ).fetchall()
+    ]
+    assert py == sp == dk, (py, sp, dk)
+
+    # training-corpus words collapse to single tokens; merges do compress
+    assert S.bpe_token_count("the") == 1
+    assert S.bpe_token_count("the the the") == 3
+    long = "the children played in the fields while the sun was shining"
+    n_chars_nonspace = len(long.replace(" ", ""))
+    n_words = len(long.split())
+    assert n_words <= S.bpe_token_count(long) < n_chars_nonspace
+    # rank-order property held at training time: any pair consuming a
+    # merged token was learned after the merge that created it
+    created = set("abcdefghijklmnopqrstuvwxyz0123456789")
+    for a, b in S.BPE_MERGES:
+        assert a in created and b in created, (a, b)
+        created.add(a + b)
