@@ -29,7 +29,11 @@ from dataqualitykit_spark.operators import (
     range_validity,
     similarity,
 )
-from dataqualitykit_spark.pipeline import adapt_documents, run_pipeline
+from dataqualitykit_spark.pipeline import (
+    adapt_documents,
+    quality_metrics,
+    run_pipeline,
+)
 from dataqualitykit_spark.udfs import lang_ppl_udf, scrub_udf
 
 # ---------------------------------------------------------------------------
@@ -85,6 +89,47 @@ def _bpe_tokens_of(s: str) -> str:
     return (
         f"CAST(length({s}) - length(replace({s}, {_sql_lit(S._BPE_U)}, '')) AS INT)"
     )
+
+
+def _html_to_text_sql(col: str) -> str:
+    """DuckDB twin of functions/text.html_to_text, generated from the
+    SAME semantics constants (strip steps, entity bank, ws steps)."""
+    expr = col
+    for pat, repl in S.HTML_STRIP_STEPS:
+        expr = f"regexp_replace({expr}, {_sql_lit(pat)}, {_sql_lit(repl)}, 'g')"
+    for ent, ch in S.HTML_ENTITIES:
+        expr = f"replace({expr}, {_sql_lit(ent)}, {_sql_lit(ch)})"
+    for pat, repl in S.HTML_WS_STEPS:
+        expr = f"regexp_replace({expr}, {_sql_lit(pat)}, {_sql_lit(repl)}, 'g')"
+    return expr
+
+
+def _html_extract_sql() -> str:
+    html = f"{_sql_lit(_HTML_HEAD)} || text || {_sql_lit(_HTML_TAIL)}"
+    return f"SELECT doc_id, {_html_to_text_sql(html)} AS extracted FROM documents"
+
+
+def _domain_report_sql() -> str:
+    return _pipeline_sql(
+        final_select=f"""SELECT
+          lower(regexp_extract(url, {_sql_lit(S.URL_DOMAIN_REGEX)}, 1)) AS domain,
+          coalesce(drop_reason, 'kept') AS reason,
+          CAST(count(*) AS BIGINT) AS docs
+        FROM decided GROUP BY domain, reason"""
+    )
+
+
+def _token_budget_sql() -> str:
+    ctes, table, merged = _bpe_merge_ctes(
+        "text", "documents", keep_cols="doc_id, text, lang"
+    )
+    return f"""
+        WITH {ctes}
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS docs,
+               CAST(sum({_bpe_tokens_of(merged)}) AS BIGINT) AS bpe_tokens,
+               CAST(sum(len({_sql_tokens('text')})) AS BIGINT) AS ws_tokens
+        FROM {table} GROUP BY lang"""
 
 
 def _token_count_sql() -> str:
@@ -766,6 +811,55 @@ def q_embed_cosine_dups_lsh(spark, sf):
     return similarity.cosine_dup_pairs_lsh(emb, "vec_id", "embedding", 0.4)
 
 
+# deterministic HTML wrapper for the html_extract query: script/style
+# bodies (with a raw '<' inside the script), comments, entities, block
+# tags — both sides wrap `text` identically and extract back
+_HTML_HEAD = (
+    '<html><head><title>T</title><style>p {color: red}</style>'
+    '<script type="text/javascript">var x = 1; if (x < 2) { x = 2; }'
+    "</script></head><body><!-- nav --><h1>Title &amp; Intro</h1><p>"
+)
+_HTML_TAIL = (
+    "</p><ul><li>alpha</li><li>beta &lt;b&gt;</li></ul>"
+    '<div class="footer">footer&nbsp;2024</div></body></html>'
+)
+
+
+def q_html_extract(spark, sf):
+    # html->text extraction (the input_hint's html:binary decode step):
+    # wrap each doc's text in deterministic markup, extract it back
+    d = _t(spark, sf, "documents")
+    html = F.concat(F.lit(_HTML_HEAD), F.col("text"), F.lit(_HTML_TAIL))
+    return d.select("doc_id", T.html_to_text(html).alias("extracted"))
+
+
+def q_domain_report(spark, sf):
+    # per-domain drop-reason breakdown over the FULL pipeline — the
+    # web-crawl triage report (which hosts ship spam/gibberish/dups)
+    docs = _t(spark, sf, "documents")
+    labeled = run_pipeline(adapt_documents(docs))
+    rep = quality_metrics(
+        labeled, by=[T.domain_of(F.col("url")).alias("domain")]
+    )
+    return rep.select("domain", "reason", F.col("docs").cast("long").alias("docs"))
+
+
+def q_token_budget(spark, sf):
+    # per-language corpus budget: docs + REAL BPE tokens + ws tokens —
+    # the training-mix planning aggregate
+    d = _t(spark, sf, "documents")
+    per = d.select(
+        "lang",
+        T.token_count_bpe(F.col("text")).alias("bpe"),
+        T.word_count(F.col("text")).alias("w"),
+    )
+    return per.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("docs"),
+        F.sum("bpe").cast("long").alias("bpe_tokens"),
+        F.sum("w").cast("long").alias("ws_tokens"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the driver records correctness for the FIRST ~50
     # entries only (observed ceiling in rounds 1-2). The flagship pipeline,
@@ -791,6 +885,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": q_token_count,
         "encoding_replace": q_encoding_replace,
         "encoding_detect": q_encoding_detect,
+        # -- round-3 additions (no driver history yet — must stay in the
+        # -- recorded window) -----------------------------------------------
+        "html_extract": q_html_extract,
+        "domain_report": q_domain_report,
+        "token_budget": q_token_budget,
         # -- operators still inside the recorded window --------------------
         "missing_scan": q_missing_scan,
         "encoding_xmlcharref": q_encoding_xmlcharref,
@@ -823,11 +922,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_cosine_topk": q_embed_cosine_topk,
         "embed_cosine_topk_blocked": q_embed_cosine_topk_blocked,
         "format_check_date": q_format_check_date,
+        # -- two rounds of green driver history (r01+r02); rotated past the
+        # -- 50-row window, still covered by check_correctness.py + pytest --
         "format_standardize_date": q_format_standardize_date,
         "format_phone": q_format_phone,
         "encoding_remove": q_encoding_remove,
-        # -- two rounds of green driver history (r01+r02); rotated past the
-        # -- 50-row window, still covered by check_correctness.py + pytest --
         "missing_delete": q_missing_delete,
         "missing_flag": q_missing_flag,
         "missing_fill": q_missing_fill,
@@ -995,12 +1094,13 @@ def _ppl_sql(seq: str) -> str:
        END"""
 
 
-def _pipeline_sql(near_dedup: bool = False) -> str:
+def _pipeline_sql(near_dedup: bool = False, final_select: str | None = None) -> str:
     """Full-pipeline oracle: content dedup -> [near-dup dedup via
     md5-MinHash-LSH pairs + recursive-CTE connected components] -> scrub
     -> metrics -> langid/perplexity -> priority-ordered decide, mirroring
     run_pipeline over adapt_documents(documents) (no warc_ts column ->
-    no url window)."""
+    no url window). `final_select` overrides the last SELECT (it reads
+    from the `decided` CTE) — used by the per-domain report oracle."""
     from dataqualitykit_spark.config import DEFAULT_CONFIG as C
 
     hits, lang_case, conf = _langid_cols("toks", "s")
@@ -1139,7 +1239,7 @@ WITH RECURSIVE base AS (
          END AS drop_reason
   FROM met3
 )
-SELECT url, drop_reason, drop_reason IS NULL AS keep FROM decided"""
+{final_select or "SELECT url, drop_reason, drop_reason IS NULL AS keep FROM decided"}"""
 
 
 def _sign_bucket_expr(b: int, rpb: int, seed: int, dim: int) -> str:
@@ -1773,6 +1873,9 @@ def oracle_sql() -> dict[str, str]:
     d["simhash"] = _simhash_sql()
     d["pipeline_full"] = _pipeline_sql()
     d["pipeline_near_dedup"] = _pipeline_sql(near_dedup=True)
+    d["html_extract"] = _html_extract_sql()
+    d["domain_report"] = _domain_report_sql()
+    d["token_budget"] = _token_budget_sql()
     d["lsh_cosine_topk"] = _lsh_cosine_sql()
     d["embed_cosine_dups_lsh"] = _lsh_dup_pairs_sql(threshold=0.4)
     return d

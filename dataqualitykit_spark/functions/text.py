@@ -116,6 +116,32 @@ def content_hash(col: Column) -> Column:
     return F.md5(F.encode(col, "UTF-8"))
 
 
+def html_to_text(col: Column) -> Column:
+    """Extract visible text from an HTML string column — the `html:binary`
+    input column's decode step (BASELINE.json input_hint; decode binary
+    with F.decode(col, 'UTF-8') first). Column twin of
+    semantics.html_to_text: same regex chain (script/style/comment strip,
+    block tags to newlines, tag strip, literal entity bank, whitespace
+    normalization), all native regexp_replace — no UDF, no shuffle."""
+    from ..semantics import HTML_ENTITIES, HTML_STRIP_STEPS, HTML_WS_STEPS
+
+    out = col
+    for pat, repl in HTML_STRIP_STEPS:
+        out = F.regexp_replace(out, pat, repl)
+    for ent, ch in HTML_ENTITIES:
+        out = F.replace(out, F.lit(ent), F.lit(ch))
+    for pat, repl in HTML_WS_STEPS:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def domain_of(url: Column) -> Column:
+    """scheme://HOST/... -> host (lowercased); '' when no authority part."""
+    from ..semantics import URL_DOMAIN_REGEX
+
+    return F.lower(F.regexp_extract(url, URL_DOMAIN_REGEX, 1))
+
+
 # BPE-ish pre-tokenizer (GPT-2 style, simplified to RE2/Java-portable form):
 # contractions, letter runs, digit runs, punctuation runs, whitespace runs.
 BPE_TOKEN_REGEX = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \t\n\r\x0b\f]+"

@@ -332,18 +332,24 @@ def run_pipeline(df: DataFrame, cfg: PipelineConfig = DEFAULT_CONFIG) -> DataFra
     )
 
 
-def quality_metrics(labeled: DataFrame) -> DataFrame:
+def quality_metrics(labeled: DataFrame, by: list | None = None) -> DataFrame:
     """Per-reason counters — the reference's check() report dicts as a
-    DataFrame (one wide partial+final hash agg, SURVEY.md §2.4)."""
-    return (
-        labeled.groupBy(F.coalesce(F.col("drop_reason"), F.lit("kept")).alias("reason"))
-        .agg(
-            F.count(F.lit(1)).alias("docs"),
-            F.sum("n_chars").alias("chars"),
-            F.avg(F.when(F.col("ppl") < 1e8, F.col("ppl"))).alias("avg_ppl"),
-        )
-        .orderBy("reason")
+    DataFrame (one wide partial+final hash agg, SURVEY.md §2.4).
+
+    `by` prepends extra grouping keys (names or Columns) — e.g.
+    `by=[domain_of(F.col("url")).alias("domain")]` gives the per-domain
+    drop-reason breakdown every web-crawl triage starts from. Still one
+    partial+final hash agg; cardinality = |by| x reasons."""
+    keys = list(by or []) + [
+        F.coalesce(F.col("drop_reason"), F.lit("kept")).alias("reason")
+    ]
+    out = labeled.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum("n_chars").alias("chars"),
+        F.avg(F.when(F.col("ppl") < 1e8, F.col("ppl"))).alias("avg_ppl"),
     )
+    # order by the grouping columns (first len(keys) output columns)
+    return out.orderBy(*out.columns[: len(keys)])
 
 
 def adapt_documents(df: DataFrame) -> DataFrame:

@@ -389,6 +389,61 @@ def perplexity(text: str) -> float:
 
 
 # ---------------------------------------------------------------------------
+# html -> text extraction (the `html: binary` input column's decode step;
+# BASELINE.json input_hint). Regex-chain extraction shared verbatim by the
+# python mirror, the Spark column twin (functions/text.html_to_text) and
+# the generated DuckDB oracle — (?is) flags, lazy quantifiers and the
+# char classes below behave identically in python re, Java regex and RE2.
+# Entity decoding is the LITERAL bank below (single-pass, &amp; decoded
+# last by convention), not a full HTML5 entity table — swap in a real
+# parser (lxml/selectolax via mapInPandas) on a cluster for pathological
+# markup; this chain is whole-stage-codegen-friendly and shuffle-free.
+# ---------------------------------------------------------------------------
+
+# strip steps: (regex, replacement), applied in order
+HTML_STRIP_STEPS: tuple[tuple[str, str], ...] = (
+    # script/style blocks go first (their BODY must never reach the text)
+    (r"(?is)<(?:script|style)\b[^>]*>.*?</(?:script|style)>", " "),
+    (r"(?s)<!--.*?-->", " "),
+    # block-level boundaries become newlines so line-based metrics
+    # (repeated_lines) see real document structure
+    (r"(?i)</?(?:p|br|div|h[1-6]|li|tr|ul|ol|table|blockquote)\b[^>]*/?>", "\n"),
+    (r"<[^>]*>", " "),
+)
+HTML_ENTITIES: tuple[tuple[str, str], ...] = (
+    ("&nbsp;", " "),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&apos;", "'"),
+    ("&amp;", "&"),  # LAST by convention: "&amp;lt;" yields literal "&lt;"
+)
+# whitespace normalization: spaces collapse, newline-adjacent spaces drop,
+# 3+ newlines become a paragraph break, outer [ \n] trimmed
+HTML_WS_STEPS: tuple[tuple[str, str], ...] = (
+    (r"[ \t\r\x0b\f]+", " "),
+    (r" ?\n ?", "\n"),
+    (r"\n{3,}", "\n\n"),
+    (r"^[ \n]+|[ \n]+$", ""),
+)
+
+
+def html_to_text(html: str | None) -> str | None:
+    """Extract visible text from HTML markup (python mirror)."""
+    if html is None:
+        return None
+    out = html
+    for pat, repl in HTML_STRIP_STEPS:
+        out = re.sub(pat, repl, out)
+    for ent, ch in HTML_ENTITIES:
+        out = out.replace(ent, ch)
+    for pat, repl in HTML_WS_STEPS:
+        out = re.sub(pat, repl, out)
+    return out
+
+
+# ---------------------------------------------------------------------------
 # byte-pair-encoding token counter (tiktoken/HF-tokenizer stand-in).
 #
 # A REAL learned merge table (trained at import on the same embedded corpus
@@ -707,6 +762,8 @@ def simhash_portable_py(text: str, shingle_k: int = 2) -> int:
 # ---------------------------------------------------------------------------
 
 URL_HEAD_REGEX = r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*"
+# capture group 1 = authority/host (functions/text.domain_of + SQL twins)
+URL_DOMAIN_REGEX = r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)"
 _TRACK = r"(?:utm_[A-Za-z0-9_]*|gclid|fbclid)=[^&#]*"
 URL_FRAGMENT_REGEX = r"#.*$"
 # ordered: non-first param, first param with a successor, lone param

@@ -217,3 +217,52 @@ def test_bpe_token_count_three_way_parity(spark):
     for a, b in S.BPE_MERGES:
         assert a in created and b in created, (a, b)
         created.add(a + b)
+
+
+def test_html_to_text_parity_and_goldens(spark):
+    """html_to_text: python mirror == Spark column on gnarly markup, plus
+    golden extractions (script/style bodies never leak, entities decode,
+    block tags become line structure)."""
+    from pyspark.sql import functions as F
+
+    import dataqualitykit_spark.semantics as S
+    from dataqualitykit_spark.functions import text as T
+
+    cases = [
+        "<html><body><p>plain para</p></body></html>",
+        '<script>var x = 1; if (x < 2) { alert("hi"); }</script>visible',
+        "<style>p {color: red}</style><p>styled &amp; ready</p>",
+        "<!-- secret -->shown<br>next line",
+        "<ul><li>alpha</li><li>beta &lt;b&gt;</li></ul>",
+        "text &nbsp; with &quot;quotes&quot; and &#39;apostrophe&#39;",
+        "no markup at all",
+        "<div>a</div>\n\n\n\n<div>b</div>",
+        "&amp;lt; stays literal entity",
+        "",
+    ]
+    py = [S.html_to_text(c) for c in cases]
+    df = spark.createDataFrame(list(enumerate(cases)), "i int, h string")
+    sp = [
+        r["t"]
+        for r in df.select("i", T.html_to_text(F.col("h")).alias("t"))
+        .orderBy("i")
+        .collect()
+    ]
+    assert py == sp, list(zip(py, sp))
+
+    assert S.html_to_text("<html><body><p>plain para</p></body></html>") == "plain para"
+    assert (
+        S.html_to_text('<script>var x = 1; if (x < 2) { alert("hi"); }</script>visible')
+        == "visible"
+    )
+    assert S.html_to_text("<style>p {color: red}</style><p>styled &amp; ready</p>") == (
+        "styled & ready"
+    )
+    assert S.html_to_text("<!-- secret -->shown<br>next line") == "shown\nnext line"
+    # adjacent closing+opening block tags yield a paragraph break
+    assert S.html_to_text("<ul><li>alpha</li><li>beta &lt;b&gt;</li></ul>") == (
+        "alpha\n\nbeta <b>"
+    )
+    assert S.html_to_text("&amp;lt; stays literal entity") == "&lt; stays literal entity"
+    assert S.html_to_text("<div>a</div>\n\n\n\n<div>b</div>") == "a\n\nb"
+    assert S.html_to_text(None) is None
