@@ -35,6 +35,7 @@ from pyspark.sql import functions as F
 from .config import DEFAULT_CONFIG, PipelineConfig
 from .functions import text as T
 from .udfs import lang_ppl_udf, scoring_udf, scrub_udf
+from .udfs.scoring import fused_scrub_score_udf
 
 # metric columns produced by the survivor stage (null for dropped rows)
 _METRIC_COLS: dict[str, str] = {
@@ -115,20 +116,16 @@ def with_metrics(df: DataFrame, cfg: PipelineConfig = DEFAULT_CONFIG) -> DataFra
     Identical values either way (tests/test_text_metrics.py).
 
     Adds every _METRIC_COLS column plus `_missing` (scrub-level missing)."""
-    s = F.col("scrubbed_text")
-    df = df.withColumn("scrubbed_text", scrub_udf(F.col("text")))
-    # model seam: real fastText/KenLM loaders (cfg) replace the embedded
-    # stand-ins' lang/ppl outputs; everything else is unchanged
-    score = (
-        scoring_udf(cfg.lang_model_loader, cfg.ppl_model_loader)
-        if (cfg.lang_model_loader is not None or cfg.ppl_model_loader is not None)
-        else lang_ppl_udf
-    )
     if cfg.metrics_engine == "udf":
+        # ONE fused Arrow pass: scrub + every metric + langid/ppl (and the
+        # cfg model seam) — the text crosses the JVM<->Python boundary
+        # once; two chained UDFs (scrub then score) would ship it twice
+        fused = fused_scrub_score_udf(cfg.lang_model_loader, cfg.ppl_model_loader)
         m = F.col("_score")
-        df = df.withColumn("_score", score(s))
+        df = df.withColumn("_score", fused(F.col("text")))
         return df.select(
             "*",
+            m["scrubbed_text"].alias("scrubbed_text"),
             m["missing"].alias("_missing"),
             m["n_chars"].alias("n_chars"),
             (
@@ -150,6 +147,15 @@ def with_metrics(df: DataFrame, cfg: PipelineConfig = DEFAULT_CONFIG) -> DataFra
             ).alias("stopword_density"),
         ).drop("_score")
     # pure column-algebra path
+    s = F.col("scrubbed_text")
+    df = df.withColumn("scrubbed_text", scrub_udf(F.col("text")))
+    # model seam: real fastText/KenLM loaders (cfg) replace the embedded
+    # stand-ins' lang/ppl outputs; everything else is unchanged
+    score = (
+        scoring_udf(cfg.lang_model_loader, cfg.ppl_model_loader)
+        if (cfg.lang_model_loader is not None or cfg.ppl_model_loader is not None)
+        else lang_ppl_udf
+    )
     df = df.withColumn("_lines", T.nonempty_lines(s))
     df = df.select(
         "*",

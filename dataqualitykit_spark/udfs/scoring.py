@@ -107,24 +107,60 @@ def scoring_udf(lang_model_loader=None, ppl_model_loader=None):
 
     def score(texts: pd.Series) -> pd.DataFrame:
         df = _score_batch(texts)
-        present = [i for i, t in enumerate(texts) if t is not None and not df["missing"].iat[i]]
-        if lang_model_loader is not None and present:
-            model = _cached_model(lang_model_loader)
-            labels, confs = [], []
-            for i in present:
-                lab, prob = model.predict(texts.iat[i].replace("\n", " "))
-                labels.append(lab[0].removeprefix("__label__"))
-                confs.append(float(prob[0]))
-            df.loc[present, "lang"] = labels
-            df.loc[present, "lang_conf"] = confs
-        if ppl_model_loader is not None and present:
-            model = _cached_model(ppl_model_loader)
-            df.loc[present, "ppl"] = [
-                float(model.perplexity(texts.iat[i])) for i in present
-            ]
+        _apply_models(df, texts, lang_model_loader, ppl_model_loader)
         return df
 
     return F.pandas_udf(score, returnType=SCORE_SCHEMA)
 
 
+def _apply_models(df, texts: pd.Series, lang_model_loader, ppl_model_loader):
+    """Override lang/lang_conf/ppl in a scored frame with real-model
+    outputs for present (non-missing) rows. In-place."""
+    present = [
+        i for i, t in enumerate(texts) if t is not None and not df["missing"].iat[i]
+    ]
+    if not present:
+        return
+    if lang_model_loader is not None:
+        model = _cached_model(lang_model_loader)
+        labels, confs = [], []
+        for i in present:
+            lab, prob = model.predict(texts.iat[i].replace("\n", " "))
+            labels.append(lab[0].removeprefix("__label__"))
+            confs.append(float(prob[0]))
+        df.loc[present, "lang"] = labels
+        df.loc[present, "lang_conf"] = confs
+    if ppl_model_loader is not None:
+        model = _cached_model(ppl_model_loader)
+        df.loc[present, "ppl"] = [
+            float(model.perplexity(texts.iat[i])) for i in present
+        ]
+
+
 lang_ppl_udf = scoring_udf()
+
+
+# fused scrub+score: ONE Arrow round-trip instead of two chained pandas
+# UDFs (scrub_udf then lang_ppl_udf over its output) — the document text
+# otherwise crosses the JVM<->Python boundary twice per row. Output is
+# byte-identical by construction: the SAME _scrub_batch and _score_batch
+# compose in-process.
+FUSED_SCHEMA = StructType(
+    [StructField("scrubbed_text", StringType())]
+    + [StructField(n, t) for n, t in _FIELDS]
+)
+
+
+def fused_scrub_score_udf(lang_model_loader=None, ppl_model_loader=None):
+    """raw text -> struct(scrubbed_text, <all SCORE_SCHEMA metrics>)."""
+    from .scrubbing import _scrub_batch
+
+    def batch(texts: pd.Series) -> pd.DataFrame:
+        scrubbed = _scrub_batch(texts)
+        df = _score_batch(scrubbed)
+        if lang_model_loader is not None or ppl_model_loader is not None:
+            _apply_models(df, scrubbed, lang_model_loader, ppl_model_loader)
+        df.insert(0, "scrubbed_text", scrubbed)
+        return df
+
+    return F.pandas_udf(batch, returnType=FUSED_SCHEMA)
