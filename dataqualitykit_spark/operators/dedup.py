@@ -364,11 +364,14 @@ def connected_components(
         nbr = edges.join(
             labels.withColumnRenamed("id", "src"), "src"
         ).select(F.col("dst").alias("id"), "label")
+        # LAZY checkpoint: the changed-count below is the ONE action per
+        # iteration — it materializes new's blocks as a side effect, so
+        # the loop costs one driver round-trip per round, not two
         new = (
             labels.union(nbr)
             .groupBy("id")
             .agg(F.min("label").alias("label"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         changed = (
             new.withColumnRenamed("label", "_new")
