@@ -201,6 +201,15 @@ def run_resumable(
             sigs_b = sig_fn(
                 texts, "text", "url", cfg.near_dup_hashes
             ).localCheckpoint(eager=False)
+            if done and not os.path.exists(io._path("near_sigs")):
+                # completed buckets exist but no signature store: the
+                # manifest came from a run with dedup_near OFF — silently
+                # skipping cross-bucket near-dedup would mislabel, so fail
+                raise RuntimeError(
+                    "cfg.dedup_near=True on a resume whose completed "
+                    "buckets have no near_sigs store (prior run had "
+                    "dedup_near off?) — restart with a fresh out_root"
+                )
             if done:
                 prior_sigs = (
                     spark.read.parquet(io._path("near_sigs"))

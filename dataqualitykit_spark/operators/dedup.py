@@ -448,7 +448,7 @@ def minhash_jaccard_portable(
     bands = num_hashes // rows_per_band
     sigs = minhash_signatures_portable(
         df, text_col, id_col, num_hashes, shingle_k
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)  # lazy: same lineage cut, no extra job
     banded = _band_keys_portable(sigs, bands, rows_per_band)
     a = banded.withColumnRenamed("id", "id_a")
     b = banded.withColumnRenamed("id", "id_b")

@@ -174,3 +174,18 @@ def test_lineage_with_near_dedup(spark, tmp_path):
         for r in spark.read.parquet(f"{clean}/labeled").select("drop_reason").collect()
     }
     assert "dup_near" in reasons
+
+
+def test_near_dedup_resume_requires_sig_store(spark, tmp_path):
+    """Resuming with dedup_near=True over buckets completed WITHOUT a
+    signature store must fail loudly (silently skipping cross-bucket
+    near-dedup would mislabel)."""
+    from dataqualitykit_spark.config import PipelineConfig
+
+    src = pages_dataframe(spark, 120)
+    root = str(tmp_path / "mix")
+    with pytest.raises(RuntimeError, match="injected failure"):
+        run_resumable(spark, src, root, n_buckets=2, fail_after=1)  # near OFF
+    cfg = PipelineConfig(dedup_near=True, near_dup_hash="md5")
+    with pytest.raises(RuntimeError, match="near_sigs"):
+        run_resumable(spark, src, root, n_buckets=2, cfg=cfg)
