@@ -80,6 +80,17 @@ def main() -> None:
     }
     print(json.dumps(summary))
     os.makedirs("BENCH", exist_ok=True)
+    # preserve the manually-maintained repeatability appendix (run history
+    # across sessions) — only the generated headline section is replaced
+    appendix = ""
+    try:
+        with open("BENCH/BASELINE.md") as f:
+            prev = f.read()
+        marker = prev.find("\n## Repeatability")
+        if marker >= 0:
+            appendix = prev[marker:]
+    except FileNotFoundError:
+        pass
     with open("BENCH/BASELINE.md", "w") as f:
         f.write(
             "# BENCH baseline — two-parallelism scaling check\n\n"
@@ -99,13 +110,15 @@ def main() -> None:
             f"- **score-stage scaling efficiency: {score_eff:.3f}** "
             f"(heuristics_only: {lo['queries']['heuristics_only']} s @{n_lo} -> "
             f"{hi['queries']['heuristics_only']} s @{n_hi}; target >= 0.8)\n\n"
-            "The score stage (scrub + all heuristics + langid/perplexity —\n"
-            "the per-document compute a 1000-executor cluster scales) meets\n"
-            "the target; the full-job number additionally includes dedup\n"
-            "shuffle + parquet write, which in local mode contend inside ONE\n"
-            "shared JVM/heap/disk — an artifact a real multi-executor\n"
-            "cluster does not have (each executor owns its JVM and spill\n"
-            "disks). Both numbers reported for honesty.\n\n"
+            "Two views of the same job: the full-job number is the\n"
+            "headline (docs/sec on the whole pipeline, the north-rule\n"
+            "metric); the score stage (scrub + all heuristics +\n"
+            "langid/perplexity) isolates the per-document compute a\n"
+            "1000-executor cluster scales. Local-mode artifacts cut both\n"
+            "ways — shuffle/write phases share ONE JVM/heap/disk, and a\n"
+            "4-core run turbo-boosts higher than a 16-core run — so the\n"
+            "Repeatability section below keeps every run and combines\n"
+            "min-per-level. Both numbers reported for honesty.\n\n"
             f"Per-query seconds (local[{n_lo}] / local[{n_hi}]):\n\n"
             + "\n".join(
                 f"- {k}: {lo['queries'][k]} / {v}"
@@ -114,6 +127,7 @@ def main() -> None:
             + "\n\nSpark conf: AQE on, shuffle.partitions=32, Arrow batch 10k,\n"
             "maxPartitionBytes=128m, shuffle dirs on /dev/shm "
             "(see dataqualitykit_spark/session.py).\n"
+            + appendix
         )
 
 
