@@ -561,16 +561,19 @@ def simhash64(
     shingle_k: int = 2,
 ) -> DataFrame:
     """64-bit SimHash per doc: for each bit b, sum +1/-1 over shingle
-    hashes; bit set if sum > 0. Returns (id, simhash).
+    hashes; bit set if sum > 0 (ones strictly outnumber zeros). Returns
+    (id, simhash).
 
     ONE aggregate pass over the shingle hashes with an array<int>[64]
     accumulator (zip_with against a mask-array literal), replacing the
-    round-1 shape of 64 separate interpreted F.aggregate passes — the
-    vote stage drops from ~2.8 s to ~1.4 s on 200k docs; the op is now
-    bound by the shingle hashing itself (~4.3 s), see BENCH/BASELINE.md.
-    (An Arrow/numpy vote was prototyped and measured no faster once the
-    bit matrix is memory-bounded — the JVM single-pass wins on simplicity
-    and zero Python-worker footprint.) Shingle hashes come from
+    round-1 shape of 64 separate interpreted F.aggregate passes. Shape
+    A/B-measured (scripts/microbench_votes.py, 200k docs, local[32]):
+    this per-row HOF vote runs 3.65 s; an explode + 64-compiled-sum
+    hash aggregate runs 8.0 s (65 agg buffers overflow JIT-able codegen
+    method size, and the groupBy adds a per-doc exchange a projection
+    doesn't have — the wrong trade at 10^12 docs where map-only stages
+    scale for free). Pinned against a python vote over the same shingle
+    hashes in tests/test_minhash_accuracy.py. Shingle hashes come from
     with_shingle_hashes (word-hash combination, no shingle strings)."""
     hashed = with_shingle_hashes(
         df.select(id_col, text_col), text_col, id_col, shingle_k

@@ -94,25 +94,56 @@ def cosine_topk_blocked(
     this is the scale path, cosine_topk is the per-pair reference.
 
     Same output contract as cosine_topk: (query_id, neighbor_id, cosine
-    rounded to 6, rank)."""
+    rounded to 6, rank).
+
+    Corpus batches arrive as Arrow RecordBatches (mapInArrow) and the
+    list<double> column is flattened ZERO-COPY into one contiguous (B*D)
+    buffer, reshaped to the (B, D) gemm operand — no per-row
+    list->ndarray conversion (the mapInPandas form spent more time in
+    `np.array(list(series))` than in BLAS; see STATE.md deferred list)."""
     import numpy as np
-    import pandas as pd
+    import pyarrow as pa
 
     q_rows = queries.select(
         F.col(id_col).alias("qid"), F.col(vec_col).cast("array<double>").alias("v")
     ).collect()
+    if not q_rows:
+        return corpus.sparkSession.createDataFrame([], _TOPK_SCHEMA)
     q_ids = np.array([r["qid"] for r in q_rows])
     q_mat = np.array([r["v"] for r in q_rows])  # (Q, D)
+    if q_mat.ndim != 2:
+        raise ValueError("cosine_topk_blocked: ragged query embedding dims")
+    q_dim = q_mat.shape[1]
     qn = np.linalg.norm(q_mat, axis=1, keepdims=True)
     qn[qn == 0] = 1.0  # zero-vector queries get 0 similarity, not NaN
     q_norm = q_mat / qn
 
     out_schema = "query_id bigint, neighbor_id bigint, cosine double"
+    out_pa = pa.schema(
+        [("query_id", pa.int64()), ("neighbor_id", pa.int64()), ("cosine", pa.float64())]
+    )
 
     def blocks(it):
-        for pdf in it:
-            ids = pdf["nid"].to_numpy()
-            mat = np.array(list(pdf["v"]))  # (B, D)
+        for batch in it:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            ids = batch.column(0).to_numpy(zero_copy_only=False)
+            v = batch.column(1)
+            if v.null_count:
+                raise ValueError("cosine_topk_blocked: null embedding rows")
+            lengths = np.diff(v.offsets.to_numpy())
+            # every corpus vector must match the query dim — catches ragged
+            # corpora even when the odd rows land in different Arrow batches
+            if not (lengths == q_dim).all():
+                raise ValueError(
+                    "cosine_topk_blocked: ragged embedding dims "
+                    f"(expected {q_dim}, got {sorted(set(lengths) - {q_dim})})"
+                )
+            dim = q_dim
+            # flatten() honors the batch's list offsets; the values buffer
+            # reshapes straight into the gemm operand, zero copies
+            mat = v.flatten().to_numpy(zero_copy_only=False).reshape(n, dim)
             norms = np.linalg.norm(mat, axis=1, keepdims=True)
             norms[norms == 0] = 1.0
             sims = (mat / norms) @ q_norm.T  # (B, Q)
@@ -131,11 +162,20 @@ def cosine_topk_blocked(
                     if ids[bi] != q_ids[qi]:
                         rows.append((int(q_ids[qi]), int(ids[bi]), float(sims[bi, qi])))
                         taken += 1
-            yield pd.DataFrame(rows, columns=["query_id", "neighbor_id", "cosine"])
+            qcol, ncol, scol = (
+                (np.array([r[0] for r in rows], dtype=np.int64),
+                 np.array([r[1] for r in rows], dtype=np.int64),
+                 np.array([r[2] for r in rows], dtype=np.float64))
+                if rows
+                else (np.array([], dtype=np.int64),) * 2 + (np.array([], dtype=np.float64),)
+            )
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(qcol), pa.array(ncol), pa.array(scol)], schema=out_pa
+            )
 
     candidates = corpus.select(
         F.col(id_col).alias("nid"), F.col(vec_col).cast("array<double>").alias("v")
-    ).mapInPandas(blocks, schema=out_schema)
+    ).mapInArrow(blocks, schema=out_schema)
     w = Window.partitionBy("query_id").orderBy(
         F.round(F.col("cosine"), 6).desc(), F.col("neighbor_id").asc()
     )

@@ -136,3 +136,33 @@ def test_cosine_dup_pairs_lsh_shuffles_ids_not_vectors(spark):
     # projections (the join block) — only the pair join-backs carry them
     for ln in lines[band_join[0] : band_join[0] + 2]:
         assert "va#" not in ln and "vb#" not in ln and " v#" not in ln, ln
+
+
+def test_cosine_topk_blocked_matches_per_pair(spark, planted):
+    """The Arrow-blocked gemm path must reproduce the per-pair fold path
+    exactly: same (query_id, neighbor_id, rank) sets and same rounded
+    cosines, including the (round(cosine,6) DESC, neighbor_id ASC)
+    tie-break at block boundaries."""
+    queries = planted.filter("vec_id >= 1000")
+    corpus = planted.filter("vec_id < 1000").repartition(7)  # multi-block
+    want = {
+        (r["query_id"], r["neighbor_id"], r["rank"]): r["cosine"]
+        for r in similarity.cosine_topk(corpus, queries, k=5).collect()
+    }
+    got = {
+        (r["query_id"], r["neighbor_id"], r["rank"]): r["cosine"]
+        for r in similarity.cosine_topk_blocked(corpus, queries, k=5).collect()
+    }
+    assert set(got) == set(want)
+    for key, cos in want.items():
+        assert abs(got[key] - cos) < 1e-9, (key, got[key], cos)
+
+
+def test_cosine_topk_blocked_rejects_ragged_dims(spark):
+    rows = [(0, [1.0, 0.0]), (1, [1.0, 0.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = spark.createDataFrame([(9, [1.0, 0.0])], "vec_id long, embedding array<double>")
+    import pytest as _pt
+
+    with _pt.raises(Exception, match="ragged"):
+        similarity.cosine_topk_blocked(df, q, k=2).collect()

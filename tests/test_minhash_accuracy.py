@@ -87,3 +87,36 @@ def test_portable_simhash_matches_python_mirror(spark):
     # near-identical docs -> small hamming distance
     ham = bin(got[0] ^ got[1]).count("1")
     assert ham <= 10, ham
+
+
+def test_simhash64_matches_python_vote_over_shingle_hashes(spark):
+    """simhash64's codegen'd explode+sum vote must equal a python vote over
+    the very same shingle hashes (implementation-independent pin: any
+    rewrite of the vote stage has to preserve the 2*ones > n bit rule)."""
+    words = _TRAIN_TEXT.split()
+    docs = {0: " ".join(words[0:60]), 1: " ".join(words[0:61]), 2: "x", 3: ""}
+    df = spark.createDataFrame(list(docs.items()), "doc_id int, text string")
+    hashes = {
+        r["id"]: list(r["hashes"])
+        # k=2: simhash64's shingle size (with_shingle_hashes defaults to 3)
+        for r in dedup.with_shingle_hashes(df, "text", "doc_id", k=2).collect()
+    }
+
+    def vote(hs):
+        sim = 0
+        for b in range(64):
+            ones = sum((h >> b) & 1 for h in hs)
+            if 2 * ones > len(hs):
+                sim |= 1 << b
+        return sim - (1 << 64) if sim >= (1 << 63) else sim
+
+    got = {
+        r["id"]: r["simhash"]
+        for r in dedup.simhash64(df, "text", "doc_id").collect()
+    }
+    assert set(got) == set(docs)
+    for i in docs:
+        assert got[i] == vote(hashes[i]), i
+    # near-identical docs -> small hamming distance on the fast path too
+    ham = bin((got[0] ^ got[1]) & ((1 << 64) - 1)).count("1")
+    assert ham <= 10, ham
