@@ -170,14 +170,40 @@ def main() -> None:
     # q7: pipeline with near-dup dedup (xxhash64 fast path) on an 8-way
     # replica corpus — a worst-case clustering load (every doc belongs to
     # an 8-member near-dup cluster). One repetition: the leg is join/CC
-    # bound and ~2x the rest of the bench combined.
+    # bound and ~2x the rest of the bench combined. SPARK_GRAFT_NEAR_DOCS
+    # grows the number of clusters (cluster size stays 8) for scaling
+    # measurements — at the default (~40k docs) the leg is mostly fixed
+    # stage latency and two parallelism levels measure the same queue.
     near_reps = 8
+    near_docs = int(os.environ.get("SPARK_GRAFT_NEAR_DOCS", str(n_base * near_reps)))
+    uniq = max(1, near_docs // (n_base * near_reps))
     near = (
         docs.repartition(2 * int(cpus))
+        # unique-text copies first (distinct clusters), then the 8-way
+        # near-dup replicas inside each cluster. The unique marker is
+        # woven in every 5 words — a mere suffix would leave cross-copy
+        # jaccard ~0.95 and merge every copy of a base doc into one
+        # mega-cluster; insertion every 5 words breaks ~60% of the
+        # 3-shingles across copies (jaccard ~0.3, well under threshold)
+        # while same-copy replicas still differ only in the rep suffix.
+        .withColumn("_u", F.explode(F.sequence(F.lit(0), F.lit(uniq - 1))))
+        .withColumn(
+            "text",
+            F.when(F.lit(uniq) == 1, F.col("text")).otherwise(
+                F.regexp_replace(
+                    "text",
+                    F.lit(r"((?:\S+ ){5})"),
+                    F.concat(F.lit("$1u"), F.col("_u"), F.lit(" ")),
+                )
+            ),
+        )
         .withColumn("_r", F.explode(F.sequence(F.lit(0), F.lit(near_reps - 1))))
-        .withColumn("doc_id", F.col("doc_id") * near_reps + F.col("_r"))
+        .withColumn(
+            "doc_id",
+            (F.col("doc_id") * uniq + F.col("_u")) * near_reps + F.col("_r"),
+        )
         .withColumn("text", F.concat(F.col("text"), F.lit(" rep "), F.col("_r")))
-        .drop("_r")
+        .drop("_u", "_r")
     )
     if wanted("pipeline_near_dedup"):
         near_cfg = PipelineConfig(salt_partitions=64, dedup_near=True)
