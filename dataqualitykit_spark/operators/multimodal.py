@@ -84,6 +84,131 @@ def parse_image_header(payload: bytes | None) -> tuple[str | None, int | None, i
     return None, None, None
 
 
+def parse_wav_header(
+    payload: bytes | None,
+) -> tuple[str | None, int | None, int | None, int | None]:
+    """(format, channels, sample_rate_hz, duration_ms) from a RIFF/WAVE
+    container; (None,)*4 when unrecognized. Walks the chunk list (fmt
+    may follow LIST/JUNK chunks), duration = data bytes / byte rate."""
+    if not payload or len(payload) < 12:
+        return None, None, None, None
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None, None, None, None
+    i, n = 12, len(payload)
+    channels = rate = byte_rate = data_size = None
+    while i + 8 <= n:
+        cid = payload[i : i + 4]
+        size = int.from_bytes(payload[i + 4 : i + 8], "little")
+        body = payload[i + 8 : i + 8 + size]
+        if cid == b"fmt " and len(body) >= 16:
+            channels = int.from_bytes(body[2:4], "little")
+            rate = int.from_bytes(body[4:8], "little")
+            byte_rate = int.from_bytes(body[8:12], "little")
+        elif cid == b"data":
+            data_size = size
+        i += 8 + size + (size & 1)  # chunks are word-aligned
+    dur = (
+        int(data_size * 1000 / byte_rate)
+        if data_size is not None and byte_rate
+        else None
+    )
+    return "wav", channels, rate, dur
+
+
+def parse_mp4_header(
+    payload: bytes | None,
+) -> tuple[str | None, str | None, int | None]:
+    """(format, major_brand, duration_ms) from an ISO-BMFF (MP4) box
+    tree; (None, None, None) when unrecognized. Walks top-level boxes to
+    ftyp (brand) and moov/mvhd (timescale + duration) — pure byte math,
+    no ffmpeg. Handles 64-bit largesize boxes and mvhd versions 0/1."""
+    if not payload or len(payload) < 12:
+        return None, None, None
+
+    def walk(buf: bytes, want: bytes):
+        i, n = 0, len(buf)
+        while i + 8 <= n:
+            size = int.from_bytes(buf[i : i + 4], "big")
+            btype = buf[i + 4 : i + 8]
+            hdr = 8
+            if size == 1 and i + 16 <= n:  # 64-bit largesize
+                size = int.from_bytes(buf[i + 8 : i + 16], "big")
+                hdr = 16
+            elif size == 0:  # box extends to EOF
+                size = n - i
+            if size < hdr:
+                return None
+            if btype == want:
+                return buf[i + hdr : i + size]
+            i += size
+        return None
+
+    if payload[4:8] != b"ftyp":
+        return None, None, None
+    brand = payload[8:12].decode("ascii", "replace")
+    dur_ms = None
+    moov = walk(payload, b"moov")
+    if moov is not None:
+        mvhd = walk(moov, b"mvhd")
+        if mvhd is not None and len(mvhd) >= 20:
+            version = mvhd[0]
+            if version == 1 and len(mvhd) >= 28:
+                timescale = int.from_bytes(mvhd[20:24], "big")
+                duration = int.from_bytes(mvhd[24:32], "big")
+            else:
+                timescale = int.from_bytes(mvhd[12:16], "big")
+                duration = int.from_bytes(mvhd[16:20], "big")
+            if timescale:
+                dur_ms = int(duration * 1000 / timescale)
+    return "mp4", brand, dur_ms
+
+
+def media_metadata(df: DataFrame) -> DataFrame:
+    """One typed-metadata pass over a mixed media table: image headers
+    (PNG/JPEG/GIF), audio headers (RIFF/WAVE) and video headers
+    (MP4 ftyp/mvhd) parsed from the container bytes in a single
+    mapInPandas stage — rows whose payload matches NO container are
+    parse_ok=false (the quarantine route). Pixel/sample DECODE still
+    needs PIL/ffmpeg; container metadata does not."""
+    schema = (
+        "media_id bigint, kind string, mime string, detected_format string, "
+        "parsed_width int, parsed_height int, channels int, "
+        "sample_rate_hz int, parsed_duration_ms int, parse_ok boolean"
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {
+                "media_id": pdf["media_id"],
+                "kind": pdf["kind"],
+                "mime": pdf["mime"],
+                "detected_format": [],
+                "parsed_width": [],
+                "parsed_height": [],
+                "channels": [],
+                "sample_rate_hz": [],
+                "parsed_duration_ms": [],
+                "parse_ok": [],
+            }
+            for p in pdf["payload"]:
+                fmt, w, h = parse_image_header(p)
+                ch = rate = dur = None
+                if fmt is None:
+                    fmt, ch, rate, dur = parse_wav_header(p)
+                if fmt is None:
+                    fmt, _brand, dur = parse_mp4_header(p)
+                out["detected_format"].append(fmt)
+                out["parsed_width"].append(w)
+                out["parsed_height"].append(h)
+                out["channels"].append(ch)
+                out["sample_rate_hz"].append(rate)
+                out["parsed_duration_ms"].append(dur)
+                out["parse_ok"].append(fmt is not None)
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(batches, schema=schema)
+
+
 def image_metadata(df: DataFrame) -> DataFrame:
     """binary media rows -> parsed (format, width, height) metadata via
     mapInPandas — a REAL decode-free extraction (magic-byte header parse),
@@ -179,18 +304,56 @@ def sample_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     return df.mapInPandas(batches, schema=MEDIA_SCHEMA)
 
 
-def media_fixture(spark, n: int = 64) -> DataFrame:
-    """Deterministic binary media table for tests."""
-    rows = [
-        (
-            i,
-            ("image", "audio", "video")[i % 3],
-            hashlib.md5(f"media{i}".encode()).digest() * 4,
-            ("image/png", "audio/wav", "video/mp4")[i % 3],
-            64 + i % 128,
-            48 + i % 96,
-            (i % 3 == 2) * (1000 + 500 * (i % 7)),
+def _fixture_payload(i: int, kind: str, w: int, h: int, dur_ms: int) -> bytes:
+    """Even rows: a VALID minimal container (PNG/WAV/MP4) so header parsing
+    exercises the happy path; odd rows: deterministic garbage (the
+    quarantine path)."""
+    if i % 2:
+        return hashlib.md5(f"media{i}".encode()).digest() * 4
+    if kind == "image":  # PNG signature + IHDR with the row's dimensions
+        return (
+            b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\rIHDR"
+            + w.to_bytes(4, "big") + h.to_bytes(4, "big") + b"\x08\x06" + b"\x00" * 8
         )
-        for i in range(n)
-    ]
+    if kind == "audio":  # RIFF/WAVE, 1 channel, 8 kHz, 16-bit, dur_ms of data
+        rate, channels, bits = 8000, 1, 16
+        byte_rate = rate * channels * bits // 8
+        data_size = byte_rate * max(dur_ms, 250) // 1000
+        fmt = (
+            b"fmt " + (16).to_bytes(4, "little") + (1).to_bytes(2, "little")
+            + channels.to_bytes(2, "little") + rate.to_bytes(4, "little")
+            + byte_rate.to_bytes(4, "little")
+            + (channels * bits // 8).to_bytes(2, "little") + bits.to_bytes(2, "little")
+        )
+        data = b"data" + data_size.to_bytes(4, "little") + b"\x00" * 16
+        return b"RIFF" + (4 + len(fmt) + len(data)).to_bytes(4, "little") + b"WAVE" + fmt + data
+    # video: ftyp(isom) + moov/mvhd v0 with the row's duration
+    ftyp = (16).to_bytes(4, "big") + b"ftypisom" + (0).to_bytes(4, "big")
+    mvhd_body = (
+        b"\x00\x00\x00\x00" + b"\x00" * 8
+        + (1000).to_bytes(4, "big") + max(dur_ms, 0).to_bytes(4, "big") + b"\x00" * 80
+    )
+    mvhd = (8 + len(mvhd_body)).to_bytes(4, "big") + b"mvhd" + mvhd_body
+    return ftyp + (8 + len(mvhd)).to_bytes(4, "big") + b"moov" + mvhd
+
+
+def media_fixture(spark, n: int = 64) -> DataFrame:
+    """Deterministic binary media table for tests: half real minimal
+    containers (parse_ok=true), half garbage payloads (quarantine)."""
+    rows = []
+    for i in range(n):
+        kind = ("image", "audio", "video")[i % 3]
+        w, h = 64 + i % 128, 48 + i % 96
+        dur = (i % 3 == 2) * (1000 + 500 * (i % 7))
+        rows.append(
+            (
+                i,
+                kind,
+                _fixture_payload(i, kind, w, h, dur),
+                ("image/png", "audio/wav", "video/mp4")[i % 3],
+                w,
+                h,
+                dur,
+            )
+        )
     return spark.createDataFrame(rows, MEDIA_SCHEMA)

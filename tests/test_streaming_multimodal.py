@@ -103,3 +103,75 @@ def test_parse_image_headers(spark):
     assert (out[2]["detected_format"], out[2]["parsed_width"]) == ("gif", 320)
     assert (out[3]["detected_format"], out[3]["parsed_height"]) == ("jpeg", 99)
     assert out[4]["parse_ok"] is False
+
+
+def _wav_bytes(channels=2, rate=44100, bits=16, n_samples=44100, junk_first=True):
+    byte_rate = rate * channels * bits // 8
+    fmt = (
+        b"fmt " + (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little") + channels.to_bytes(2, "little")
+        + rate.to_bytes(4, "little") + byte_rate.to_bytes(4, "little")
+        + (channels * bits // 8).to_bytes(2, "little") + bits.to_bytes(2, "little")
+    )
+    data_size = n_samples * channels * bits // 8
+    data = b"data" + data_size.to_bytes(4, "little") + b"\x00" * min(data_size, 64)
+    junk = b"JUNK" + (3).to_bytes(4, "little") + b"xyz" + b"\x00"  # odd size -> pad
+    body = (junk if junk_first else b"") + fmt + data
+    return b"RIFF" + (4 + len(body)).to_bytes(4, "little") + b"WAVE" + body
+
+
+def _mp4_bytes(timescale=1000, duration=7500, version=0):
+    ftyp = (16).to_bytes(4, "big") + b"ftypisom" + (0).to_bytes(4, "big")
+    if version == 0:
+        mvhd_body = bytes([0, 0, 0, 0]) + b"\x00" * 8 + timescale.to_bytes(4, "big") + duration.to_bytes(4, "big") + b"\x00" * 80
+    else:
+        mvhd_body = bytes([1, 0, 0, 0]) + b"\x00" * 16 + timescale.to_bytes(4, "big") + duration.to_bytes(8, "big") + b"\x00" * 80
+    mvhd = (8 + len(mvhd_body)).to_bytes(4, "big") + b"mvhd" + mvhd_body
+    # a free box before moov exercises the top-level walk
+    free = (12).to_bytes(4, "big") + b"free" + b"\x00" * 4
+    moov = (8 + len(mvhd)).to_bytes(4, "big") + b"moov" + mvhd
+    return ftyp + free + moov
+
+
+def test_parse_audio_video_headers(spark):
+    from dataqualitykit_spark.operators.multimodal import (
+        media_metadata,
+        parse_mp4_header,
+        parse_wav_header,
+    )
+
+    wav = _wav_bytes()
+    # 44100 samples at 44100 Hz = exactly 1000 ms regardless of channels
+    assert parse_wav_header(wav) == ("wav", 2, 44100, 1000)
+    assert parse_wav_header(_wav_bytes(channels=1, rate=8000, n_samples=4000)) == (
+        "wav", 1, 8000, 500,
+    )
+    assert parse_wav_header(b"RIFFxxxxAVI LIST") == (None, None, None, None)
+    assert parse_wav_header(None) == (None, None, None, None)
+
+    mp4_v0 = _mp4_bytes()
+    assert parse_mp4_header(mp4_v0) == ("mp4", "isom", 7500)
+    mp4_v1 = _mp4_bytes(timescale=90000, duration=90000 * 3, version=1)
+    assert parse_mp4_header(mp4_v1) == ("mp4", "isom", 3000)
+    assert parse_mp4_header(b"\x00\x00\x00\x08junk....") == (None, None, None)
+
+    png = (
+        b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\rIHDR"
+        + (640).to_bytes(4, "big") + (480).to_bytes(4, "big") + b"\x08\x06" + b"\x00" * 20
+    )
+    df = spark.createDataFrame(
+        [
+            (1, "image", png, "image/png", 0, 0, 0),
+            (2, "audio", wav, "audio/wav", 0, 0, 0),
+            (3, "video", mp4_v0, "video/mp4", 0, 0, 0),
+            (4, "audio", b"not a container at all", "audio/wav", 0, 0, 0),
+        ],
+        "media_id bigint, kind string, payload binary, mime string, "
+        "width int, height int, duration_ms int",
+    )
+    out = {r["media_id"]: r for r in media_metadata(df).collect()}
+    assert (out[1]["detected_format"], out[1]["parsed_width"]) == ("png", 640)
+    assert (out[2]["detected_format"], out[2]["channels"], out[2]["sample_rate_hz"],
+            out[2]["parsed_duration_ms"]) == ("wav", 2, 44100, 1000)
+    assert (out[3]["detected_format"], out[3]["parsed_duration_ms"]) == ("mp4", 7500)
+    assert out[4]["parse_ok"] is False and out[4]["detected_format"] is None
