@@ -860,6 +860,17 @@ def q_token_budget(spark, sf):
     )
 
 
+def q_decontamination(spark, sf):
+    # benchmark decontamination (13-gram rule shrunk to 5 for the short
+    # synthetic docs): every ~97th doc plays the "eval set"; corpus docs
+    # sharing any 5-gram with it are flagged
+    d = _t(spark, sf, "documents")
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    return dedup.contamination_flags(d, bench, "text", "doc_id", n=5).select(
+        F.col("id").alias("doc_id"), "n_hits", "contaminated"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the driver records correctness for the FIRST ~50
     # entries only (observed ceiling in rounds 1-2). The flagship pipeline,
@@ -890,6 +901,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_extract": q_html_extract,
         "domain_report": q_domain_report,
         "token_budget": q_token_budget,
+        "decontamination": q_decontamination,
         # -- operators still inside the recorded window --------------------
         "missing_scan": q_missing_scan,
         "encoding_xmlcharref": q_encoding_xmlcharref,
@@ -1876,6 +1888,30 @@ def oracle_sql() -> dict[str, str]:
     d["html_extract"] = _html_extract_sql()
     d["domain_report"] = _domain_report_sql()
     d["token_budget"] = _token_budget_sql()
+    # decontamination: same tokenize/shingle chain as ngram_jaccard; the
+    # engine joins xxhash64(gram) (bigints, broadcastable), the oracle
+    # joins the gram STRINGS — identical results absent a 2^-64 collision
+    gram5 = "concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3], toks[i+4])"
+    d["decontamination"] = f"""
+        WITH tok AS (
+          SELECT doc_id, {_sql_tokens('lower(text)')} AS toks FROM documents
+        ), sh AS (
+          SELECT doc_id,
+                 CASE WHEN len(toks) < 5 THEN [concat_ws(' ', toks)]
+                      ELSE [{gram5} for i in generate_series(1, len(toks) - 4)]
+                 END AS shingles
+          FROM tok
+        ), ex AS (
+          SELECT doc_id, unnest(list_distinct(shingles)) AS s FROM sh
+        ), bench AS (
+          SELECT DISTINCT s FROM ex WHERE doc_id % 97 = 0
+        ), hits AS (
+          SELECT ex.doc_id, count(*) AS n
+          FROM ex JOIN bench USING (s) GROUP BY ex.doc_id
+        )
+        SELECT d.doc_id, CAST(coalesce(h.n, 0) AS INT) AS n_hits,
+               coalesce(h.n, 0) >= 1 AS contaminated
+        FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id"""
     d["lsh_cosine_topk"] = _lsh_cosine_sql()
     d["embed_cosine_dups_lsh"] = _lsh_dup_pairs_sql(threshold=0.4)
     return d

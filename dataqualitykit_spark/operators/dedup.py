@@ -679,3 +679,59 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= min_jaccard)
     )
+
+
+def contamination_flags(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 13,
+    min_hits: int = 1,
+    bench_text_col: str | None = None,
+    bench_id_col: str | None = None,
+) -> DataFrame:
+    """Benchmark decontamination: flag every corpus doc sharing at least
+    `min_hits` distinct word n-grams with a benchmark/eval set — the
+    standard 13-gram overlap rule LLM training pipelines run before
+    training (no reference analog; task-brief training-data op).
+
+    Returns one row per corpus doc: (id, n_hits, contaminated). n_hits
+    counts DISTINCT contaminated n-grams. Docs shorter than n words
+    contribute their whole text as a single "gram" (same rule as the
+    other shingle ops), so short benchmark prompts still match verbatim
+    copies.
+
+    100 TB shape: benchmark gram sets are small (eval suites are MBs) —
+    the distinct benchmark grams BROADCAST to every executor, the corpus
+    side is a map-side semi-join on gram hash (bigint, never the gram
+    string), and the only exchange is the per-doc hit-count groupBy,
+    which partial-aggregates map-side to one row per contaminated doc.
+    The corpus text itself is never shuffled."""
+    btext = bench_text_col or text_col
+    bid = bench_id_col or id_col
+    bench = (
+        with_shingles(benchmark, btext, bid, n)
+        .select(F.explode(F.array_distinct("shingles")).alias("shingle"))
+        .select(F.xxhash64("shingle").alias("sh"))
+        .distinct()
+    )
+    grams = (
+        with_shingles(corpus, text_col, id_col, n)
+        .select("id", F.explode(F.array_distinct("shingles")).alias("shingle"))
+        .select("id", F.xxhash64("shingle").alias("sh"))
+    )
+    hits = (
+        grams.join(F.broadcast(bench), "sh")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        corpus.select(F.col(id_col).alias("id"))
+        .join(hits, "id", "left")
+        .select(
+            "id",
+            F.coalesce("n_hits", F.lit(0)).cast("int").alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)) >= min_hits).alias("contaminated"),
+        )
+    )

@@ -120,3 +120,38 @@ def test_simhash64_matches_python_vote_over_shingle_hashes(spark):
     # near-identical docs -> small hamming distance on the fast path too
     ham = bin((got[0] ^ got[1]) & ((1 << 64) - 1)).count("1")
     assert ham <= 10, ham
+
+
+def test_contamination_flags(spark):
+    """13-gram-rule decontamination (n=5 here): docs sharing a full n-gram
+    with the benchmark flag; sub-n overlap does not; short benchmark
+    prompts match verbatim copies via the whole-text-gram rule."""
+    bench = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog tonight"),
+            (1, "short prompt"),  # < n words -> whole text is the gram
+        ],
+        "doc_id int, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            # contains "quick brown fox jumps over" (a full 5-gram)
+            (10, "we saw the quick brown fox jumps over a fence yesterday"),
+            # shares only 4-gram runs ("quick brown fox jumps" broken by X)
+            (11, "the quick brown fox X jumps over the lazy cat"),
+            (12, "Short Prompt"),  # verbatim short-prompt copy (case folds)
+            (13, "completely unrelated text about spark partitions"),
+            (14, None),  # NULL text -> zero grams, clean
+        ],
+        "doc_id int, text string",
+    )
+    out = {
+        r["id"]: (r["n_hits"], r["contaminated"])
+        for r in dedup.contamination_flags(corpus, bench, n=5).collect()
+    }
+    assert set(out) == {10, 11, 12, 13, 14}
+    assert out[10][1] is True and out[10][0] >= 1
+    assert out[11] == (0, False)
+    assert out[12] == (1, True)
+    assert out[13] == (0, False)
+    assert out[14] == (0, False)
