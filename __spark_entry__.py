@@ -871,6 +871,27 @@ def q_decontamination(spark, sf):
     )
 
 
+def q_paragraph_dedup(spark, sf):
+    # CCNet-style repeated-paragraph scrub: inject a per-source copyright
+    # line and a cyclic footer into every doc — both repeat across >= 3
+    # docs and must be stripped; the doc's own text paragraph survives
+    d = _t(spark, sf, "documents")
+    pages = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit("\ncopyright "),
+            F.col("source"),
+            F.lit(" all rights reserved\npage footer "),
+            (F.col("doc_id") % 7).cast("string"),
+        ).alias("text"),
+    )
+    out = dedup.paragraph_dedup(pages, min_repeats=3)
+    return out.select(
+        F.col("id").alias("doc_id"), "cleaned_text", "n_paras", "n_dropped"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the driver records correctness for the FIRST ~50
     # entries only (observed ceiling in rounds 1-2). The flagship pipeline,
@@ -902,6 +923,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_report": q_domain_report,
         "token_budget": q_token_budget,
         "decontamination": q_decontamination,
+        "paragraph_dedup": q_paragraph_dedup,
         # -- operators still inside the recorded window --------------------
         "missing_scan": q_missing_scan,
         "encoding_xmlcharref": q_encoding_xmlcharref,
@@ -931,8 +953,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "content_hash": q_content_hash,
         "pii_scrub": q_pii_scrub,
         "ngram_jaccard": q_ngram_jaccard,
-        "embed_cosine_topk": q_embed_cosine_topk,
+        # blocked BEFORE per-pair: the mapInArrow rewrite (round 3) needs a
+        # driver record; embed_cosine_topk itself is unchanged 2-round green
         "embed_cosine_topk_blocked": q_embed_cosine_topk_blocked,
+        "embed_cosine_topk": q_embed_cosine_topk,
         "format_check_date": q_format_check_date,
         # -- two rounds of green driver history (r01+r02); rotated past the
         # -- 50-row window, still covered by check_correctness.py + pytest --
@@ -1912,6 +1936,44 @@ def oracle_sql() -> dict[str, str]:
         SELECT d.doc_id, CAST(coalesce(h.n, 0) AS INT) AS n_hits,
                coalesce(h.n, 0) >= 1 AS contaminated
         FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id"""
+    # paragraph dedup: || (not concat()) so NULL text propagates like
+    # Spark's F.concat; string_agg skips the CASE-NULLed dropped paras and
+    # coalesces to '' to match array_join over an empty kept-list
+    d["paragraph_dedup"] = """
+        WITH src AS (
+          SELECT doc_id,
+                 text || chr(10) || 'copyright ' || source
+                      || ' all rights reserved' || chr(10)
+                      || 'page footer ' || CAST(doc_id % 7 AS VARCHAR) AS text
+          FROM documents
+        ), s AS (
+          SELECT doc_id, string_split(text, chr(10)) AS parts FROM src
+        ), p0 AS (
+          SELECT doc_id,
+                 unnest([{'pos': i, 'para': parts[i]}
+                         for i in generate_series(1, len(parts))]) AS u
+          FROM s
+        ), p AS (
+          SELECT doc_id, u.pos AS pos, u.para AS para FROM p0
+        ), rep AS (
+          SELECT para FROM p WHERE trim(para) <> ''
+          GROUP BY para HAVING count(DISTINCT doc_id) >= 3
+        ), m AS (
+          SELECT p.doc_id, p.pos, p.para,
+                 (rep.para IS NOT NULL) AS dropped
+          FROM p LEFT JOIN rep ON p.para = rep.para
+        ), agg AS (
+          SELECT doc_id,
+                 coalesce(string_agg(CASE WHEN NOT dropped THEN para END,
+                                     chr(10) ORDER BY pos), '') AS cleaned,
+                 count(*) AS np,
+                 sum(CASE WHEN dropped THEN 1 ELSE 0 END) AS nd
+          FROM m GROUP BY doc_id
+        )
+        SELECT d.doc_id, a.cleaned AS cleaned_text,
+               CAST(coalesce(a.np, 0) AS INT) AS n_paras,
+               CAST(coalesce(a.nd, 0) AS INT) AS n_dropped
+        FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id"""
     d["lsh_cosine_topk"] = _lsh_cosine_sql()
     d["embed_cosine_dups_lsh"] = _lsh_dup_pairs_sql(threshold=0.4)
     return d

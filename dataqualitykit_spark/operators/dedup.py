@@ -681,6 +681,69 @@ def ngram_jaccard_pairs(
     )
 
 
+def paragraph_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_repeats: int = 2,
+) -> DataFrame:
+    """CCNet-style repeated-paragraph removal: a paragraph (newline-split
+    line) appearing in >= min_repeats DISTINCT docs is boilerplate (nav
+    bars, cookie banners, copyright footers) and is dropped from every
+    doc; remaining paragraphs reassemble in original order. Paragraphs
+    that are empty after trim are formatting, never flagged.
+
+    Returns (id, cleaned_text, n_paras, n_dropped); NULL text passes
+    through as NULL with zero counts.
+
+    100 TB shape: the corpus shuffles ONCE as (paragraph-hash bigint,
+    id) pairs for the distinct-doc count (map-side partial aggregation
+    on the hash), the repeated set is typically tiny (boilerplate is
+    heavy-tailed) and joins back as a broadcast/semi-join on the hash,
+    and reassembly groups by id — paragraphs of one doc co-locate, so
+    AQE plans it off the same exchange. Paragraph TEXT crosses the wire
+    only inside the per-doc reassembly, never in the frequency pass."""
+    paras = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "para"),
+    ).withColumn("ph", F.xxhash64("para"))
+    rep = (
+        paras.filter(F.trim("para") != "")
+        .groupBy("ph")
+        .agg(F.count_distinct("id").alias("_nd"))
+        .filter(F.col("_nd") >= min_repeats)
+        .select("ph", F.lit(True).alias("_rep"))
+    )
+    marked = paras.join(rep, "ph", "left").withColumn(
+        "_drop", F.coalesce("_rep", F.lit(False))
+    )
+    agg = marked.groupBy("id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(~F.col("_drop"), F.struct("pos", "para"))
+                    )
+                ),
+                lambda s: s["para"],
+            ),
+            "\n",
+        ).alias("cleaned_text"),
+        F.count(F.lit(1)).cast("int").alias("n_paras"),
+        F.sum(F.col("_drop").cast("int")).cast("int").alias("n_dropped"),
+    )
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(agg, "id", "left")
+        .select(
+            "id",
+            "cleaned_text",
+            F.coalesce("n_paras", F.lit(0)).alias("n_paras"),
+            F.coalesce("n_dropped", F.lit(0)).alias("n_dropped"),
+        )
+    )
+
+
 def contamination_flags(
     corpus: DataFrame,
     benchmark: DataFrame,

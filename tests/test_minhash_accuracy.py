@@ -155,3 +155,29 @@ def test_contamination_flags(spark):
     assert out[12] == (1, True)
     assert out[13] == (0, False)
     assert out[14] == (0, False)
+
+
+def test_paragraph_dedup(spark):
+    """Repeated-paragraph scrub: a line in >= min_repeats distinct docs
+    drops from every doc; order is preserved; within-doc repetition alone
+    does not flag; blank lines never flag; NULL text passes through."""
+    boiler = "copyright example corp"
+    rows = [
+        (1, f"alpha unique one\n{boiler}\nbeta unique two"),
+        (2, f"{boiler}\ngamma unique three"),
+        (3, f"delta unique four\n{boiler}"),
+        (4, "echo repeated\necho repeated\nfoxtrot unique"),  # in-doc repeat only
+        (5, "golf unique\n\nhotel unique"),  # blank line kept
+        (6, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {
+        r["id"]: (r["cleaned_text"], r["n_paras"], r["n_dropped"])
+        for r in dedup.paragraph_dedup(df, min_repeats=2).collect()
+    }
+    assert out[1] == ("alpha unique one\nbeta unique two", 3, 1)
+    assert out[2] == ("gamma unique three", 2, 1)
+    assert out[3] == ("delta unique four", 2, 1)
+    assert out[4] == ("echo repeated\necho repeated\nfoxtrot unique", 3, 0)
+    assert out[5] == ("golf unique\n\nhotel unique", 3, 0)
+    assert out[6] == (None, 0, 0)
