@@ -343,11 +343,24 @@ def connected_components(
     materialized — at 10^12 docs the pair-participant set is tiny relative
     to the corpus, so the loop frames stay small.
 
-    Each iteration is one equi-join + one groupBy (shuffles (id,label)
-    pairs only) and converges in O(component diameter) rounds — near-dup
-    clusters are shallow, so 2-4 rounds in practice; max_iter bounds
-    pathological chains. localCheckpoint cuts the lineage so plans do not
-    grow across iterations."""
+    Each propagation round is one equi-join + one groupBy (shuffles
+    (id,label) pairs only); convergence needs O(component diameter)
+    rounds — near-dup clusters are shallow, so 2-4 in practice; max_iter
+    bounds pathological chains. Round pacing is ADAPTIVE: the first two
+    driver actions run ONE propagation round each (shallow clusters —
+    the overwhelmingly common case — converge here with no extra join
+    work), later actions run TWO rounds each (labels are monotone
+    non-increasing per node, so a double-round with zero net change is
+    a fixed point) — halving driver round-trips exactly when a deep
+    chain makes round count the cost. localCheckpoint cuts the lineage
+    so plans do not grow across iterations."""
+
+    def propagate(lbls: DataFrame) -> DataFrame:
+        nbr = edges.join(
+            lbls.withColumnRenamed("id", "src"), "src"
+        ).select(F.col("dst").alias("id"), "label")
+        return lbls.union(nbr).groupBy("id").agg(F.min("label").alias("label"))
+
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
@@ -360,19 +373,15 @@ def connected_components(
         .withColumn("label", F.col("id"))
         .localCheckpoint()
     )
-    for _ in range(max_iter):
-        nbr = edges.join(
-            labels.withColumnRenamed("id", "src"), "src"
-        ).select(F.col("dst").alias("id"), "label")
+    for it in range(max_iter):
         # LAZY checkpoint: the changed-count below is the ONE action per
         # iteration — it materializes new's blocks as a side effect, so
-        # the loop costs one driver round-trip per round, not two
-        new = (
-            labels.union(nbr)
-            .groupBy("id")
-            .agg(F.min("label").alias("label"))
-            .localCheckpoint(eager=False)
-        )
+        # each iteration (1 or 2 propagation rounds) costs one driver
+        # round-trip
+        new = propagate(labels)
+        if it >= 2:
+            new = propagate(new)
+        new = new.localCheckpoint(eager=False)
         changed = (
             new.withColumnRenamed("label", "_new")
             .join(labels, "id")
@@ -388,8 +397,9 @@ def connected_components(
         # duplicates, so fail loudly instead of degrading
         raise RuntimeError(
             f"connected_components did not converge in max_iter={max_iter} "
-            f"rounds ({changed} labels still changing); raise max_iter — "
-            "rounds needed grow with the longest chain's diameter"
+            f"iterations ({2 * max_iter - 2} propagation rounds; {changed} "
+            "labels still changing); raise max_iter — rounds needed grow "
+            "with the longest chain's diameter"
         )
     return labels.withColumnRenamed("label", "component")
 

@@ -98,3 +98,13 @@ def test_recompute_materialization_matches_checkpoint(spark, near_labeled):
         k: (v["keep"], v["drop_reason"]) for k, v in near_labeled.items()
     }
     assert got == want
+
+
+def test_connected_components_raises_on_max_iter_exhaustion(spark):
+    # a 12-edge path needs ~11 propagation rounds; max_iter=2 double-rounds
+    # (4 propagation rounds) must fail loudly, never return split labels
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "id_a int, id_b int"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.connected_components(pairs, max_iter=2)
