@@ -871,6 +871,15 @@ def q_decontamination(spark, sf):
     )
 
 
+def q_media_metadata(spark, sf):
+    # deterministic mixed-media fixture (sf-independent): PNG/WAV/MP4
+    # container headers parsed from bytes; odd rows are garbage payloads
+    # routed to quarantine (parse_ok=false)
+    from dataqualitykit_spark.operators import multimodal
+
+    return multimodal.media_metadata(multimodal.media_fixture(spark, 60))
+
+
 def q_paragraph_dedup(spark, sf):
     # CCNet-style repeated-paragraph scrub: inject a per-source copyright
     # line and a cyclic footer into every doc — both repeat across >= 3
@@ -979,6 +988,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "centered_ma": q_centered_ma,
         "neighborhood_dev": q_neighborhood_dev,
         "segment_stats": q_segment_stats,
+        # rows-only BY DESIGN (binary container parsing has no SQL mirror;
+        # deterministic fixture, exact values pinned by unit goldens)
+        "media_metadata": q_media_metadata,
     }
 
 

@@ -99,12 +99,15 @@ def test_every_query_has_oracle_or_is_hash_based():
     # only the xxhash64 fast-path twins (engine-specific hash family) and
     # the ANN bucket path may skip the oracle; everything else — including
     # the full pipeline and the md5-portable near-dup ops — is SQL-checked
-    # xxhash64 fast-path twins (engine-specific hash family) and the
-    # learned-quantizer IVF path are the only rows-only queries left
+    # xxhash64 fast-path twins (engine-specific hash family), the
+    # learned-quantizer IVF path, and binary container parsing (no SQL
+    # mirror; exact values pinned by unit goldens) are the only
+    # rows-only queries left
     assert rows_only <= {
         "minhash_lsh_dups_fast",
         "simhash_fast",
         "ivf_cosine_topk",
+        "media_metadata",
     }
 
 
