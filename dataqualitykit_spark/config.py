@@ -69,6 +69,15 @@ class PipelineConfig:
     # original url column untouched
     normalize_urls: bool = False
 
+    # CCNet-style repeated-paragraph scrub BEFORE any other stage: a
+    # newline-paragraph appearing in >= paragraph_min_repeats distinct
+    # urls (nav bars, cookie banners, footers) is removed from every doc;
+    # all downstream stages (missing check, content-md5 dedup, scoring)
+    # see the cleaned text. Off by default: adds one (paragraph, url)
+    # exchange over the corpus.
+    dedup_paragraphs: bool = False
+    paragraph_min_repeats: int = 2
+
     # near-duplicate dedup (MinHash-LSH pairs -> connected components ->
     # keep the canonical min-url row per cluster, drop_reason='dup_near').
     # Off by default: it adds two shuffled joins + an iterative CC stage.

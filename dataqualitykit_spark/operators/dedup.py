@@ -754,6 +754,54 @@ def paragraph_dedup(
     )
 
 
+def paragraph_scrub(
+    df: DataFrame,
+    text_col: str = "text",
+    doc_key: str = "url",
+    min_repeats: int = 2,
+) -> DataFrame:
+    """In-place variant of paragraph_dedup for pipeline use: rewrites
+    `text_col` with repeated paragraphs removed, preserving every OTHER
+    column and every row (no group-by-doc reassembly, so rows sharing a
+    doc_key — pre-dedup url mirrors — are never merged).
+
+    Two phases, zero driver collects: (1) the repeated-paragraph set is
+    computed by one (paragraph, doc_key) exchange with distinct-key
+    counts; (2) the set is aggregated to a single-row array, broadcast
+    via crossJoin, and each row's paragraphs filter against it in place.
+    The broadcast array is fine while the boilerplate set fits a task
+    (heavy-tailed in practice); for adversarial corpora route through
+    paragraph_dedup's join-based reassembly with a unique row key.
+    NULL text passes through as NULL."""
+    paras = (
+        df.select(F.col(doc_key).alias("_k"), F.explode(F.split(F.col(text_col), "\n")).alias("para"))
+        .filter(F.trim("para") != "")
+    )
+    rep = (
+        paras.groupBy("para")
+        .agg(F.count_distinct("_k").alias("_nd"))
+        .filter(F.col("_nd") >= min_repeats)
+    )
+    bad = rep.agg(F.collect_set("para").alias("_bad"))  # exactly one row
+    cleaned = F.array_join(
+        F.filter(
+            F.split(F.col(text_col), "\n"),
+            lambda p: ~F.array_contains(F.col("_bad"), p),
+        ),
+        "\n",
+    )
+    return (
+        df.crossJoin(F.broadcast(bad))
+        .withColumn(
+            text_col,
+            F.when(F.col(text_col).isNull(), F.lit(None).cast("string")).otherwise(
+                cleaned
+            ),
+        )
+        .drop("_bad")
+    )
+
+
 def contamination_flags(
     corpus: DataFrame,
     benchmark: DataFrame,

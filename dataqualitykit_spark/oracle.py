@@ -54,6 +54,26 @@ def run_oracle(
         for r in rows
     ]
 
+    # 0. repeated-paragraph scrub FIRST (mirrors pipeline cfg.dedup_paragraphs):
+    #    a non-blank line appearing in >= paragraph_min_repeats distinct urls
+    #    is removed from every doc before missing/dedup/scoring see the text
+    if cfg.dedup_paragraphs:
+        seen_in: dict[str, set[str]] = {}
+        for r in out:
+            if r.text is None:
+                continue
+            for para in set(r.text.split("\n")):
+                # strip(' ') not strip(): Spark's F.trim removes SPACES
+                # only — a tab-only line must classify identically
+                if para.strip(" "):
+                    seen_in.setdefault(para, set()).add(r.url)
+        bad = {p for p, urls in seen_in.items() if len(urls) >= cfg.paragraph_min_repeats}
+        for r in out:
+            if r.text is not None:
+                r.text = "\n".join(
+                    p for p in r.text.split("\n") if p not in bad
+                )
+
     missing = [is_missing(r.text) for r in out]
     chash = [content_hash(r.text or "") for r in out]
 

@@ -222,6 +222,17 @@ def run_pipeline(df: DataFrame, cfg: PipelineConfig = DEFAULT_CONFIG) -> DataFra
         # downstream stage AND satisfies the url window's distribution
         base = base.repartition(n_salt, url_key)
 
+    # CCNet-style repeated-paragraph scrub FIRST (opt-in): boilerplate
+    # lines shared across >= paragraph_min_repeats urls vanish before the
+    # missing check, the content-md5 windows and the models — two mirrors
+    # differing only in nav-bar text collapse into one content group
+    if cfg.dedup_paragraphs:
+        from .operators import dedup as _dedup
+
+        base = _dedup.paragraph_scrub(
+            base, "text", doc_key="url", min_repeats=cfg.paragraph_min_repeats
+        )
+
     base = base.withColumn("_missing_raw", T.is_missing(F.col("text")))
     chash = F.md5(F.encode(F.coalesce(F.col("text"), F.lit("")), "UTF-8"))
 

@@ -108,3 +108,64 @@ def test_connected_components_raises_on_max_iter_exhaustion(spark):
     )
     with pytest.raises(RuntimeError, match="did not converge"):
         dedup.connected_components(pairs, max_iter=2)
+
+
+def test_paragraph_scrub_pipeline_matches_oracle(spark):
+    """cfg.dedup_paragraphs: repeated boilerplate lines vanish before the
+    missing check, content dedup and scoring — engine and python oracle
+    must agree row-for-row, including byte-identical scrubbed text and
+    the mirror-collapse effect (two docs differing only in their nav bar
+    become content duplicates once the nav bar is scrubbed)."""
+    from datetime import datetime
+
+    from dataqualitykit_spark.oracle import run_oracle
+
+    base = datetime(2024, 1, 1)
+    body = (
+        "the quick brown fox jumps over the lazy dog and runs far away "
+        "today while children play in the green park near the old river"
+    )
+    nav_a = "home | products | about us | contact"
+    nav_b = "accept all cookies to continue"
+    rows = []
+    for i in range(6):
+        rows.append(
+            {
+                "url": f"https://site{i}.example/page",
+                "warc_ts": base,
+                "text": f"{nav_a}\n{body} page {i}\n{nav_b}",
+            }
+        )
+    # two docs identical except for WHICH nav line they carry: after the
+    # scrub they are byte-identical -> content dedup keeps exactly one
+    rows.append(
+        {"url": "https://m1.example/x", "warc_ts": base, "text": f"{nav_a}\n{body} mirror"}
+    )
+    rows.append(
+        {"url": "https://m2.example/x", "warc_ts": base, "text": f"{nav_b}\n{body} mirror"}
+    )
+    # a doc that is ONLY boilerplate: empties out -> missing_text
+    rows.append({"url": "https://n.example/x", "warc_ts": base, "text": f"{nav_a}\n{nav_b}"})
+
+    cfg = PipelineConfig(dedup_paragraphs=True, paragraph_min_repeats=3, salt_partitions=4)
+    df = spark.createDataFrame(
+        [(r["url"], r["warc_ts"], r["text"]) for r in rows],
+        "url string, warc_ts timestamp, text string",
+    )
+    got = {r["url"]: r for r in run_pipeline(df, cfg).collect()}
+    want = run_oracle(rows, cfg)
+    assert len(got) == len(want)
+    for w in want:
+        g = got[w.url]
+        assert g["keep"] == w.keep, (w.url, g["drop_reason"], w.drop_reason)
+        assert g["drop_reason"] == w.drop_reason, w.url
+        assert g["scrubbed_text"] == w.scrubbed_text, w.url
+    # the planted expectations themselves
+    by_url = {w.url: w for w in want}
+    assert by_url["https://n.example/x"].drop_reason == "missing_text"
+    mirrors = [by_url["https://m1.example/x"], by_url["https://m2.example/x"]]
+    assert sorted(m.drop_reason or "kept" for m in mirrors) == ["dup_content", "kept"]
+    for i in range(6):
+        w = by_url[f"https://site{i}.example/page"]
+        assert w.keep, (w.url, w.drop_reason)
+        assert nav_a not in (w.scrubbed_text or "") and nav_b not in (w.scrubbed_text or "")
