@@ -186,9 +186,23 @@ def run_resumable(
             )
             # recover participant text from the bucket input: join on
             # (url, md5) — rows sharing both have byte-identical text, so
-            # dropDuplicates is exact
+            # dropDuplicates is exact. run_pipeline computes content_md5
+            # AFTER the opt-in paragraph scrub, so with dedup_paragraphs
+            # the raw bucket text must pass through the SAME scrub (same
+            # frame, same params) before hashing — otherwise scrubbed
+            # docs' hashes mismatch, they silently drop out of `texts`,
+            # get no signature, and are invisible to cross-bucket
+            # near-dedup.
+            src_text = part
+            if cfg.dedup_paragraphs:
+                src_text = _dedup.paragraph_scrub(
+                    part,
+                    "text",
+                    doc_key="url",
+                    min_repeats=cfg.paragraph_min_repeats,
+                )
             texts = (
-                part.withColumn(
+                src_text.withColumn(
                     "_h",
                     F.md5(
                         F.encode(F.coalesce(F.col("text"), F.lit("")), "UTF-8")

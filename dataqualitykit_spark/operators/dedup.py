@@ -349,17 +349,36 @@ def connected_components(
     bounds pathological chains. Round pacing is ADAPTIVE: the first two
     driver actions run ONE propagation round each (shallow clusters —
     the overwhelmingly common case — converge here with no extra join
-    work), later actions run TWO rounds each (labels are monotone
-    non-increasing per node, so a double-round with zero net change is
-    a fixed point) — halving driver round-trips exactly when a deep
-    chain makes round count the cost. localCheckpoint cuts the lineage
-    so plans do not grow across iterations."""
+    work); later actions run TWO propagation rounds plus a
+    POINTER-DOUBLING shortcut (label := label-node's own label), which
+    halves every node's hop-distance to its component min per action —
+    deep chains converge in O(log diameter) driver actions instead of
+    O(diameter). Labels are monotone non-increasing per node, so a
+    multi-round action with zero net change is a fixed point.
+    localCheckpoint cuts the lineage so plans do not grow across
+    iterations."""
 
     def propagate(lbls: DataFrame) -> DataFrame:
         nbr = edges.join(
             lbls.withColumnRenamed("id", "src"), "src"
         ).select(F.col("dst").alias("id"), "label")
         return lbls.union(nbr).groupBy("id").agg(F.min("label").alias("label"))
+
+    def shortcut(lbls: DataFrame) -> DataFrame:
+        # pointer doubling: replace each node's label with that label-node's
+        # OWN label. Every label value is a component-member id present in
+        # lbls (labels start as ids and only ever take mins of other
+        # labels), and labels are monotone non-increasing — so the inner
+        # join is total and the result is a valid, smaller-or-equal
+        # component-member label. Each application roughly halves every
+        # node's hop-distance to the component min, turning O(diameter)
+        # convergence into O(log diameter) on deep chains.
+        parent = lbls.select(
+            F.col("id").alias("label"), F.col("label").alias("_grand")
+        )
+        return lbls.join(parent, "label").select(
+            "id", F.col("_grand").alias("label")
+        )
 
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
@@ -380,7 +399,10 @@ def connected_components(
         # round-trip
         new = propagate(labels)
         if it >= 2:
-            new = propagate(new)
+            # deep-chain regime: a second propagation round plus a
+            # pointer-doubling shortcut per action — shallow clusters (the
+            # overwhelmingly common case) never pay the extra joins
+            new = shortcut(propagate(new))
         new = new.localCheckpoint(eager=False)
         changed = (
             new.withColumnRenamed("label", "_new")
@@ -392,15 +414,28 @@ def connected_components(
         if changed == 0:
             break
     else:
-        # labels are NOT component minima when propagation is cut short —
-        # consuming them would silently split long near-dup chains and keep
-        # duplicates, so fail loudly instead of degrading
-        raise RuntimeError(
-            f"connected_components did not converge in max_iter={max_iter} "
-            f"iterations ({2 * max_iter - 2} propagation rounds; {changed} "
-            "labels still changing); raise max_iter — rounds needed grow "
-            "with the longest chain's diameter"
+        # `changed` compares against the PRE-iteration labels, so a chain
+        # that reaches its fixed point exactly in the final iteration still
+        # lands here with changed>0. One zero-change verification round
+        # distinguishes "converged on the last action" from genuine
+        # non-convergence before failing.
+        verify = propagate(labels).localCheckpoint(eager=False)
+        still = (
+            verify.withColumnRenamed("label", "_new")
+            .join(labels, "id")
+            .filter(F.col("_new") != F.col("label"))
+            .count()
         )
+        if still:
+            # labels are NOT component minima when propagation is cut
+            # short — consuming them would silently split long near-dup
+            # chains and keep duplicates, so fail loudly instead
+            raise RuntimeError(
+                f"connected_components did not converge in max_iter="
+                f"{max_iter} iterations ({still} labels still changing); "
+                "raise max_iter — rounds needed grow with the log of the "
+                "longest chain's diameter"
+            )
     return labels.withColumnRenamed("label", "component")
 
 
@@ -766,27 +801,31 @@ def paragraph_scrub(
     doc_key — pre-dedup url mirrors — are never merged).
 
     Two phases, zero driver collects: (1) the repeated-paragraph set is
-    computed by one (paragraph, doc_key) exchange with distinct-key
-    counts; (2) the set is aggregated to a single-row array, broadcast
-    via crossJoin, and each row's paragraphs filter against it in place.
-    The broadcast array is fine while the boilerplate set fits a task
-    (heavy-tailed in practice); for adversarial corpora route through
-    paragraph_dedup's join-based reassembly with a unique row key.
-    NULL text passes through as NULL."""
+    computed by one (paragraph-HASH bigint, doc_key) exchange with
+    distinct-key counts — like its sibling paragraph_dedup, the exchange
+    carries xxhash64(para) longs, never paragraph text (8 bytes/paragraph
+    on the wire instead of the corpus text); (2) the repeated HASHES are
+    aggregated to a single-row bigint array, broadcast via crossJoin, and
+    each row's paragraphs filter against it by hash membership in place.
+    The broadcast hash array is 10-50x smaller than the old string form
+    and fine while the boilerplate set fits a task (heavy-tailed in
+    practice); for adversarial corpora route through paragraph_dedup's
+    join-based reassembly with a unique row key. NULL text passes
+    through as NULL."""
     paras = (
         df.select(F.col(doc_key).alias("_k"), F.explode(F.split(F.col(text_col), "\n")).alias("para"))
         .filter(F.trim("para") != "")
     )
     rep = (
-        paras.groupBy("para")
+        paras.groupBy(F.xxhash64("para").alias("_ph"))
         .agg(F.count_distinct("_k").alias("_nd"))
         .filter(F.col("_nd") >= min_repeats)
     )
-    bad = rep.agg(F.collect_set("para").alias("_bad"))  # exactly one row
+    bad = rep.agg(F.collect_set("_ph").alias("_bad"))  # exactly one row
     cleaned = F.array_join(
         F.filter(
             F.split(F.col(text_col), "\n"),
-            lambda p: ~F.array_contains(F.col("_bad"), p),
+            lambda p: ~F.array_contains(F.col("_bad"), F.xxhash64(p)),
         ),
         "\n",
     )

@@ -24,6 +24,15 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 
+def _hadoop_path_exists(spark, path: str) -> bool:
+    """True iff `path` exists, via the Hadoop FileSystem API — scheme-aware
+    (local, HDFS, s3a, ...), unlike os.path.exists."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(hpath))
+
+
 def near_dup_pairs_stream(
     stream: DataFrame,
     text_col: str = "text",
@@ -169,8 +178,6 @@ def near_dedup_labeler(
     )
 
     def label_batch(batch: DataFrame, batch_id: int) -> None:
-        from pyspark.errors import AnalysisException
-
         spark = batch.sparkSession
         sigs = minhash_signatures(batch, text_col, id_col, num_hashes).localCheckpoint()
         within = minhash_jaccard_from_sigs(sigs, num_hashes, rows_per_band).filter(
@@ -178,7 +185,13 @@ def near_dedup_labeler(
         )
         comp = connected_components(within)
         dropped = comp.filter(F.col("id") != F.col("component")).select("id")
-        try:
+        # EXPLICIT store-existence check (Hadoop FS — works for any scheme)
+        # instead of a blanket AnalysisException catch: only "first batch,
+        # no store yet" may skip the cross-batch join. A real analysis
+        # error — e.g. store schema drift after changing num_hashes or id
+        # types — must propagate, not silently disable cross-batch dedup
+        # for every subsequent batch.
+        if _hadoop_path_exists(spark, sig_store_path):
             prior = (
                 spark.read.parquet(sig_store_path)
                 .filter(F.col("_batch_id") < F.lit(batch_id))
@@ -190,8 +203,6 @@ def near_dedup_labeler(
                 .select(F.col("id_a").alias("id"))
             )
             dropped = dropped.union(hits)
-        except AnalysisException:
-            pass  # first batch: no store yet
         flag = dropped.distinct().withColumnRenamed("id", id_col).withColumn(
             "_nd", F.lit(True)
         )

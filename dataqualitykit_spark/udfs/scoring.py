@@ -62,16 +62,22 @@ def _score_batch(texts: pd.Series) -> pd.DataFrame:
 
 
 # one model instance per python worker PROCESS (fastText/KenLM load once,
-# score millions of rows); keyed by the loader's identity so two different
-# models never collide
-_PROCESS_MODEL_CACHE: dict[tuple, object] = {}
+# score millions of rows). Keyed by the loader OBJECT's identity — NOT
+# (module, qualname): two lambdas defined in the same scope (the documented
+# usage) share identical qualnames ('<lambda>') and would collide, handing
+# the KenLM call the cached fastText object. The cache entry holds the
+# loader itself, so its id() can never be recycled while the entry lives;
+# the `is` check guards the (impossible while held) aliasing case anyway.
+_PROCESS_MODEL_CACHE: dict[int, tuple[object, object]] = {}
 
 
 def _cached_model(loader):
-    key = (getattr(loader, "__module__", ""), getattr(loader, "__qualname__", repr(loader)))
-    if key not in _PROCESS_MODEL_CACHE:
-        _PROCESS_MODEL_CACHE[key] = loader()
-    return _PROCESS_MODEL_CACHE[key]
+    key = id(loader)
+    hit = _PROCESS_MODEL_CACHE.get(key)
+    if hit is None or hit[0] is not loader:
+        hit = (loader, loader())
+        _PROCESS_MODEL_CACHE[key] = hit
+    return hit[1]
 
 
 def scoring_udf(lang_model_loader=None, ppl_model_loader=None):

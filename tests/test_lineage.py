@@ -189,3 +189,82 @@ def test_near_dedup_resume_requires_sig_store(spark, tmp_path):
     cfg = PipelineConfig(dedup_near=True, near_dup_hash="md5")
     with pytest.raises(RuntimeError, match="near_sigs"):
         run_resumable(spark, src, root, n_buckets=2, cfg=cfg)
+
+
+def test_cross_bucket_near_dedup_with_paragraph_scrub(spark, tmp_path):
+    """ADVICE r3: run_pipeline computes content_md5 AFTER the opt-in
+    paragraph scrub, so the cross-bucket near-dedup text recovery must
+    scrub the raw bucket text the same way before hashing. Under the old
+    code every scrubbed doc's hash mismatched, it silently got no MinHash
+    signature, and cross-bucket clusters kept one doc PER BUCKET instead
+    of one overall."""
+    import random
+    from datetime import datetime, timezone
+
+    from pyspark.sql import functions as F
+
+    from dataqualitykit_spark.config import PipelineConfig
+    from dataqualitykit_spark.fixtures import PAGES_SCHEMA
+    from dataqualitykit_spark.fixtures.pages import _english_sentence
+
+    rng = random.Random(11)
+    boiler = "accept cookies to continue reading this site"
+    base_text = _english_sentence(rng, 120)
+    ts = datetime(2024, 5, 1, tzinfo=timezone.utc)
+    clones = [
+        {
+            "url": f"https://ndclone-{i}.example/page",
+            "warc_ts": ts,
+            "html": None,
+            # boilerplate first line forces the scrub to REWRITE the text
+            # (and thus shift content_md5) before signatures are taken
+            "text": boiler + "\n" + base_text + f" tailword{i}",
+            "lang": "en",
+        }
+        for i in range(6)
+    ]
+    # carrier docs make the boilerplate line repeat (min_repeats=2) inside
+    # EVERY bucket, so each clone is scrubbed wherever it hashes
+    carriers = [
+        {
+            "url": f"https://carrier-{i}.example/page",
+            "warc_ts": ts,
+            "html": None,
+            "text": boiler + "\n" + _english_sentence(random.Random(100 + i), 120),
+            "lang": "en",
+        }
+        for i in range(8)
+    ]
+    planted = spark.createDataFrame(clones + carriers, schema=PAGES_SCHEMA)
+    bucket_of = {
+        r["url"]: r["b"]
+        for r in planted.select(
+            "url", F.pmod(F.xxhash64("url"), F.lit(2)).cast("int").alias("b")
+        ).collect()
+    }
+    clone_buckets = {bucket_of[c["url"]] for c in clones}
+    assert len(clone_buckets) == 2, bucket_of  # clones span both buckets
+    for b in clone_buckets:  # boilerplate repeats within each bucket
+        assert sum(1 for v in bucket_of.values() if v == b) >= 2, bucket_of
+
+    src = pages_dataframe(spark, 150, seed=13).unionByName(planted)
+    cfg = PipelineConfig(
+        dedup_near=True, near_dup_hash="md5", dedup_paragraphs=True
+    )
+    root = str(tmp_path / "pscrub_xb")
+    run_resumable(spark, src, root, n_buckets=2, cfg=cfg)
+
+    out = (
+        spark.read.parquet(f"{root}/labeled")
+        .filter(F.col("url").startswith("https://ndclone-"))
+        .select("url", "keep", "drop_reason", "scrubbed_text")
+        .collect()
+    )
+    assert len(out) == 6
+    keepers = [r for r in out if r["keep"]]
+    assert len(keepers) == 1, [(r["url"], r["drop_reason"]) for r in out]
+    assert all(
+        r["drop_reason"] in ("dup_near", "dup_content") for r in out if not r["keep"]
+    ), [(r["url"], r["drop_reason"]) for r in out]
+    # the scrub really ran: boilerplate is gone from the kept text
+    assert boiler not in (keepers[0]["scrubbed_text"] or "")

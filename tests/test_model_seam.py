@@ -69,3 +69,40 @@ def test_lang_only_injection_keeps_standins_for_ppl(spark):
     } == {"xx"}
     # perplexity still comes from the embedded bigram stand-in (varies)
     assert scored.select("ppl").distinct().count() > 1
+
+
+def test_cached_model_keys_on_loader_identity():
+    """Two loaders defined in the same scope — the documented usage is two
+    LAMBDAS (`lambda: fasttext.load_model(...)`, `lambda: kenlm.Model(...)`)
+    which share module AND qualname ('<lambda>') — must cache separately,
+    and repeat lookups must not re-run the loader."""
+    from dataqualitykit_spark.udfs.scoring import _cached_model
+
+    calls = {"a": 0, "b": 0}
+    a = lambda: (calls.__setitem__("a", calls["a"] + 1), "model-a")[1]  # noqa: E731
+    b = lambda: (calls.__setitem__("b", calls["b"] + 1), "model-b")[1]  # noqa: E731
+    assert _cached_model(a) == "model-a"
+    assert _cached_model(b) == "model-b"  # old qualname key returned model-a
+    assert _cached_model(a) == "model-a"
+    assert _cached_model(b) == "model-b"
+    assert calls == {"a": 1, "b": 1}  # each loader ran exactly once
+
+
+def test_same_scope_lambda_loaders_do_not_collide(spark):
+    """End-to-end form of the cache-key fix: both loaders as lambdas in one
+    scope (identical module/qualname). Under the old (module, qualname)
+    cache key the KenLM slot received the cached fastText object and
+    .perplexity blew up; keyed by identity both models serve."""
+    lang_load = _lang_loader()
+    ppl_load = _ppl_loader()
+    cfg = PipelineConfig(
+        lang_model_loader=lambda: lang_load(),
+        ppl_model_loader=lambda: ppl_load(),
+        allowed_langs=("xx",),
+    )
+    out = run_pipeline(pages_dataframe(spark, 120), cfg)
+    scored = out.filter(F.col("lang_pred").isNotNull())
+    rows = scored.select("lang_pred", "ppl").distinct().collect()
+    assert rows
+    assert {r["lang_pred"] for r in rows} == {"xx"}
+    assert {round(r["ppl"], 6) for r in rows} == {3.14}

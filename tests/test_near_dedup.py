@@ -169,3 +169,37 @@ def test_paragraph_scrub_pipeline_matches_oracle(spark):
         w = by_url[f"https://site{i}.example/page"]
         assert w.keep, (w.url, w.drop_reason)
         assert nav_a not in (w.scrubbed_text or "") and nav_b not in (w.scrubbed_text or "")
+
+
+def test_connected_components_accepts_convergence_on_final_iteration(spark):
+    """A 12-edge path converges EXACTLY as max_iter=4 exhausts (verified by
+    offline simulation of the propagate/shortcut schedule): `changed` is
+    still >0 at the last iteration because it compares against the
+    pre-iteration labels, but the returned labels are the true component
+    minima. The post-loop zero-change verification round must accept this
+    instead of raising a spurious 'did not converge'."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "id_a int, id_b int"
+    )
+    comp = {
+        r["id"]: r["component"]
+        for r in dedup.connected_components(pairs, max_iter=4).collect()
+    }
+    assert set(comp.values()) == {0}
+    assert len(comp) == 13
+
+
+def test_connected_components_deep_chain_log_rounds(spark):
+    """Pointer doubling makes deep chains converge in O(log diameter)
+    driver actions: a 100-edge path (diameter 100 — the old
+    2-rounds-per-action schedule needed ~27 iterations) must finish
+    within max_iter=8."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(100)], "id_a int, id_b int"
+    )
+    comp = {
+        r["id"]: r["component"]
+        for r in dedup.connected_components(pairs, max_iter=8).collect()
+    }
+    assert set(comp.values()) == {0}
+    assert len(comp) == 101

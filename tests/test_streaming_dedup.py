@@ -137,3 +137,44 @@ def test_near_dup_pairs_stream_across_batches(spark, tmp_path):
     }
     assert ("doc-a", "doc-b") in pairs, pairs
     assert all({a, b} == {"doc-a", "doc-b"} for a, b in pairs), pairs
+
+
+def test_near_dedup_labeler_store_schema_drift_propagates(spark, tmp_path):
+    """ADVICE r3: only "no store yet" may skip the cross-batch join. A
+    store with drifted schema (e.g. the operator was reconfigured between
+    runs) must raise, not silently disable cross-batch dedup forever."""
+    import pytest
+    from pyspark.errors import AnalysisException
+
+    from dataqualitykit_spark.streaming.dedup_stream import near_dedup_labeler
+
+    store = str(tmp_path / "driftstore")
+    # a store written by some OTHER configuration: no id/sig columns
+    spark.createDataFrame(
+        [(1, "x")], "wrong_a int, wrong_b string"
+    ).write.partitionBy("wrong_a").parquet(store)
+    batch = spark.createDataFrame(
+        [("doc-1", "some document text for signatures")],
+        "url string, text string",
+    )
+    fn = near_dedup_labeler(str(tmp_path / "labels"), store, "text", "url")
+    with pytest.raises(AnalysisException):
+        fn(batch, batch_id=1)
+
+
+def test_near_dedup_labeler_first_batch_without_store_runs(spark, tmp_path):
+    """No store on disk = genuinely the first batch: the labeler must run
+    and label everything keep."""
+    from dataqualitykit_spark.streaming.dedup_stream import near_dedup_labeler
+
+    labels = str(tmp_path / "labels_fb")
+    fn = near_dedup_labeler(labels, str(tmp_path / "absent_store"), "text", "url")
+    batch = spark.createDataFrame(
+        [("doc-1", "first document text here"), ("doc-2", "a different text body")],
+        "url string, text string",
+    )
+    fn(batch, batch_id=0)
+    rows = {
+        r["url"]: r["keep"] for r in spark.read.parquet(labels).collect()
+    }
+    assert rows == {"doc-1": True, "doc-2": True}
