@@ -32,10 +32,17 @@ def invalid_categories(df: DataFrame, col: str, allowed: list[str]) -> DataFrame
 
 
 def rare_categories(df: DataFrame, col: str, threshold: float = 0.01) -> DataFrame:
-    """A8 (:1549-1559): categories with share < threshold."""
+    """A8 (:1549-1559): categories with share < threshold.
+
+    The total comes from the same in-plan broadcast 1-row aggregate idiom
+    as category_frequencies — one job, no separate df.count() action."""
     counts = df.groupBy(col).agg(F.count(F.lit(1)).alias("frequency"))
-    total = df.count()
-    return counts.filter(F.col("frequency") < F.lit(threshold * total))
+    total = counts.agg(F.sum("frequency").alias("_t"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .filter(F.col("frequency") < F.lit(threshold) * F.col("_t"))
+        .drop("_t")
+    )
 
 
 def group_rare_as_other(

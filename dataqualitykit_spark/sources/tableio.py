@@ -13,8 +13,15 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def _iceberg_available(spark: SparkSession) -> bool:
+    # Class.forName, NOT py4j attribute traversal: `spark._jvm.org.apache...`
+    # resolves a MISSING class to a JavaPackage object without raising, so
+    # the attribute form reported the jar present in jar-less sessions and
+    # autodetect silently chose the iceberg branch (caught by
+    # tests/test_tableio_branch.py).
     try:
-        spark._jvm.org.apache.iceberg.catalog.Catalog  # noqa: B018
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.iceberg.spark.SparkCatalog"
+        )
         return True
     except Exception:
         return False
