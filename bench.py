@@ -22,6 +22,39 @@ import time
 from pyspark.sql import functions as F
 
 
+def build_near_corpus(docs, cpus: int, near_docs: int, near_reps: int = 8):
+    """The near-dedup bench corpus: `near_docs` total docs as planted
+    8-member near-dup clusters (worst-case clustering load — every doc
+    belongs to a cluster). Unique-text copies first (distinct clusters,
+    unique marker woven in every 5 words so cross-copy jaccard ~0.3),
+    then the `near_reps`-way near-dup replicas inside each cluster
+    (suffix-only difference, jaccard ~0.95). Shared by bench.py's q7 leg
+    and scripts/near_phase_profile.py."""
+    n_base = docs.count()
+    uniq = max(1, near_docs // (n_base * near_reps))
+    return (
+        docs.repartition(2 * int(cpus))
+        .withColumn("_u", F.explode(F.sequence(F.lit(0), F.lit(uniq - 1))))
+        .withColumn(
+            "text",
+            F.when(F.lit(uniq) == 1, F.col("text")).otherwise(
+                F.regexp_replace(
+                    "text",
+                    F.lit(r"((?:\S+ ){5})"),
+                    F.concat(F.lit("$1u"), F.col("_u"), F.lit(" ")),
+                )
+            ),
+        )
+        .withColumn("_r", F.explode(F.sequence(F.lit(0), F.lit(near_reps - 1))))
+        .withColumn(
+            "doc_id",
+            (F.col("doc_id") * uniq + F.col("_u")) * near_reps + F.col("_r"),
+        )
+        .withColumn("text", F.concat(F.col("text"), F.lit(" rep "), F.col("_r")))
+        .drop("_u", "_r")
+    )
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -180,37 +213,8 @@ def main() -> None:
     # stays 8) for scaling measurements — at the default (~40k docs) the
     # leg is mostly fixed stage latency and two parallelism levels
     # measure the same queue.
-    near_reps = 8
-    near_docs = int(os.environ.get("SPARK_GRAFT_NEAR_DOCS", str(n_base * near_reps)))
-    uniq = max(1, near_docs // (n_base * near_reps))
-    near = (
-        docs.repartition(2 * int(cpus))
-        # unique-text copies first (distinct clusters), then the 8-way
-        # near-dup replicas inside each cluster. The unique marker is
-        # woven in every 5 words — a mere suffix would leave cross-copy
-        # jaccard ~0.95 and merge every copy of a base doc into one
-        # mega-cluster; insertion every 5 words breaks ~60% of the
-        # 3-shingles across copies (jaccard ~0.3, well under threshold)
-        # while same-copy replicas still differ only in the rep suffix.
-        .withColumn("_u", F.explode(F.sequence(F.lit(0), F.lit(uniq - 1))))
-        .withColumn(
-            "text",
-            F.when(F.lit(uniq) == 1, F.col("text")).otherwise(
-                F.regexp_replace(
-                    "text",
-                    F.lit(r"((?:\S+ ){5})"),
-                    F.concat(F.lit("$1u"), F.col("_u"), F.lit(" ")),
-                )
-            ),
-        )
-        .withColumn("_r", F.explode(F.sequence(F.lit(0), F.lit(near_reps - 1))))
-        .withColumn(
-            "doc_id",
-            (F.col("doc_id") * uniq + F.col("_u")) * near_reps + F.col("_r"),
-        )
-        .withColumn("text", F.concat(F.col("text"), F.lit(" rep "), F.col("_r")))
-        .drop("_u", "_r")
-    )
+    near_docs = int(os.environ.get("SPARK_GRAFT_NEAR_DOCS", str(n_base * 8)))
+    near = build_near_corpus(docs, int(cpus), near_docs)
     near_cfg = PipelineConfig(salt_partitions=64, dedup_near=True)
     timed(
         "pipeline_near_dedup",
