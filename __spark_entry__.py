@@ -109,6 +109,109 @@ def _html_extract_sql() -> str:
     return f"SELECT doc_id, {_html_to_text_sql(html)} AS extracted FROM documents"
 
 
+def _gopher_repetition_sql() -> str:
+    """Mirror of operators/repetition.repetition_metrics: the engine's
+    top-2gram leg aggregates xxhash64(gram) bigints; the oracle counts the
+    gram STRINGS in-list — identical absent a 2^-64 collision."""
+    lines = (
+        f"list_filter(string_split(text, chr(10)), "
+        f"l -> trim(l, {_SQL_TRIMCHARS}) <> '')"
+    )
+    g2 = "concat_ws(' ', toks[i], toks[i+1])"
+    g5 = "concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3], toks[i+4])"
+    return f"""
+        WITH base AS (
+          SELECT doc_id, text, {lines} AS lines, {_sql_tokens('text')} AS toks
+          FROM documents
+        ), gr AS (
+          SELECT doc_id, text, lines,
+                 CASE WHEN len(toks) < 2 THEN [concat_ws(' ', toks)]
+                      ELSE [{g2} for i in generate_series(1, len(toks) - 1)]
+                 END AS g2,
+                 CASE WHEN len(toks) < 5 THEN [concat_ws(' ', toks)]
+                      ELSE [{g5} for i in generate_series(1, len(toks) - 4)]
+                 END AS g5
+          FROM base
+        )
+        SELECT doc_id,
+               coalesce(len(lines), 0) AS n_lines,
+               round(CASE WHEN len(lines) > 0
+                     THEN (len(lines) - len(list_distinct(lines)))
+                          / CAST(len(lines) AS DOUBLE) ELSE 0.0 END, 6)
+                 AS dup_line_frac,
+               round(CASE WHEN coalesce(list_sum(list_transform(lines, l -> length(l))), 0) > 0
+                     THEN coalesce(list_sum(list_transform(
+                            list_filter(lines,
+                              l -> len(list_filter(lines, x -> x = l)) >= 2),
+                            l -> length(l))), 0)
+                          / CAST(list_sum(list_transform(lines, l -> length(l))) AS DOUBLE)
+                     ELSE 0.0 END, 6) AS dup_line_char_frac,
+               round(CASE WHEN len(g5) > 0
+                     THEN (len(g5) - len(list_distinct(g5)))
+                          / CAST(len(g5) AS DOUBLE) ELSE 0.0 END, 6)
+                 AS dup_5gram_frac,
+               round(CASE WHEN length(text) > 0
+                     THEN coalesce(list_max(list_transform(list_distinct(g2),
+                            g -> CASE WHEN len(list_filter(g2, x -> x = g)) >= 2
+                                 THEN len(list_filter(g2, x -> x = g)) * length(g)
+                                 ELSE 0 END)), 0)
+                          / CAST(length(text) AS DOUBLE)
+                     ELSE 0.0 END, 6) AS top_2gram_char_frac
+        FROM gr"""
+
+
+def _c4_line_filter_sql() -> str:
+    """Mirror of operators/c4_filter.c4_line_filter, built from the SAME
+    constants (TERMINAL_PUNCT / LINE_BAN_PHRASES / DOC_BAN_PHRASES /
+    thresholds) so the two sides cannot drift."""
+    from dataqualitykit_spark.operators import c4_filter as C4
+
+    ends = " OR ".join(
+        f"ends_with(rtrim(ln), {_sql_lit(p)})" for p in C4.TERMINAL_PUNCT
+    )
+    bans = " OR ".join(
+        f"contains(lower(ln), {_sql_lit(ph)})" for ph in C4.LINE_BAN_PHRASES
+    )
+    ok = (
+        f"(({ends}) AND len({_sql_tokens('ln')}) >= {C4.MIN_WORDS_PER_LINE} "
+        f"AND NOT ({bans}))"
+    )
+    doc_ban = " OR ".join(
+        f"contains(lower(cleaned), {_sql_lit(ph)})" for ph in C4.DOC_BAN_PHRASES
+    )
+    return f"""
+        WITH base AS (
+          SELECT doc_id, text, string_split(text, chr(10)) AS lines
+          FROM documents
+        ), kept AS (
+          SELECT doc_id, text, lines,
+                 list_filter(lines, ln -> {ok}) AS keptl
+          FROM base
+        ), cl AS (
+          SELECT doc_id, text, lines, keptl,
+                 CASE WHEN text IS NULL THEN NULL
+                      ELSE coalesce(array_to_string(keptl, chr(10)), '')
+                 END AS cleaned
+          FROM kept
+        ), dec AS (
+          SELECT doc_id, cleaned,
+                 coalesce(len(keptl), 0) AS n_lines_kept,
+                 coalesce(len(lines) - len(keptl), 0) AS n_lines_dropped,
+                 CASE WHEN cleaned IS NULL THEN 'missing_text'
+                      WHEN {doc_ban} THEN 'policy_phrase'
+                      WHEN length(cleaned)
+                           - length(regexp_replace(cleaned, '[.!?]', '', 'g'))
+                           < {C4.MIN_SENTENCES} THEN 'too_few_sentences'
+                 END AS drop_reason
+          FROM cl
+        )
+        SELECT doc_id, cleaned AS cleaned_text,
+               CAST(n_lines_kept AS INT) AS n_lines_kept,
+               CAST(n_lines_dropped AS INT) AS n_lines_dropped,
+               drop_reason IS NULL AS keep, drop_reason
+        FROM dec"""
+
+
 def _domain_report_sql() -> str:
     return _pipeline_sql(
         final_select=f"""SELECT
@@ -563,6 +666,25 @@ def q_text_quality(spark, sf):
     )
 
 
+def q_gopher_repetition(spark, sf):
+    """Gopher-style repetition metrics (operators/repetition.py) — the
+    only exchange carries (id, xxhash64(2-gram), chars); line and 5-gram
+    legs are zero-shuffle column algebra."""
+    from dataqualitykit_spark.operators.repetition import repetition_metrics
+
+    d = _t(spark, sf, "documents")
+    return repetition_metrics(d).withColumnRenamed("id", "doc_id")
+
+
+def q_c4_line_filter(spark, sf):
+    """C4-style line/doc cleaning (operators/c4_filter.py) — pure
+    whole-stage-codegen column algebra, zero shuffles/UDFs."""
+    from dataqualitykit_spark.operators.c4_filter import c4_line_filter
+
+    d = _t(spark, sf, "documents")
+    return c4_line_filter(d).withColumnRenamed("id", "doc_id")
+
+
 def q_langid(spark, sf):
     d = _t(spark, sf, "documents").select(
         F.col("doc_id").cast("long").alias("doc_id"), "text"
@@ -975,6 +1097,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_metadata": q_media_metadata,
         # internals changed this round (in-plan total) — fresh record
         "rare_categories": q_rare_categories,
+        # -- NEW round 4: Gopher repetition + C4 line filter ----------------
+        "gopher_repetition": q_gopher_repetition,
+        "c4_line_filter": q_c4_line_filter,
         # -- two green rounds (r02+r03) — one more recorded round, then
         # -- rotation-eligible ----------------------------------------------
         "encoding_xmlcharref": q_encoding_xmlcharref,
@@ -1000,8 +1125,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "centered_ma": q_centered_ma,
         "neighborhood_dev": q_neighborhood_dev,
         "segment_stats": q_segment_stats,
-        "embed_cosine_topk": q_embed_cosine_topk,
-        "format_check_date": q_format_check_date,
         # ------------------------------------------------------------------
         # past the ~50-row recorded window from here down: 2-green overflow
         # first, then 3-round-green rows (judge r3 item #3 rotated out
@@ -1009,6 +1132,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # below remains fully oracle-checked by scripts/check_correctness.py
         # and pytest every session.
         # ------------------------------------------------------------------
+        "embed_cosine_topk": q_embed_cosine_topk,
+        "format_check_date": q_format_check_date,
         "format_standardize_date": q_format_standardize_date,
         "format_phone": q_format_phone,
         "encoding_remove": q_encoding_remove,
@@ -2006,6 +2131,8 @@ def oracle_sql() -> dict[str, str]:
     d["pipeline_near_dedup"] = _pipeline_sql(near_dedup=True)
     d["pipeline_paragraph_scrub"] = _pipeline_sql(para_scrub=True)
     d["html_extract"] = _html_extract_sql()
+    d["gopher_repetition"] = _gopher_repetition_sql()
+    d["c4_line_filter"] = _c4_line_filter_sql()
     d["domain_report"] = _domain_report_sql()
     d["token_budget"] = _token_budget_sql()
     # decontamination: same tokenize/shingle chain as ngram_jaccard; the

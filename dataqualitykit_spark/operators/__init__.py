@@ -1,5 +1,6 @@
 from . import (
     anomaly,
+    c4_filter,
     categorical,
     dedup,
     dtype,
@@ -8,11 +9,13 @@ from . import (
     missing,
     multimodal,
     range_validity,
+    repetition,
     similarity,
 )
 
 __all__ = [
     "anomaly",
+    "c4_filter",
     "categorical",
     "dedup",
     "dtype",
@@ -21,5 +24,6 @@ __all__ = [
     "missing",
     "multimodal",
     "range_validity",
+    "repetition",
     "similarity",
 ]

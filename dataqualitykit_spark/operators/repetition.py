@@ -1,0 +1,117 @@
+"""Gopher-style repetition metrics (Rae et al. 2021, "Scaling Language
+Models: ... Gopher", repetition filters in Table A1) — the standard
+excess-repetition signals LLM training pipelines compute per document
+before quality filtering. No reference analog (QualityControl.py has no
+text-repetition ops); task-brief training-data operator family.
+
+Per-document outputs:
+
+- dup_line_frac        (n_lines - n_distinct_lines) / n_lines over
+                       space-trim-nonempty lines
+- dup_line_char_frac   fraction of line characters sitting in a line
+                       whose exact text occurs >= 2 times in the doc
+- dup_5gram_frac       (n_5grams - n_distinct_5grams) / n_5grams over
+                       word 5-grams (docs shorter than 5 words have one
+                       whole-text gram -> 0.0)
+- top_2gram_char_frac  max over distinct word 2-grams g of
+                       count(g) * chars(g) / text chars — an upper bound
+                       of Gopher's "fraction of characters in the most
+                       common 2-gram" that stays deterministic under
+                       count ties (max over a scalar, no tie-break
+                       needed); 0.0 when no 2-gram repeats
+
+100 TB shape: the line and 5-gram legs are pure per-row column algebra
+(zero shuffle, zero UDF — whole-stage codegen over split/array ops; the
+line HOF is O(L^2) on the handful of lines a web page has). The top-2gram
+leg is the only exchange: grams explode to (id, xxhash64(gram) bigint,
+gram chars) and partial-aggregate map-side — gram TEXT never shuffles,
+mirroring paragraph_dedup's hash-keyed frequency pass. AQE coalesces the
+per-doc join back.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions import text as T
+
+
+def _word_ngrams(tokens, n: int):
+    """Array column of word n-grams ('w1 w2 ... wn' strings); whole text
+    as one gram when shorter than n words (same rule as the shingle ops)."""
+    joined = F.array_join(tokens, " ")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(tokens) - n),
+        lambda i: F.array_join(F.slice(tokens, i + 1, n), " "),
+    )
+    return F.when(F.size(tokens) < n, F.array(joined)).otherwise(grams)
+
+
+def repetition_metrics(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-doc repetition metrics; NULL text -> zero lines/grams, 0.0
+    fractions. Returns (id, n_lines, dup_line_frac, dup_line_char_frac,
+    dup_5gram_frac, top_2gram_char_frac), fractions rounded to 6."""
+    txt = F.col(text_col)
+    lines = T.nonempty_lines(txt)
+    toks = T.words(txt)
+
+    n_lines = F.size(lines)
+    dup_line_frac = F.when(n_lines > 0, (n_lines - F.size(F.array_distinct(lines))) / n_lines).otherwise(F.lit(0.0))
+    line_chars = F.aggregate(lines, F.lit(0), lambda acc, l: acc + F.length(l))
+    dup_chars = F.aggregate(
+        F.filter(
+            lines,
+            lambda l: F.size(F.filter(lines, lambda x: x == l)) >= 2,
+        ),
+        F.lit(0),
+        lambda acc, l: acc + F.length(l),
+    )
+    dup_line_char_frac = F.when(
+        line_chars > 0, dup_chars / line_chars.cast("double")
+    ).otherwise(F.lit(0.0))
+
+    g5 = _word_ngrams(toks, 5)
+    n5 = F.size(g5)
+    dup_5gram_frac = F.when(
+        n5 > 0, (n5 - F.size(F.array_distinct(g5))) / n5.cast("double")
+    ).otherwise(F.lit(0.0))
+
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.coalesce(F.length(txt), F.lit(0)).alias("_nchars"),
+        F.greatest(n_lines, F.lit(0)).alias("n_lines"),
+        F.round(dup_line_frac, 6).alias("dup_line_frac"),
+        F.round(dup_line_char_frac, 6).alias("dup_line_char_frac"),
+        F.round(dup_5gram_frac, 6).alias("dup_5gram_frac"),
+        _word_ngrams(toks, 2).alias("_g2"),
+    )
+
+    # top-2gram leg: ONE exchange carrying (id, gram hash, gram chars)
+    top = (
+        base.select("id", F.explode("_g2").alias("_g"))
+        .groupBy("id", F.xxhash64("_g").alias("_gh"))
+        .agg(F.count(F.lit(1)).alias("_cnt"), F.first(F.length("_g")).alias("_glen"))
+        .filter(F.col("_cnt") >= 2)
+        .groupBy("id")
+        .agg(F.max(F.col("_cnt") * F.col("_glen")).alias("_topchars"))
+    )
+    return (
+        base.drop("_g2")
+        .join(top, "id", "left")
+        .select(
+            "id",
+            "n_lines",
+            "dup_line_frac",
+            "dup_line_char_frac",
+            "dup_5gram_frac",
+            F.round(
+                F.when(
+                    (F.col("_topchars").isNotNull()) & (F.col("_nchars") > 0),
+                    F.col("_topchars") / F.col("_nchars").cast("double"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("top_2gram_char_frac"),
+        )
+    )
