@@ -31,6 +31,11 @@ def run_at(cpus: int, sf_dir: str) -> dict:
         # T=57s, C=3s -> eff capped at 0.53; at 1.5M docs projected 0.86)
         SPARK_GRAFT_BENCH_DOCS=os.environ.get("SPARK_GRAFT_SCALE_DOCS", "1500000"),
         SPARK_GRAFT_BENCH_REPS="2",
+        # only the legs the efficiency ratio uses (bench.py documents
+        # this); override with SPARK_GRAFT_SCALE_LEGS= (empty = all legs)
+        SPARK_GRAFT_BENCH_LEGS=os.environ.get(
+            "SPARK_GRAFT_SCALE_LEGS", "pipeline_full,heuristics_only"
+        ),
     )
     out = subprocess.run(
         [sys.executable, "bench.py"],
