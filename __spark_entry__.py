@@ -685,6 +685,46 @@ def q_c4_line_filter(spark, sf):
     return c4_line_filter(d).withColumnRenamed("id", "doc_id")
 
 
+# blocklist for the domain-filter query — shared by the Spark side and
+# the oracle so they cannot drift
+_BLOCKLIST = ("src3.example.com", "src7.example.com", "example.org")
+
+
+def q_domain_blocklist(spark, sf):
+    """Domain blocklist filter (operators/url_filter.py): list broadcast,
+    map-side suffix semi-join, corpus never shuffled. Urls are built
+    deterministically from (source, doc_id); every fifth doc lands on a
+    .sub.example.org host so the parent-suffix match is exercised."""
+    from dataqualitykit_spark.operators.url_filter import (
+        filter_blocked_domains,
+    )
+
+    d = _t(spark, sf, "documents")
+    host = F.when(
+        F.col("doc_id") % 5 == 0,
+        F.concat(F.col("source"), F.lit(".sub.example.org")),
+    ).otherwise(F.concat(F.col("source"), F.lit(".example.com")))
+    d2 = d.select(
+        "doc_id",
+        F.concat(F.lit("https://"), host, F.lit("/p/"), F.col("doc_id")).alias(
+            "url"
+        ),
+    )
+    out = filter_blocked_domains(d2, list(_BLOCKLIST), label_only=True)
+    return out.select("doc_id", "url", "blocked_domain")
+
+
+def q_token_budget_sample(spark, sf):
+    """Deterministic token-budget sampling (operators/sampling.py,
+    distributed prefix-sum cut — row-identical to the oracle's one-window
+    cumsum by construction)."""
+    from dataqualitykit_spark.operators.sampling import sample_to_token_budget
+
+    d = _t(spark, sf, "documents")
+    out = sample_to_token_budget(d, budget_tokens=2000)
+    return out.select("doc_id", "lang", "n_tokens")
+
+
 def q_langid(spark, sf):
     d = _t(spark, sf, "documents").select(
         F.col("doc_id").cast("long").alias("doc_id"), "text"
@@ -1097,9 +1137,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_metadata": q_media_metadata,
         # internals changed this round (in-plan total) — fresh record
         "rare_categories": q_rare_categories,
-        # -- NEW round 4: Gopher repetition + C4 line filter ----------------
+        # -- NEW round 4: Gopher repetition, C4 line filter, domain
+        # -- blocklist, token-budget sampler --------------------------------
         "gopher_repetition": q_gopher_repetition,
         "c4_line_filter": q_c4_line_filter,
+        "domain_blocklist": q_domain_blocklist,
+        "token_budget_sample": q_token_budget_sample,
         # -- two green rounds (r02+r03) — one more recorded round, then
         # -- rotation-eligible ----------------------------------------------
         "encoding_xmlcharref": q_encoding_xmlcharref,
@@ -2133,6 +2176,36 @@ def oracle_sql() -> dict[str, str]:
     d["html_extract"] = _html_extract_sql()
     d["gopher_repetition"] = _gopher_repetition_sql()
     d["c4_line_filter"] = _c4_line_filter_sql()
+    host = (
+        "CASE WHEN doc_id % 5 = 0 THEN concat(source, '.sub.example.org') "
+        "ELSE concat(source, '.example.com') END"
+    )
+    blocked = " OR ".join(
+        f"host = {_sql_lit(b)} OR ends_with(host, {_sql_lit('.' + b)})"
+        for b in _BLOCKLIST
+    )
+    d["domain_blocklist"] = f"""
+        WITH u AS (
+          SELECT doc_id, {host} AS host FROM documents
+        )
+        SELECT doc_id,
+               concat('https://', host, '/p/', doc_id) AS url,
+               ({blocked}) AS blocked_domain
+        FROM u"""
+    d["token_budget_sample"] = f"""
+        WITH t AS (
+          SELECT doc_id, lang,
+                 md5(CAST(doc_id AS VARCHAR)) AS key,
+                 coalesce(len(regexp_extract_all(text,
+                   {_sql_lit(T.BPE_TOKEN_REGEX)})), 0) AS n_tokens
+          FROM documents WHERE lang IS NOT NULL
+        ), c AS (
+          SELECT *, sum(n_tokens) OVER (
+            PARTITION BY lang ORDER BY key, doc_id) AS cum
+          FROM t
+        )
+        SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens
+        FROM c WHERE cum <= 2000"""
     d["domain_report"] = _domain_report_sql()
     d["token_budget"] = _token_budget_sql()
     # decontamination: same tokenize/shingle chain as ngram_jaccard; the

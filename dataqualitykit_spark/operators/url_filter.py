@@ -1,0 +1,72 @@
+"""URL/domain-level filtering — the first gate of a crawl pipeline
+(blocklist the known-bad domains before paying to score their pages).
+No reference analog (QualityControl.py has no URL ops); task-brief
+training-data operator family, same family as UT1/adult-domain
+blocklists in public crawl pipelines.
+
+100 TB shape: blocklists are small (10^5-10^7 domains) next to the
+corpus — the list BROADCASTS and the filter is a map-side hash anti-join
+on the extracted registered domain; the corpus never shuffles. Matching
+is on the exact domain or any parent suffix (ads.example.com matches a
+blocklist entry example.com), computed by exploding each url's O(label
+count) suffix set — constant per row, no cross join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions.text import domain_of
+
+
+def _suffixes(domain):
+    """Array of dot-suffixes of a domain: a.b.c -> [a.b.c, b.c, c]."""
+    parts = F.split(domain, r"\.")
+    n = F.size(parts)
+    return F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.array_join(F.slice(parts, i, n), "."),
+    )
+
+
+def filter_blocked_domains(
+    df: DataFrame,
+    blocked: DataFrame | list[str],
+    url_col: str = "url",
+    label_only: bool = False,
+) -> DataFrame:
+    """Drop (or, with label_only=True, flag with a `blocked_domain`
+    boolean) every row whose url's domain equals a blocklist entry or is
+    a subdomain of one. Blocklist entries are bare domains, matched
+    case-insensitively.
+
+    `blocked` may be a small python list (inlined as a broadcast-side
+    frame) or a DataFrame with a `domain` column (the 10^7-entry case —
+    still broadcast: tens of MB of strings)."""
+    spark = df.sparkSession
+    if not isinstance(blocked, DataFrame):
+        blocked = spark.createDataFrame(
+            [(d,) for d in blocked], "domain string"
+        )
+    bl = F.broadcast(
+        blocked.select(F.lower(F.col("domain")).alias("_bl_dom")).distinct()
+    )
+    # per-URL verdict (rows sharing a url share a domain, so url-level
+    # matching is exact): explode each url's O(label-count) suffix set,
+    # map-side semi-join against the broadcast blocklist, then join the
+    # verdict back by url. `hits` is NOT broadcast — in the pathological
+    # case it is every blocked url; AQE picks broadcast when it is small.
+    sfx = df.select(url_col).distinct().withColumn(
+        "_sfx", F.explode(_suffixes(F.lower(domain_of(F.col(url_col)))))
+    )
+    hits = (
+        sfx.join(bl, sfx["_sfx"] == bl["_bl_dom"], "left_semi")
+        .select(url_col)
+        .distinct()
+    )
+    if label_only:
+        flagged = hits.withColumn("blocked_domain", F.lit(True))
+        return df.join(flagged, url_col, "left").withColumn(
+            "blocked_domain", F.coalesce("blocked_domain", F.lit(False))
+        )
+    return df.join(hits, url_col, "left_anti")

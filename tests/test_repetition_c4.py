@@ -121,3 +121,68 @@ def test_c4_quoted_line_end_kept(spark):
     r = _by_id(c4_line_filter(df).collect())[1]
     # quote counts as terminal punctuation -> the line survives
     assert r["n_lines_kept"] == 3
+
+
+def _budget_oracle(rows, budget):
+    """One-window mirror of sample_to_token_budget: per lang, order by
+    (md5(id), id), keep while inclusive cumsum <= budget."""
+    import hashlib
+    import re
+    from collections import defaultdict
+
+    pat = re.compile(
+        r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \t\n\r\x0b\f]+"
+    )
+    by_lang = defaultdict(list)
+    for doc_id, lang, text in rows:
+        ntok = len(pat.findall(text)) if text is not None else 0
+        key = hashlib.md5(str(doc_id).encode()).hexdigest()
+        by_lang[lang].append((key, doc_id, ntok))
+    kept = {}
+    for lang, docs in by_lang.items():
+        run = 0
+        for key, doc_id, ntok in sorted(docs):
+            run += ntok  # prefix-CUT semantics: inclusive cumsum <= budget
+            if run <= budget:
+                kept[doc_id] = ntok
+    return kept
+
+
+def test_sample_to_token_budget_matches_one_window_oracle(spark):
+    from dataqualitykit_spark.operators.sampling import sample_to_token_budget
+
+    rows = [
+        (i, ["en", "de", "fr"][i % 3], "word " * (5 + (i * 7) % 40))
+        for i in range(120)
+    ] + [(997, "en", None)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    for budget in (0, 50, 400, 10**9):
+        got = {
+            r["doc_id"]: r["n_tokens"]
+            for r in sample_to_token_budget(df, budget).collect()
+        }
+        want = _budget_oracle(rows, budget)
+        assert got == want, (budget, len(got), len(want))
+
+
+def test_filter_blocked_domains(spark):
+    from dataqualitykit_spark.operators.url_filter import filter_blocked_domains
+
+    df = spark.createDataFrame(
+        [
+            (1, "https://spam.example.com/page"),      # subdomain of blocked
+            (2, "https://example.com/else"),           # exact blocked
+            (3, "https://fine.example.org/x"),         # unrelated
+            (4, "https://notexample.com/x"),           # suffix must be label-wise
+            (5, "https://Sub.BLOCKED.net/y"),          # case-insensitive
+        ],
+        "doc_id long, url string",
+    )
+    out = filter_blocked_domains(df, ["example.com", "blocked.net"])
+    assert {r["doc_id"] for r in out.collect()} == {3, 4}
+
+    labeled = filter_blocked_domains(
+        df, ["example.com", "blocked.net"], label_only=True
+    )
+    got = {r["doc_id"]: r["blocked_domain"] for r in labeled.collect()}
+    assert got == {1: True, 2: True, 3: False, 4: False, 5: True}
