@@ -666,6 +666,54 @@ def q_text_quality(spark, sf):
     )
 
 
+def q_pipeline_c4(spark, sf):
+    """Flagship pipeline with cfg.c4_lines (C4-style line rewrite +
+    policy_phrase gate). The corpus transform — '.' appended to every
+    line, a lorem-ipsum first line on every 7th doc — is injected
+    identically by the oracle's text_expr so both sides see the same
+    punctuated input (the raw fixture text has no terminal punctuation)."""
+    from dataqualitykit_spark.config import PipelineConfig
+
+    docs = _t(spark, sf, "documents").withColumn(
+        "text",
+        F.when(F.col("text").isNull(), F.lit(None).cast("string")).otherwise(
+            F.concat(
+                F.when(
+                    F.col("doc_id") % 7 == 0,
+                    F.lit("lorem ipsum dolor sit amet.\n"),
+                ).otherwise(F.lit("")),
+                F.regexp_replace("text", "\n", ".\n"),
+                F.lit("."),
+            )
+        ),
+    )
+    cfg = PipelineConfig(c4_lines=True)
+    return run_pipeline(adapt_documents(docs), cfg).select(
+        "url", "keep", "drop_reason"
+    )
+
+
+def q_pipeline_repetition(spark, sf):
+    """Flagship pipeline with the Gopher repetition gates (0.3/0.3).
+    Every 6th doc's text is doubled (both sides) so dup-5gram mass
+    demonstrably trips the gate."""
+    from dataqualitykit_spark.config import PipelineConfig
+
+    docs = _t(spark, sf, "documents").withColumn(
+        "text",
+        F.when(
+            (F.col("doc_id") % 6 == 0) & F.col("text").isNotNull(),
+            F.concat(F.col("text"), F.lit(" "), F.col("text")),
+        ).otherwise(F.col("text")),
+    )
+    cfg = PipelineConfig(
+        max_dup_line_char_frac=0.3, max_dup_5gram_frac=0.3
+    )
+    return run_pipeline(adapt_documents(docs), cfg).select(
+        "url", "keep", "drop_reason"
+    )
+
+
 def q_gopher_repetition(spark, sf):
     """Gopher-style repetition metrics (operators/repetition.py) — the
     only exchange carries (id, xxhash64(2-gram), chars); line and 5-gram
@@ -1107,6 +1155,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_full": q_pipeline_full,
         "pipeline_near_dedup": q_pipeline_near_dedup,
         "pipeline_paragraph_scrub": q_pipeline_paragraph_scrub,  # NEW r4
+        "pipeline_c4": q_pipeline_c4,  # NEW r4
+        "pipeline_repetition": q_pipeline_repetition,  # NEW r4
         "minhash_lsh_dups": q_minhash_lsh_dups,
         "minhash_lsh_dups_fast": q_minhash_lsh_dups_fast,
         "simhash": q_simhash,
@@ -1355,6 +1405,9 @@ def _pipeline_sql(
     near_dedup: bool = False,
     final_select: str | None = None,
     para_scrub: bool = False,
+    text_expr: str | None = None,
+    c4_lines: bool = False,
+    repetition: tuple[float, float] | None = None,
 ) -> str:
     """Full-pipeline oracle: content dedup -> [near-dup dedup via
     md5-MinHash-LSH pairs + recursive-CTE connected components] -> scrub
@@ -1369,7 +1422,15 @@ def _pipeline_sql(
     nonempty — F.trim is space-only) is removed from every doc BEFORE the
     missing check, content hash and models. DuckDB array_to_string over an
     empty list is NULL where Spark array_join gives '' — hence the
-    coalesce (boilerplate-only docs must become '' -> missing_text)."""
+    coalesce (boilerplate-only docs must become '' -> missing_text).
+
+    text_expr replaces `text` in the first CTE (a SQL expression over
+    (text, doc_id) — the queries' deterministic corpus transforms, e.g.
+    punctuation injection for the c4 leg). c4_lines mirrors cfg.c4_lines
+    (kept-lines rewrite in base + policy_phrase decide clause).
+    repetition=(max_dup_line_char_frac, max_dup_5gram_frac) mirrors the
+    Gopher gates. Stage order matches run_pipeline: text_expr -> c4 ->
+    paragraph scrub -> missing/hash/dedup -> scrub -> metrics -> decide."""
     from dataqualitykit_spark.config import DEFAULT_CONFIG as C
 
     hits, lang_case, conf = _langid_cols("toks", "s")
@@ -1426,17 +1487,38 @@ def _pipeline_sql(
         if near_dedup
         else "FALSE AS dup_near FROM ded"
     )
-    if para_scrub:
-        banner = _sql_lit(_PS_BANNER)
-        base_ctes = f"""base0 AS (
-  SELECT concat('doc://', source, '/', doc_id) AS url,
-         CASE WHEN doc_id % 3 = 0
-              THEN concat({banner}, chr(10), coalesce(text, ''))
-              ELSE text END AS text
+    txt0 = text_expr or "text"
+    base_ctes = f"""base0 AS (
+  SELECT concat('doc://', source, '/', doc_id) AS url, {txt0} AS text
   FROM documents
-), psrep AS (
+)"""
+    cur = "base0"
+    if c4_lines:
+        from dataqualitykit_spark.operators import c4_filter as C4
+
+        ends = " OR ".join(
+            f"ends_with(rtrim(ln), {_sql_lit(p)})" for p in C4.TERMINAL_PUNCT
+        )
+        bans = " OR ".join(
+            f"contains(lower(ln), {_sql_lit(ph)})" for ph in C4.LINE_BAN_PHRASES
+        )
+        ok = (
+            f"(({ends}) AND len({_sql_tokens('ln')}) >= "
+            f"{C.c4_min_words_per_line} AND NOT ({bans}))"
+        )
+        base_ctes += f""", basec4 AS (
+  SELECT url,
+         CASE WHEN text IS NULL THEN NULL
+              ELSE coalesce(array_to_string(
+                     list_filter(string_split(text, chr(10)), ln -> {ok}),
+                     chr(10)), '') END AS text
+  FROM {cur}
+)"""
+        cur = "basec4"
+    if para_scrub:
+        base_ctes += f""", psrep AS (
   SELECT para FROM (
-    SELECT url, unnest(string_split(text, chr(10))) AS para FROM base0
+    SELECT url, unnest(string_split(text, chr(10))) AS para FROM {cur}
   ) x WHERE trim(para, ' ') <> ''
   GROUP BY para HAVING count(DISTINCT url) >= {C.paragraph_min_repeats}
 ), psbad AS (
@@ -1448,20 +1530,48 @@ def _pipeline_sql(
                      list_filter(string_split(text, chr(10)),
                                  p -> NOT list_contains(bad, p)),
                      chr(10)), '') END AS text
-  FROM base0 CROSS JOIN psbad
-), base AS (
+  FROM {cur} CROSS JOIN psbad
+)"""
+        cur = "base1"
+    base_ctes += f""", base AS (
   SELECT url, text, {m_raw} AS missing_raw,
          md5(coalesce(text, '')) AS chash
-  FROM base1
+  FROM {cur}
 )"""
-    else:
-        base_ctes = f"""base AS (
-  SELECT concat('doc://', source, '/', doc_id) AS url,
-         text,
-         {m_raw} AS missing_raw,
-         md5(coalesce(text, '')) AS chash
-  FROM documents
-)"""
+
+    # opt-in Gopher repetition + C4 policy gates (scrubbed-text metrics
+    # in met2, decide clauses at the pipeline's exact priority slots)
+    extra_met2, rep_when, policy_when = "", "", ""
+    if repetition is not None:
+        mx_dlcf, mx_d5g = repetition
+        line_chars = "list_sum(list_transform(nlines, l -> length(l)))"
+        dup_chars = (
+            "list_sum(list_transform(list_filter(nlines, "
+            "l -> len(list_filter(nlines, x -> x = l)) >= 2), "
+            "l -> length(l)))"
+        )
+        g5 = "concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3], toks[i+4])"
+        g5_list = (
+            f"CASE WHEN len(toks) < 5 THEN [concat_ws(' ', toks)] "
+            f"ELSE [{g5} for i in generate_series(1, len(toks) - 4)] END"
+        )
+        extra_met2 += f""",
+         CASE WHEN coalesce({line_chars}, 0) > 0
+              THEN coalesce({dup_chars}, 0) / CAST({line_chars} AS DOUBLE)
+              ELSE 0.0 END AS dlcf,
+         CASE WHEN len({g5_list}) > 0
+              THEN (len({g5_list}) - len(list_distinct({g5_list})))
+                   / CAST(len({g5_list}) AS DOUBLE)
+              ELSE 0.0 END AS d5g"""
+        rep_when = f"WHEN dlcf > {mx_dlcf} OR d5g > {mx_d5g} THEN 'repetition'\n           "
+    if c4_lines:
+        from dataqualitykit_spark.operators import c4_filter as C4
+
+        doc_ban = " OR ".join(
+            f"contains(lower(s), {_sql_lit(ph)})" for ph in C4.DOC_BAN_PHRASES
+        )
+        extra_met2 += f",\n         ({doc_ban}) AS policy_ban"
+        policy_when = "WHEN policy_ban THEN 'policy_phrase'\n           "
     return f"""
 WITH RECURSIVE {base_ctes}, ded AS (
   SELECT url, text, missing_raw,
@@ -1501,7 +1611,7 @@ WITH RECURSIVE {base_ctes}, ded AS (
          len(list_filter(toks, x -> list_contains([{_stopword_sql_list()}], lower(x))))
            AS sw_hits,
          len(nlines) AS n_lines,
-         len(list_distinct(nlines)) AS n_distinct_lines,
+         len(list_distinct(nlines)) AS n_distinct_lines{extra_met2},
          {hits}
   FROM met
 ), met3 AS (
@@ -1528,8 +1638,8 @@ WITH RECURSIVE {base_ctes}, ded AS (
            WHEN n_lines >= {C.min_lines_for_ratio}
                 AND n_distinct_lines / CAST(n_lines AS DOUBLE)
                     < {C.min_distinct_line_ratio} THEN 'repeated_lines'
-           WHEN bp_hits >= {C.max_boilerplate_hits} THEN 'boilerplate'
-           WHEN nw > 0 AND (sw_hits < {C.min_stopword_hits}
+           {rep_when}WHEN bp_hits >= {C.max_boilerplate_hits} THEN 'boilerplate'
+           {policy_when}WHEN nw > 0 AND (sw_hits < {C.min_stopword_hits}
                 OR sw_hits / CAST(greatest(nw, 1) AS DOUBLE)
                    < {C.min_stopword_density}) THEN 'stopword_density'
            WHEN lang_pred NOT IN ({', '.join(_sql_lit(lang) for lang in C.allowed_langs)})
@@ -2172,7 +2282,32 @@ def oracle_sql() -> dict[str, str]:
     d["simhash"] = _simhash_sql()
     d["pipeline_full"] = _pipeline_sql()
     d["pipeline_near_dedup"] = _pipeline_sql(near_dedup=True)
-    d["pipeline_paragraph_scrub"] = _pipeline_sql(para_scrub=True)
+    d["pipeline_paragraph_scrub"] = _pipeline_sql(
+        para_scrub=True,
+        text_expr=(
+            f"CASE WHEN doc_id % 3 = 0 "
+            f"THEN concat({_sql_lit(_PS_BANNER)}, chr(10), coalesce(text, '')) "
+            f"ELSE text END"
+        ),
+    )
+    d["pipeline_c4"] = _pipeline_sql(
+        c4_lines=True,
+        # punctuation injection: fixture corpora have no terminal
+        # punctuation, so the query side applies the IDENTICAL transform
+        text_expr=(
+            "CASE WHEN text IS NULL THEN NULL ELSE "
+            "CASE WHEN doc_id % 7 = 0 "
+            "THEN 'lorem ipsum dolor sit amet.' || chr(10) ELSE '' END "
+            "|| replace(text, chr(10), '.' || chr(10)) || '.' END"
+        ),
+    )
+    d["pipeline_repetition"] = _pipeline_sql(
+        repetition=(0.3, 0.3),
+        text_expr=(
+            "CASE WHEN doc_id % 6 = 0 AND text IS NOT NULL "
+            "THEN text || ' ' || text ELSE text END"
+        ),
+    )
     d["html_extract"] = _html_extract_sql()
     d["gopher_repetition"] = _gopher_repetition_sql()
     d["c4_line_filter"] = _c4_line_filter_sql()

@@ -78,6 +78,20 @@ class PipelineConfig:
     dedup_paragraphs: bool = False
     paragraph_min_repeats: int = 2
 
+    # C4-style line cleaning (Raffel et al. 2020) BEFORE everything else
+    # (extraction-time cleanup): only lines ending in terminal punctuation
+    # with >= c4_min_words_per_line words and no ban phrase survive; the
+    # doc-level 'policy_phrase' gate (lorem ipsum / '{') joins the quality
+    # rules. Off by default; zero-shuffle when on.
+    c4_lines: bool = False
+    c4_min_words_per_line: int = 3
+
+    # Gopher-style repetition gates (Rae et al. 2021) over the scrubbed
+    # text: drop_reason='repetition' when either enabled fraction exceeds
+    # its ceiling. None = gate off. Both are zero-shuffle column algebra.
+    max_dup_line_char_frac: float | None = None
+    max_dup_5gram_frac: float | None = None
+
     # near-duplicate dedup (MinHash-LSH pairs -> connected components ->
     # keep the canonical min-url row per cluster, drop_reason='dup_near').
     # Off by default: it adds two shuffled joins + an iterative CC stage.
@@ -142,7 +156,9 @@ DROP_REASON_ORDER: tuple[str, ...] = (
     "mean_word_length",
     "symbol_ratio",
     "repeated_lines",
+    "repetition",  # opt-in Gopher gate (max_dup_line_char_frac/5gram)
     "boilerplate",
+    "policy_phrase",  # opt-in C4 doc gate (cfg.c4_lines)
     "stopword_density",
     "lang",
     "perplexity",

@@ -194,9 +194,18 @@ def run_resumable(
             # get no signature, and are invisible to cross-bucket
             # near-dedup.
             src_text = part
+            if cfg.c4_lines:
+                from .operators import c4_filter as _c4
+
+                src_text = src_text.withColumn(
+                    "text",
+                    _c4.kept_lines_text(
+                        F.col("text"), cfg.c4_min_words_per_line
+                    ),
+                )
             if cfg.dedup_paragraphs:
                 src_text = _dedup.paragraph_scrub(
-                    part,
+                    src_text,
                     "text",
                     doc_key="url",
                     min_repeats=cfg.paragraph_min_repeats,

@@ -54,6 +54,28 @@ def _line_ok(ln, min_words_per_line: int):
     return ends_ok & (n_words >= min_words_per_line) & ~banned
 
 
+def kept_lines_text(txt, min_words_per_line: int = MIN_WORDS_PER_LINE):
+    """Column: `txt` rewritten with only the surviving lines (NULL stays
+    NULL). Shared by c4_line_filter and the pipeline's cfg.c4_lines
+    rewrite stage."""
+    kept = F.filter(
+        F.split(txt, r"\n"), lambda ln: _line_ok(ln, min_words_per_line)
+    )
+    return F.when(txt.isNull(), F.lit(None).cast("string")).otherwise(
+        F.array_join(kept, "\n")
+    )
+
+
+def doc_ban_col(txt):
+    """Column: True when `txt` contains a doc-level ban marker (C4's
+    lorem-ipsum / '{' rule), case-insensitive; NULL-safe False."""
+    lc = F.lower(txt)
+    has = F.lit(False)
+    for ph in DOC_BAN_PHRASES:
+        has = has | F.contains(lc, F.lit(ph))
+    return F.coalesce(has, F.lit(False))
+
+
 def c4_line_filter(
     df: DataFrame,
     text_col: str = "text",

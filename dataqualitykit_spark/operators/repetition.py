@@ -47,6 +47,34 @@ def _word_ngrams(tokens, n: int):
     return F.when(F.size(tokens) < n, F.array(joined)).otherwise(grams)
 
 
+def dup_line_char_frac_col(txt):
+    """Fraction of line characters in a line whose exact text occurs >= 2
+    times in the doc (unrounded Column; NULL/empty -> 0.0). Shared by
+    repetition_metrics and the pipeline's opt-in repetition gate."""
+    lines = T.nonempty_lines(txt)
+    line_chars = F.aggregate(lines, F.lit(0), lambda acc, l: acc + F.length(l))
+    dup_chars = F.aggregate(
+        F.filter(
+            lines, lambda l: F.size(F.filter(lines, lambda x: x == l)) >= 2
+        ),
+        F.lit(0),
+        lambda acc, l: acc + F.length(l),
+    )
+    return F.when(line_chars > 0, dup_chars / line_chars.cast("double")).otherwise(
+        F.lit(0.0)
+    )
+
+
+def dup_5gram_frac_col(txt):
+    """(n_5grams - n_distinct_5grams) / n_5grams over word 5-grams
+    (unrounded Column; NULL/short -> 0.0)."""
+    g5 = _word_ngrams(T.words(txt), 5)
+    n5 = F.size(g5)
+    return F.when(
+        n5 > 0, (n5 - F.size(F.array_distinct(g5))) / n5.cast("double")
+    ).otherwise(F.lit(0.0))
+
+
 def repetition_metrics(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -59,32 +87,13 @@ def repetition_metrics(
 
     n_lines = F.size(lines)
     dup_line_frac = F.when(n_lines > 0, (n_lines - F.size(F.array_distinct(lines))) / n_lines).otherwise(F.lit(0.0))
-    line_chars = F.aggregate(lines, F.lit(0), lambda acc, l: acc + F.length(l))
-    dup_chars = F.aggregate(
-        F.filter(
-            lines,
-            lambda l: F.size(F.filter(lines, lambda x: x == l)) >= 2,
-        ),
-        F.lit(0),
-        lambda acc, l: acc + F.length(l),
-    )
-    dup_line_char_frac = F.when(
-        line_chars > 0, dup_chars / line_chars.cast("double")
-    ).otherwise(F.lit(0.0))
-
-    g5 = _word_ngrams(toks, 5)
-    n5 = F.size(g5)
-    dup_5gram_frac = F.when(
-        n5 > 0, (n5 - F.size(F.array_distinct(g5))) / n5.cast("double")
-    ).otherwise(F.lit(0.0))
-
     base = df.select(
         F.col(id_col).alias("id"),
         F.coalesce(F.length(txt), F.lit(0)).alias("_nchars"),
         F.greatest(n_lines, F.lit(0)).alias("n_lines"),
         F.round(dup_line_frac, 6).alias("dup_line_frac"),
-        F.round(dup_line_char_frac, 6).alias("dup_line_char_frac"),
-        F.round(dup_5gram_frac, 6).alias("dup_5gram_frac"),
+        F.round(dup_line_char_frac_col(txt), 6).alias("dup_line_char_frac"),
+        F.round(dup_5gram_frac_col(txt), 6).alias("dup_5gram_frac"),
         _word_ngrams(toks, 2).alias("_g2"),
     )
 

@@ -54,6 +54,15 @@ def run_oracle(
         for r in rows
     ]
 
+    # -1. C4 line cleaning FIRST (mirrors pipeline cfg.c4_lines): only
+    #     terminal-punctuation lines with enough words and no ban phrase
+    #     survive; everything downstream sees the cleaned text
+    if cfg.c4_lines:
+        from .semantics import c4_clean_text
+
+        for r in out:
+            r.text = c4_clean_text(r.text, cfg.c4_min_words_per_line)
+
     # 0. repeated-paragraph scrub FIRST (mirrors pipeline cfg.dedup_paragraphs):
     #    a non-blank line appearing in >= paragraph_min_repeats distinct urls
     #    is removed from every doc before missing/dedup/scoring see the text

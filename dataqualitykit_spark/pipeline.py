@@ -55,6 +55,35 @@ _METRIC_COLS: dict[str, str] = {
 }
 
 
+def _repetition_flag(cfg: PipelineConfig) -> list[tuple[str, Column]]:
+    """Opt-in Gopher repetition gate over the scrubbed text — inline
+    expressions, no extra columns (codegen CSE dedups the array ops)."""
+    if cfg.max_dup_line_char_frac is None and cfg.max_dup_5gram_frac is None:
+        return []
+    from .operators import repetition as _rep
+
+    s = F.col("scrubbed_text")
+    cond = F.lit(False)
+    if cfg.max_dup_line_char_frac is not None:
+        cond = cond | (
+            _rep.dup_line_char_frac_col(s) > cfg.max_dup_line_char_frac
+        )
+    if cfg.max_dup_5gram_frac is not None:
+        cond = cond | (_rep.dup_5gram_frac_col(s) > cfg.max_dup_5gram_frac)
+    return [("repetition", ~F.col("_missing") & cond)]
+
+
+def _policy_flag(cfg: PipelineConfig) -> list[tuple[str, Column]]:
+    """Opt-in C4 doc-level ban gate (lorem ipsum / '{') on scrubbed text."""
+    if not cfg.c4_lines:
+        return []
+    from .operators import c4_filter as _c4
+
+    return [
+        ("policy_phrase", ~F.col("_missing") & _c4.doc_ban_col(F.col("scrubbed_text")))
+    ]
+
+
 def _quality_flags(cfg: PipelineConfig) -> list[tuple[str, Column]]:
     """(reason, condition) in priority order, evaluated on survivor rows
     that already carry metric columns. `_missing` here means the SCRUBBED
@@ -81,10 +110,12 @@ def _quality_flags(cfg: PipelineConfig) -> list[tuple[str, Column]]:
             & (c("n_lines") >= cfg.min_lines_for_ratio)
             & (c("distinct_line_ratio") < cfg.min_distinct_line_ratio),
         ),
+        *_repetition_flag(cfg),
         (
             "boilerplate",
             ~c("_missing") & (c("boilerplate_hits") >= cfg.max_boilerplate_hits),
         ),
+        *_policy_flag(cfg),
         (
             "stopword_density",
             ~c("_missing")
@@ -221,6 +252,18 @@ def run_pipeline(df: DataFrame, cfg: PipelineConfig = DEFAULT_CONFIG) -> DataFra
         # one explicit url repartition: balances hot domains ahead of every
         # downstream stage AND satisfies the url window's distribution
         base = base.repartition(n_salt, url_key)
+
+    # C4-style line cleaning FIRST (opt-in, extraction-time semantics):
+    # only terminal-punctuation lines with enough words and no ban phrase
+    # survive; every later stage (missing check, hashes, models, the
+    # paragraph scrub) sees the cleaned text. Zero-shuffle projection.
+    if cfg.c4_lines:
+        from .operators import c4_filter as _c4
+
+        base = base.withColumn(
+            "text",
+            _c4.kept_lines_text(F.col("text"), cfg.c4_min_words_per_line),
+        )
 
     # CCNet-style repeated-paragraph scrub FIRST (opt-in): boilerplate
     # lines shared across >= paragraph_min_repeats urls vanish before the

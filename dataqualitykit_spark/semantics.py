@@ -279,6 +279,60 @@ def line_stats(text: str) -> tuple[int, int]:
     return len(lines), len(set(lines))
 
 
+def dup_line_char_frac(text: str) -> float:
+    """Mirror of operators/repetition.dup_line_char_frac_col: fraction of
+    line characters in a line occurring >= 2 times (nonempty lines by
+    WS_CHARS strip, same selection as line_stats)."""
+    lines = [ln for ln in text.split("\n") if ln.strip(WS_CHARS) != ""]
+    total = sum(len(ln) for ln in lines)
+    if total == 0:
+        return 0.0
+    from collections import Counter
+
+    cnt = Counter(lines)
+    return sum(len(ln) for ln in lines if cnt[ln] >= 2) / total
+
+
+def dup_5gram_frac(text: str) -> float:
+    """Mirror of operators/repetition.dup_5gram_frac_col: duplicate word
+    5-gram fraction; docs shorter than 5 words contribute one whole-text
+    gram -> 0.0."""
+    toks = tokenize(text)
+    if len(toks) < 5:
+        return 0.0
+    grams = [" ".join(toks[i : i + 5]) for i in range(len(toks) - 4)]
+    return (len(grams) - len(set(grams))) / len(grams)
+
+
+# C4 gate mirrors (constants live in operators/c4_filter — imported here
+# lazily to keep semantics dependency-light at import time)
+def c4_keep_line(ln: str, min_words_per_line: int) -> bool:
+    from .operators.c4_filter import LINE_BAN_PHRASES, TERMINAL_PUNCT
+
+    trimmed = ln.rstrip(" ")  # Spark F.rtrim is space-only
+    if not trimmed.endswith(TERMINAL_PUNCT):
+        return False
+    if len(tokenize(ln)) < min_words_per_line:
+        return False
+    low = ln.lower()
+    return not any(ph in low for ph in LINE_BAN_PHRASES)
+
+
+def c4_clean_text(text: str | None, min_words_per_line: int) -> str | None:
+    if text is None:
+        return None
+    return "\n".join(
+        ln for ln in text.split("\n") if c4_keep_line(ln, min_words_per_line)
+    )
+
+
+def c4_doc_banned(text: str) -> bool:
+    from .operators.c4_filter import DOC_BAN_PHRASES
+
+    low = text.lower()
+    return any(ph in low for ph in DOC_BAN_PHRASES)
+
+
 def boilerplate_hits(text: str) -> int:
     low = text.lower()
     return sum(1 for m in BOILERPLATE_MARKERS if m in low)
@@ -570,8 +624,18 @@ def doc_reasons(text: str | None, cfg: PipelineConfig) -> tuple[list[str], str]:
     n_lines, n_distinct = line_stats(scrubbed)
     if n_lines >= cfg.min_lines_for_ratio and n_distinct / n_lines < cfg.min_distinct_line_ratio:
         reasons.append("repeated_lines")
+    if (
+        cfg.max_dup_line_char_frac is not None
+        and dup_line_char_frac(scrubbed) > cfg.max_dup_line_char_frac
+    ) or (
+        cfg.max_dup_5gram_frac is not None
+        and dup_5gram_frac(scrubbed) > cfg.max_dup_5gram_frac
+    ):
+        reasons.append("repetition")
     if boilerplate_hits(scrubbed) >= cfg.max_boilerplate_hits:
         reasons.append("boilerplate")
+    if cfg.c4_lines and c4_doc_banned(scrubbed):
+        reasons.append("policy_phrase")
     hits = stopword_hits(words)
     if n_words > 0 and (hits < cfg.min_stopword_hits or hits / n_words < cfg.min_stopword_density):
         reasons.append("stopword_density")

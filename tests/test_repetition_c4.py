@@ -186,3 +186,117 @@ def test_filter_blocked_domains(spark):
     )
     got = {r["doc_id"]: r["blocked_domain"] for r in labeled.collect()}
     assert got == {1: True, 2: True, 3: False, 4: False, 5: True}
+
+
+def _pipeline_vs_oracle(spark, rows, cfg):
+    from dataqualitykit_spark.fixtures import PAGES_SCHEMA
+    from dataqualitykit_spark.oracle import run_oracle
+    from dataqualitykit_spark.pipeline import run_pipeline
+
+    df = spark.createDataFrame(rows, schema=PAGES_SCHEMA)
+    got = {
+        (r["url"], r["warc_ts"]): (r["keep"], r["drop_reason"], r["scrubbed_text"])
+        for r in run_pipeline(df, cfg)
+        .select("url", "warc_ts", "keep", "drop_reason", "scrubbed_text")
+        .collect()
+    }
+    mism, reasons = [], set()
+    for g in run_oracle(rows, cfg):
+        k, dr, st = got[(g.url, g.warc_ts)]
+        reasons.add(dr)
+        if (k, dr) != (g.keep, g.drop_reason) or (k and st != g.scrubbed_text):
+            mism.append((g.url, g.drop_reason, dr))
+    assert not mism, (len(mism), mism[:10])
+    return reasons
+
+
+def test_pipeline_repetition_gate_matches_python_oracle(spark):
+    """The Gopher repetition gates flow through run_pipeline and the
+    pure-python oracle identically, and demonstrably fire on the
+    fixture's repeated-line docs."""
+    from dataqualitykit_spark.config import PipelineConfig
+    from dataqualitykit_spark.fixtures.pages import generate_pages
+
+    from datetime import datetime
+    import random
+
+    from dataqualitykit_spark.fixtures.pages import _english_sentence
+
+    # naive like the fixture's own timestamps — Spark collects naive
+    ts = datetime(2024, 6, 1)
+    planted = []
+    for i in range(3):
+        # one long line: a 20-word phrase looped 5x -> dup_5gram_frac
+        # ~0.8, while line-level metrics stay clean (single line) so no
+        # higher-priority rule shadows the repetition reason
+        phrase = _english_sentence(random.Random(300 + i), 20)
+        planted.append(
+            {
+                "url": f"https://rep-{i}.example/p",
+                "warc_ts": ts,
+                "html": None,
+                "text": " ".join([phrase] * 5),
+                "lang": "en",
+            }
+        )
+    cfg = PipelineConfig(
+        max_dup_line_char_frac=0.3, max_dup_5gram_frac=0.3
+    )
+    reasons = _pipeline_vs_oracle(spark, generate_pages(400) + planted, cfg)
+    assert "repetition" in reasons, sorted(r for r in reasons if r)
+
+
+def test_pipeline_c4_gate_matches_python_oracle(spark):
+    """cfg.c4_lines: line rewrite + policy_phrase gate, Spark vs python
+    oracle. The fixture corpus (no terminal punctuation) plus planted
+    punctuated docs: a clean keeper, a lorem-ipsum doc, a '{' doc."""
+    from datetime import datetime
+
+    from dataqualitykit_spark.config import PipelineConfig
+    from dataqualitykit_spark.fixtures.pages import (
+        _english_sentence,
+        generate_pages,
+    )
+    import random
+
+    ts = datetime(2024, 6, 1)
+
+    def _punctuated(seed, extra=""):
+        # fixture text is unpunctuated word salad; rebuild it as 8 long
+        # terminal-punctuated lines so the C4 line filter keeps them
+        words = _english_sentence(random.Random(seed), 160).split()
+        lines = [
+            " ".join(words[i : i + 20]) + "." for i in range(0, 160, 20)
+        ]
+        return extra + "\n".join(lines)
+
+    planted = [
+        {
+            "url": f"https://c4-keep-{i}.example/p",
+            "warc_ts": ts,
+            "html": None,
+            "text": _punctuated(100 + i),
+            "lang": "en",
+        }
+        for i in range(4)
+    ] + [
+        {
+            "url": "https://c4-lorem.example/p",
+            "warc_ts": ts,
+            "html": None,
+            "text": _punctuated(7, "Lorem ipsum dolor sit amet today.\n"),
+            "lang": "en",
+        },
+        {
+            "url": "https://c4-brace.example/p",
+            "warc_ts": ts,
+            "html": None,
+            "text": _punctuated(8, "Some code sample { with a brace here.\n"),
+            "lang": "en",
+        },
+    ]
+    rows = generate_pages(150) + planted
+    cfg = PipelineConfig(c4_lines=True)
+    reasons = _pipeline_vs_oracle(spark, rows, cfg)
+    assert "policy_phrase" in reasons, sorted(r for r in reasons if r)
+    assert None in reasons  # punctuated keepers survive the line filter
