@@ -56,20 +56,19 @@ _METRIC_COLS: dict[str, str] = {
 
 
 def _repetition_flag(cfg: PipelineConfig) -> list[tuple[str, Column]]:
-    """Opt-in Gopher repetition gate over the scrubbed text — inline
-    expressions, no extra columns (codegen CSE dedups the array ops)."""
+    """Opt-in Gopher repetition gate — reads the dup_line_char_frac /
+    dup_5gram_frac columns with_metrics guarantees when either threshold
+    is set (computed inside the fused Arrow scorer on the 'udf' path:
+    the interpreted JVM HOF forms were measured at ~0.16 ms/doc, 9x the
+    whole fused stage, so the python mirrors ride the existing tokenize
+    pass instead)."""
     if cfg.max_dup_line_char_frac is None and cfg.max_dup_5gram_frac is None:
         return []
-    from .operators import repetition as _rep
-
-    s = F.col("scrubbed_text")
     cond = F.lit(False)
     if cfg.max_dup_line_char_frac is not None:
-        cond = cond | (
-            _rep.dup_line_char_frac_col(s) > cfg.max_dup_line_char_frac
-        )
+        cond = cond | (F.col("dup_line_char_frac") > cfg.max_dup_line_char_frac)
     if cfg.max_dup_5gram_frac is not None:
-        cond = cond | (_rep.dup_5gram_frac_col(s) > cfg.max_dup_5gram_frac)
+        cond = cond | (F.col("dup_5gram_frac") > cfg.max_dup_5gram_frac)
     return [("repetition", ~F.col("_missing") & cond)]
 
 
@@ -151,11 +150,26 @@ def with_metrics(df: DataFrame, cfg: PipelineConfig = DEFAULT_CONFIG) -> DataFra
         # ONE fused Arrow pass: scrub + every metric + langid/ppl (and the
         # cfg model seam) — the text crosses the JVM<->Python boundary
         # once; two chained UDFs (scrub then score) would ship it twice
-        fused = fused_scrub_score_udf(cfg.lang_model_loader, cfg.ppl_model_loader)
+        rep_on = (
+            cfg.max_dup_line_char_frac is not None
+            or cfg.max_dup_5gram_frac is not None
+        )
+        fused = fused_scrub_score_udf(
+            cfg.lang_model_loader, cfg.ppl_model_loader, repetition=rep_on
+        )
         m = F.col("_score")
+        rep_cols = (
+            [
+                m["dup_line_char_frac"].alias("dup_line_char_frac"),
+                m["dup_5gram_frac"].alias("dup_5gram_frac"),
+            ]
+            if rep_on
+            else []
+        )
         df = df.withColumn("_score", fused(F.col("text")))
         return df.select(
             "*",
+            *rep_cols,
             m["scrubbed_text"].alias("scrubbed_text"),
             m["missing"].alias("_missing"),
             m["n_chars"].alias("n_chars"),
@@ -180,6 +194,18 @@ def with_metrics(df: DataFrame, cfg: PipelineConfig = DEFAULT_CONFIG) -> DataFra
     # pure column-algebra path
     s = F.col("scrubbed_text")
     df = df.withColumn("scrubbed_text", scrub_udf(F.col("text")))
+    if cfg.max_dup_line_char_frac is not None or cfg.max_dup_5gram_frac is not None:
+        from .operators import repetition as _rep
+
+        df = df.withColumn(
+            "dup_line_char_frac",
+            F.when(s.isNull(), F.lit(0.0)).otherwise(
+                _rep.dup_line_char_frac_col(s)
+            ),
+        ).withColumn(
+            "dup_5gram_frac",
+            F.when(s.isNull(), F.lit(0.0)).otherwise(_rep.dup_5gram_frac_col(s)),
+        )
     # model seam: real fastText/KenLM loaders (cfg) replace the embedded
     # stand-ins' lang/ppl outputs; everything else is unchanged
     score = (

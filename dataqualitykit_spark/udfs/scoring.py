@@ -61,6 +61,34 @@ def _score_batch(texts: pd.Series) -> pd.DataFrame:
     return pd.DataFrame(scored, columns=_COLS)
 
 
+# extended variant for the opt-in Gopher repetition gates: two extra
+# fields from the SAME python mirrors the oracle uses. A separate schema
+# (not extra always-on fields) so the default pipeline_full hot path pays
+# nothing when the gates are off. Measured motivation: the interpreted
+# JVM HOF forms of these two fractions cost ~0.16 ms/doc — 9x the whole
+# fused pipeline stage — while the in-Arrow computation rides the
+# existing tokenize pass.
+_REP_FIELDS = _FIELDS + [
+    ("dup_line_char_frac", DoubleType()),
+    ("dup_5gram_frac", DoubleType()),
+]
+SCORE_SCHEMA_REP = StructType([StructField(n, t) for n, t in _REP_FIELDS])
+_NULL_SCORE_REP = _NULL_SCORE + (0.0, 0.0)
+_COLS_REP = [n for n, _ in _REP_FIELDS]
+
+
+def _score_batch_rep(texts: pd.Series) -> pd.DataFrame:
+    from ..semantics import dup_5gram_frac, dup_line_char_frac
+
+    scored = [
+        _NULL_SCORE_REP
+        if t is None
+        else full_metrics(t) + (dup_line_char_frac(t), dup_5gram_frac(t))
+        for t in texts
+    ]
+    return pd.DataFrame(scored, columns=_COLS_REP)
+
+
 # one model instance per python worker PROCESS (fastText/KenLM load once,
 # score millions of rows). Keyed by the loader OBJECT's identity — NOT
 # (module, qualname): two lambdas defined in the same scope (the documented
@@ -155,18 +183,28 @@ FUSED_SCHEMA = StructType(
     [StructField("scrubbed_text", StringType())]
     + [StructField(n, t) for n, t in _FIELDS]
 )
+FUSED_SCHEMA_REP = StructType(
+    [StructField("scrubbed_text", StringType())]
+    + [StructField(n, t) for n, t in _REP_FIELDS]
+)
 
 
-def fused_scrub_score_udf(lang_model_loader=None, ppl_model_loader=None):
-    """raw text -> struct(scrubbed_text, <all SCORE_SCHEMA metrics>)."""
+def fused_scrub_score_udf(
+    lang_model_loader=None, ppl_model_loader=None, repetition: bool = False
+):
+    """raw text -> struct(scrubbed_text, <all SCORE_SCHEMA metrics>[,
+    dup_line_char_frac, dup_5gram_frac when repetition=True])."""
     from .scrubbing import _scrub_batch
+
+    score = _score_batch_rep if repetition else _score_batch
+    schema = FUSED_SCHEMA_REP if repetition else FUSED_SCHEMA
 
     def batch(texts: pd.Series) -> pd.DataFrame:
         scrubbed = _scrub_batch(texts)
-        df = _score_batch(scrubbed)
+        df = score(scrubbed)
         if lang_model_loader is not None or ppl_model_loader is not None:
             _apply_models(df, scrubbed, lang_model_loader, ppl_model_loader)
         df.insert(0, "scrubbed_text", scrubbed)
         return df
 
-    return F.pandas_udf(batch, returnType=FUSED_SCHEMA)
+    return F.pandas_udf(batch, returnType=schema)

@@ -300,3 +300,27 @@ def test_pipeline_c4_gate_matches_python_oracle(spark):
     reasons = _pipeline_vs_oracle(spark, rows, cfg)
     assert "policy_phrase" in reasons, sorted(r for r in reasons if r)
     assert None in reasons  # punctuated keepers survive the line filter
+
+
+def test_pipeline_repetition_gate_columns_engine_parity(spark):
+    """The 'columns' metrics engine computes the gate fractions via the
+    JVM HOF forms — labels must match the fused-Arrow default exactly."""
+    from dataqualitykit_spark.config import PipelineConfig
+    from dataqualitykit_spark.fixtures import pages_dataframe
+    from dataqualitykit_spark.pipeline import run_pipeline
+
+    kw = dict(max_dup_line_char_frac=0.3, max_dup_5gram_frac=0.3)
+    df = pages_dataframe(spark, 250)
+    got_udf = {
+        r["url"]: (r["keep"], r["drop_reason"])
+        for r in run_pipeline(df, PipelineConfig(**kw))
+        .select("url", "keep", "drop_reason")
+        .collect()
+    }
+    got_cols = {
+        r["url"]: (r["keep"], r["drop_reason"])
+        for r in run_pipeline(df, PipelineConfig(metrics_engine="columns", **kw))
+        .select("url", "keep", "drop_reason")
+        .collect()
+    }
+    assert got_udf == got_cols
