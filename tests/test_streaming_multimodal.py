@@ -175,3 +175,45 @@ def test_parse_audio_video_headers(spark):
             out[2]["parsed_duration_ms"]) == ("wav", 2, 44100, 1000)
     assert (out[3]["detected_format"], out[3]["parsed_duration_ms"]) == ("mp4", 7500)
     assert out[4]["parse_ok"] is False and out[4]["detected_format"] is None
+
+
+def test_streaming_c4_and_repetition_columns(spark, tmp_path):
+    """The round-4 cleaning ops are stateless projections, so they
+    compose with Structured Streaming for free: c4_line_filter labels a
+    file stream, and the repetition-fraction Columns project on it."""
+    from dataqualitykit_spark.operators.c4_filter import c4_line_filter
+    from dataqualitykit_spark.operators.repetition import (
+        dup_5gram_frac_col,
+        dup_line_char_frac_col,
+    )
+
+    src = str(tmp_path / "c4src")
+    spark.createDataFrame(
+        [
+            (1, "One good sentence here today.\nTwo good sentences here today.\nThree good sentences here today."),
+            (2, "Lorem ipsum dolor sit amet.\nSecond proper sentence here now.\nThird proper sentence here now."),
+            (3, "repeat me now\nrepeat me now\nrepeat me now"),
+        ],
+        "doc_id long, text string",
+    ).write.parquet(src)
+
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    cleaned = F.col("cleaned_text")
+    out = (
+        c4_line_filter(stream)
+        .withColumn("dlcf", dup_line_char_frac_col(cleaned))
+        .withColumn("d5g", dup_5gram_frac_col(cleaned))
+    )
+    assert out.isStreaming
+    q = (
+        out.select("id", "keep", "drop_reason", "dlcf")
+        .writeStream.format("memory")
+        .queryName("c4_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {r["id"]: r for r in spark.sql("select * from c4_stream").collect()}
+    assert rows[1]["keep"] is True
+    assert rows[2]["drop_reason"] == "policy_phrase"
+    assert rows[3]["keep"] is False  # no terminal punctuation anywhere
