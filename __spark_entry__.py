@@ -714,6 +714,33 @@ def q_pipeline_repetition(spark, sf):
     )
 
 
+# 25-token slogan appended to every 4th doc by BOTH sides of the
+# substring_scrub query: its 20-token windows duplicate corpus-wide, so
+# the first doc keeps them and every later copy is scrubbed
+_SUBSTR_SLOGAN = (
+    "limited time offer click here right now to subscribe today and "
+    "save big money every single day this week only for our best "
+    "friends worldwide"
+)
+
+
+def q_substring_scrub(spark, sf):
+    """ExactSubstr span dedup (dedup.exact_substring_scrub, n=20): the
+    planted slogan's windows keep their first occurrence; later docs
+    lose the covered tokens. Engine groups xxhash64(gram) bigints, the
+    oracle groups the gram strings — identical absent a 2^-64 collision."""
+    docs = _t(spark, sf, "documents").withColumn(
+        "text",
+        F.when(
+            F.col("text").isNotNull() & (F.col("doc_id") % 4 == 0),
+            F.concat(F.col("text"), F.lit(" " + _SUBSTR_SLOGAN)),
+        ).otherwise(F.col("text")),
+    )
+    return dedup.exact_substring_scrub(docs, n=20).withColumnRenamed(
+        "id", "doc_id"
+    )
+
+
 def q_gopher_repetition(spark, sf):
     """Gopher-style repetition metrics (operators/repetition.py) — the
     only exchange carries (id, xxhash64(2-gram), chars); line and 5-gram
@@ -1157,6 +1184,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_paragraph_scrub": q_pipeline_paragraph_scrub,  # NEW r4
         "pipeline_c4": q_pipeline_c4,  # NEW r4
         "pipeline_repetition": q_pipeline_repetition,  # NEW r4
+        "substring_scrub": q_substring_scrub,  # NEW r4 (ExactSubstr)
         "minhash_lsh_dups": q_minhash_lsh_dups,
         "minhash_lsh_dups_fast": q_minhash_lsh_dups_fast,
         "simhash": q_simhash,
@@ -2309,6 +2337,47 @@ def oracle_sql() -> dict[str, str]:
         ),
     )
     d["html_extract"] = _html_extract_sql()
+    d["substring_scrub"] = f"""
+        WITH t AS (
+          SELECT doc_id,
+                 CASE WHEN text IS NOT NULL AND doc_id % 4 = 0
+                      THEN text || ' ' || {_sql_lit(_SUBSTR_SLOGAN)}
+                      ELSE text END AS text
+          FROM documents
+        ), tok AS (
+          SELECT doc_id, text, {_sql_tokens('text')} AS toks FROM t
+        ), occ AS (
+          SELECT doc_id, toks,
+                 unnest(generate_series(1, len(toks) - 19)) AS i
+          FROM tok WHERE len(toks) >= 20
+        ), g AS (
+          SELECT doc_id, i,
+                 array_to_string(list_slice(toks, i, i + 19), ' ') AS gram
+          FROM occ
+        ), rk AS (
+          SELECT doc_id, i,
+                 row_number() OVER (PARTITION BY gram ORDER BY doc_id, i)
+                   AS rnk
+          FROM g
+        ), ds AS (
+          SELECT doc_id, list(i) AS dstarts FROM rk WHERE rnk > 1
+          GROUP BY doc_id
+        )
+        SELECT tok.doc_id,
+               CASE WHEN text IS NULL THEN NULL
+                    ELSE coalesce(array_to_string(
+                      [toks[j] for j in generate_series(1, len(toks))
+                       if len(list_filter(coalesce(dstarts, []),
+                              s -> s <= j AND j <= s + 19)) = 0], ' '), '')
+               END AS cleaned_text,
+               CAST(coalesce(len(toks), 0) AS INT) AS n_tokens,
+               CAST(coalesce(len(toks), 0)
+                    - coalesce(len([toks[j]
+                        for j in generate_series(1, len(toks))
+                        if len(list_filter(coalesce(dstarts, []),
+                               s -> s <= j AND j <= s + 19)) = 0]), 0)
+                 AS INT) AS n_tokens_removed
+        FROM tok LEFT JOIN ds USING (doc_id)"""
     d["gopher_repetition"] = _gopher_repetition_sql()
     d["c4_line_filter"] = _c4_line_filter_sql()
     host = (

@@ -841,6 +841,91 @@ def paragraph_scrub(
     )
 
 
+def exact_substring_scrub(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 50,
+) -> DataFrame:
+    """ExactSubstr deduplication (Lee et al. 2021, "Deduplicating
+    Training Data Makes Language Models Better") — the span-level exact
+    dedup the doc-level ops cannot express: any word n-gram window
+    occurring >= 2 times ACROSS THE CORPUS (or within one doc) keeps its
+    FIRST occurrence (min (id, start)) and every token covered by a
+    later occurrence is scrubbed from its document. No reference analog;
+    task-brief training-data op.
+
+    Returns (id, cleaned_text, n_tokens, n_tokens_removed). cleaned_text
+    is the kept TOKEN STREAM joined by single spaces (ExactSubstr
+    implementations operate on token ids; original whitespace inside a
+    doc is not preserved — document-level ops keep raw text, this one is
+    for span surgery). Docs shorter than n tokens are untouched; NULL
+    text stays NULL.
+
+    100 TB shape: the corpus-wide occurrence pass shuffles
+    (xxhash64(gram) bigint, id, start) tuples ONLY — gram text never
+    leaves its scan task. First-occurrence selection is a partial-
+    aggregated groupBy(min(struct(id, start))) — hot boilerplate grams
+    combine map-side instead of hammering one window partition — and
+    the duplicate-start lists join back per doc (AQE broadcasts when
+    small). Token coverage is a per-row index HOF: O(tokens x
+    dup-windows-in-doc), all inside one projection."""
+    txt = F.col(text_col)
+    toks = F.filter(F.split(txt, WS_REGEX), lambda w: w != F.lit(""))
+    base = df.select(
+        F.col(id_col).alias("id"), toks.alias("w"), txt.alias("_t")
+    )
+    m = F.size("w")
+    starts = F.when(m >= n, F.sequence(F.lit(0), m - F.lit(n))).otherwise(
+        F.array().cast("array<int>")
+    )
+    occ = (
+        base.select("id", "w", F.explode(starts).alias("s"))
+        .select(
+            "id",
+            "s",
+            F.xxhash64(F.array_join(F.slice("w", F.col("s") + 1, n), " ")).alias(
+                "h"
+            ),
+        )
+    )
+    firsts = (
+        occ.groupBy("h")
+        .agg(F.min(F.struct("id", "s")).alias("_first"), F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") >= 2)
+        .select("h", "_first")
+    )
+    dup_starts = (
+        occ.join(firsts, "h")
+        .filter(
+            ~(
+                (F.col("id") == F.col("_first.id"))
+                & (F.col("s") == F.col("_first.s"))
+            )
+        )
+        .groupBy("id")
+        .agg(F.collect_list("s").alias("_ds"))
+    )
+    ds = F.coalesce(F.col("_ds"), F.array().cast("array<int>"))
+    kept = F.filter(
+        F.col("w"),
+        lambda tok, j: ~F.exists(ds, lambda s: (s <= j) & (j <= s + n - 1)),
+    )
+    return (
+        base.join(dup_starts, "id", "left")
+        .select(
+            "id",
+            F.when(F.col("_t").isNull(), F.lit(None).cast("string"))
+            .otherwise(F.array_join(kept, " "))
+            .alias("cleaned_text"),
+            F.coalesce(F.size("w"), F.lit(0)).cast("int").alias("n_tokens"),
+            (F.coalesce(F.size("w"), F.lit(0)) - F.coalesce(F.size(kept), F.lit(0)))
+            .cast("int")
+            .alias("n_tokens_removed"),
+        )
+    )
+
+
 def contamination_flags(
     corpus: DataFrame,
     benchmark: DataFrame,

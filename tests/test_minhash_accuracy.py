@@ -203,3 +203,68 @@ def test_paragraph_scrub_shuffles_hashes_not_text(spark):
     # and the broadcast repeated-set is a bigint array, not strings
     rows = {r["url"]: r["text"] for r in out.collect()}
     assert rows == {"u1": "body one", "u2": "body two"}
+
+
+def test_exact_substring_scrub(spark):
+    """ExactSubstr (Lee et al. 2021): duplicate n-token windows keep
+    their FIRST occurrence (min (id, start)); covered tokens vanish from
+    later occurrences, within and across docs."""
+    span = "alpha beta gamma delta"  # n=4 window shared by docs 1 and 2
+    df = spark.createDataFrame(
+        [
+            (1, f"intro words here {span} closing words here"),
+            (2, f"other opening text {span} and a different tail"),
+            (3, "completely unrelated text with no shared spans at all"),
+            (4, None),
+            (5, "tiny doc"),  # < n tokens: untouched
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["id"]: r.asDict()
+        for r in dedup.exact_substring_scrub(df, n=4).collect()
+    }
+    # doc 1 wins (min id): full token stream intact
+    assert out[1]["cleaned_text"] == (
+        "intro words here alpha beta gamma delta closing words here"
+    )
+    assert out[1]["n_tokens_removed"] == 0
+    # doc 2 loses exactly the 4 tokens of the duplicated window
+    assert out[2]["cleaned_text"] == (
+        "other opening text and a different tail"
+    )
+    assert out[2]["n_tokens_removed"] == 4
+    assert out[3]["n_tokens_removed"] == 0
+    assert out[4]["cleaned_text"] is None and out[4]["n_tokens"] == 0
+    assert out[5]["cleaned_text"] == "tiny doc"
+
+
+def test_exact_substring_scrub_self_repetition(spark):
+    """A doc repeating its own n-gram keeps the first copy only."""
+    df = spark.createDataFrame(
+        [(7, "x y z w filler words x y z w trailing bits")],
+        "doc_id long, text string",
+    )
+    r = dedup.exact_substring_scrub(df, n=4).collect()[0]
+    assert r["cleaned_text"] == "x y z w filler words trailing bits"
+    assert r["n_tokens_removed"] == 4
+
+
+def test_exact_substring_scrub_overlapping_windows(spark):
+    """Overlapping duplicate windows union their coverage: a 5-token
+    duplicated run with n=4 produces two duplicate windows in the later
+    doc whose covered spans merge to the whole run."""
+    run = "p q r s t"
+    # contexts fully distinct — any shared context tokens adjacent to the
+    # run would create extra boundary-spanning duplicate windows
+    df = spark.createDataFrame(
+        [(1, f"aa bb cc {run} dd ee"), (2, f"ff gg hh {run} ii jj")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["id"]: r.asDict()
+        for r in dedup.exact_substring_scrub(df, n=4).collect()
+    }
+    assert out[1]["n_tokens_removed"] == 0
+    assert out[2]["cleaned_text"] == "ff gg hh ii jj"
+    assert out[2]["n_tokens_removed"] == 5
