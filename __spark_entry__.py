@@ -167,7 +167,7 @@ def _c4_line_filter_sql() -> str:
     from dataqualitykit_spark.operators import c4_filter as C4
 
     ends = " OR ".join(
-        f"ends_with(rtrim(ln), {_sql_lit(p)})" for p in C4.TERMINAL_PUNCT
+        f"ends_with(trim(ln, {_sql_lit(C4.LINE_TRIM_CHARS)}), {_sql_lit(p)})" for p in C4.TERMINAL_PUNCT
     )
     bans = " OR ".join(
         f"contains(lower(ln), {_sql_lit(ph)})" for ph in C4.LINE_BAN_PHRASES
@@ -1525,7 +1525,7 @@ def _pipeline_sql(
         from dataqualitykit_spark.operators import c4_filter as C4
 
         ends = " OR ".join(
-            f"ends_with(rtrim(ln), {_sql_lit(p)})" for p in C4.TERMINAL_PUNCT
+            f"ends_with(trim(ln, {_sql_lit(C4.LINE_TRIM_CHARS)}), {_sql_lit(p)})" for p in C4.TERMINAL_PUNCT
         )
         bans = " OR ".join(
             f"contains(lower(ln), {_sql_lit(ph)})" for ph in C4.LINE_BAN_PHRASES
@@ -2402,7 +2402,7 @@ def oracle_sql() -> dict[str, str]:
                  md5(CAST(doc_id AS VARCHAR)) AS key,
                  coalesce(len(regexp_extract_all(text,
                    {_sql_lit(T.BPE_TOKEN_REGEX)})), 0) AS n_tokens
-          FROM documents WHERE lang IS NOT NULL
+          FROM documents
         ), c AS (
           SELECT *, sum(n_tokens) OVER (
             PARTITION BY lang ORDER BY key, doc_id) AS cum

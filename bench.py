@@ -22,7 +22,7 @@ import time
 from pyspark.sql import functions as F
 
 
-def build_near_corpus(docs, cpus: int, near_docs: int, near_reps: int = 8):
+def build_near_corpus(docs, cpus: int, near_docs: int, near_reps: int = 8, n_base: int | None = None):
     """The near-dedup bench corpus: `near_docs` total docs as planted
     8-member near-dup clusters (worst-case clustering load — every doc
     belongs to a cluster). Unique-text copies first (distinct clusters,
@@ -30,7 +30,8 @@ def build_near_corpus(docs, cpus: int, near_docs: int, near_reps: int = 8):
     then the `near_reps`-way near-dup replicas inside each cluster
     (suffix-only difference, jaccard ~0.95). Shared by bench.py's q7 leg
     and scripts/near_phase_profile.py."""
-    n_base = docs.count()
+    if n_base is None:
+        n_base = docs.count()
     uniq = max(1, near_docs // (n_base * near_reps))
     return (
         docs.repartition(2 * int(cpus))
@@ -213,15 +214,16 @@ def main() -> None:
     # stays 8) for scaling measurements — at the default (~40k docs) the
     # leg is mostly fixed stage latency and two parallelism levels
     # measure the same queue.
-    near_docs = int(os.environ.get("SPARK_GRAFT_NEAR_DOCS", str(n_base * 8)))
-    near = build_near_corpus(docs, int(cpus), near_docs)
-    near_cfg = PipelineConfig(salt_partitions=64, dedup_near=True)
-    timed(
-        "pipeline_near_dedup",
-        lambda: run_pipeline(adapt_documents(near), near_cfg)
-        .agg(F.sum(F.col("keep").cast("long")))
-        .collect(),
-    )
+    if wanted("pipeline_near_dedup"):
+        near_docs = int(os.environ.get("SPARK_GRAFT_NEAR_DOCS", str(n_base * 8)))
+        near = build_near_corpus(docs, int(cpus), near_docs, n_base=n_base)
+        near_cfg = PipelineConfig(salt_partitions=64, dedup_near=True)
+        timed(
+            "pipeline_near_dedup",
+            lambda: run_pipeline(adapt_documents(near), near_cfg)
+            .agg(F.sum(F.col("keep").cast("long")))
+            .collect(),
+        )
 
     total = round(sum(timings.values()), 3)
     docs_per_sec = (

@@ -40,10 +40,15 @@ MIN_WORDS_PER_LINE = 3
 MIN_SENTENCES = 3
 # count of sentence-terminal characters (. ! ?) = sentence-end count
 SENTENCE_END_CLASS = r"[.!?]"
+# trailing chars ignored by the terminal-punctuation test: every ASCII
+# whitespace except \n (the split boundary). Space-only rtrim would fail
+# EVERY line of a CRLF-formatted document (trailing \r) and silently
+# empty the whole corpus.
+LINE_TRIM_CHARS = " \t\r\x0b\f"
 
 
 def _line_ok(ln, min_words_per_line: int):
-    trimmed = F.rtrim(ln)
+    trimmed = F.btrim(ln, F.lit(LINE_TRIM_CHARS))
     ends_ok = F.lit(False)
     for p in TERMINAL_PUNCT:
         ends_ok = ends_ok | trimmed.endswith(p)
@@ -94,10 +99,7 @@ def c4_line_filter(
     n_kept = F.size(kept)
     n_dropped = F.size(lines) - n_kept
 
-    lc = F.lower(cleaned)
-    has_ban = F.lit(False)
-    for ph in DOC_BAN_PHRASES:
-        has_ban = has_ban | F.contains(lc, F.lit(ph))
+    has_ban = doc_ban_col(cleaned)
     n_sentences = F.length(cleaned) - F.length(
         F.regexp_replace(cleaned, SENTENCE_END_CLASS, "")
     )

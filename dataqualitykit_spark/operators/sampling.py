@@ -45,7 +45,8 @@ def sample_to_token_budget(
     """Keep a deterministic ~budget_tokens prefix per `by` group.
 
     Returns the input rows (all columns) plus `n_tokens`. `id_col` must
-    be unique per row (it seeds the order key). `token_expr` overrides
+    be unique per row (it seeds the order key). Rows with a NULL `by`
+    value form their OWN group with its own budget. `token_expr` overrides
     the token counter (default: whitespace tokens — the cheap hot-path
     estimate; pass functions.text.token_count_bpe for BPE counts)."""
     toks = (
@@ -53,19 +54,27 @@ def sample_to_token_budget(
         if token_expr is not None
         else T.token_count_pretokens(F.col(text_col))
     )
+    # internal NULL-SAFE group key: plain joins on the raw `by` column
+    # would never match NULL=NULL and silently drop the whole NULL group
+    # (e.g. lang detection failed); distinct prefixes make the sentinel
+    # collision-free
+    gkey = F.when(F.col(by).isNull(), F.lit("\x00null")).otherwise(
+        F.concat(F.lit("v:"), F.col(by).cast("string"))
+    )
     base = (
         df.withColumn(
             "_key", F.md5(F.encode(F.col(id_col).cast("string"), "UTF-8"))
         )
         .withColumn("_bkt", F.substring("_key", 1, 2))
+        .withColumn("_g", gkey)
         .withColumn("n_tokens", F.coalesce(toks.cast("long"), F.lit(0)))
     )
     spark = df.sparkSession
 
-    sums = base.groupBy(by, "_bkt").agg(F.sum("n_tokens").alias("_s")).collect()
+    sums = base.groupBy("_g", "_bkt").agg(F.sum("n_tokens").alias("_s")).collect()
     per_group: dict = {}
     for r in sums:
-        per_group.setdefault(r[by], []).append((r["_bkt"], r["_s"]))
+        per_group.setdefault(r["_g"], []).append((r["_bkt"], r["_s"]))
     full_rows, cut_rows = [], []
     for g, buckets in per_group.items():
         running = 0
@@ -77,21 +86,18 @@ def sample_to_token_budget(
                 cut_rows.append((g, b, budget_tokens - running))
                 break  # later buckets start past the budget
 
-    by_type = dict(df.dtypes)[by]
-    full = spark.createDataFrame(full_rows, f"{by} {by_type}, _bkt string")
-    kept_full = base.join(F.broadcast(full), [by, "_bkt"], "left_semi")
+    full = spark.createDataFrame(full_rows, "_g string, _bkt string")
+    kept_full = base.join(F.broadcast(full), ["_g", "_bkt"], "left_semi")
 
-    cut = spark.createDataFrame(
-        cut_rows, f"{by} {by_type}, _bkt string, _rem long"
-    )
-    w = Window.partitionBy(by, "_bkt").orderBy("_key", id_col)
+    cut = spark.createDataFrame(cut_rows, "_g string, _bkt string, _rem long")
+    w = Window.partitionBy("_g", "_bkt").orderBy("_key", id_col)
     kept_cut = (
-        base.join(F.broadcast(cut), [by, "_bkt"])
+        base.join(F.broadcast(cut), ["_g", "_bkt"])
         .withColumn("_cum", F.sum("n_tokens").over(w))
         .filter(F.col("_cum") <= F.col("_rem"))
         .drop("_rem", "_cum")
     )
     return (
         kept_full.unionByName(kept_cut)
-        .drop("_key", "_bkt")
+        .drop("_key", "_bkt", "_g")
     )

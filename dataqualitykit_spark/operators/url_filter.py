@@ -19,6 +19,17 @@ from pyspark.sql import DataFrame, functions as F
 from ..functions.text import domain_of
 
 
+def _host_of(url):
+    """Registered host of a url: the authority with userinfo and port
+    stripped — 'https://user@ads.example.com:8080/x' -> 'ads.example.com'.
+    Matching on the raw authority would let ':8080'/'user@' variants of a
+    blocked domain sail through the blocklist."""
+    auth = domain_of(url)  # scheme://AUTHORITY/... (lowercased)
+    return F.regexp_replace(
+        F.regexp_replace(auth, "^[^/@]*@", ""), ":[0-9]+$", ""
+    )
+
+
 def _suffixes(domain):
     """Array of dot-suffixes of a domain: a.b.c -> [a.b.c, b.c, c]."""
     parts = F.split(domain, r"\.")
@@ -57,7 +68,7 @@ def filter_blocked_domains(
     # verdict back by url. `hits` is NOT broadcast — in the pathological
     # case it is every blocked url; AQE picks broadcast when it is small.
     sfx = df.select(url_col).distinct().withColumn(
-        "_sfx", F.explode(_suffixes(F.lower(domain_of(F.col(url_col)))))
+        "_sfx", F.explode(_suffixes(_host_of(F.col(url_col))))
     )
     hits = (
         sfx.join(bl, sfx["_sfx"] == bl["_bl_dom"], "left_semi")

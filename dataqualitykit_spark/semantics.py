@@ -307,9 +307,13 @@ def dup_5gram_frac(text: str) -> float:
 # C4 gate mirrors (constants live in operators/c4_filter — imported here
 # lazily to keep semantics dependency-light at import time)
 def c4_keep_line(ln: str, min_words_per_line: int) -> bool:
-    from .operators.c4_filter import LINE_BAN_PHRASES, TERMINAL_PUNCT
+    from .operators.c4_filter import (
+        LINE_BAN_PHRASES,
+        LINE_TRIM_CHARS,
+        TERMINAL_PUNCT,
+    )
 
-    trimmed = ln.rstrip(" ")  # Spark F.rtrim is space-only
+    trimmed = ln.strip(LINE_TRIM_CHARS)  # mirrors Spark F.btrim
     if not trimmed.endswith(TERMINAL_PUNCT):
         return False
     if len(tokenize(ln)) < min_words_per_line:

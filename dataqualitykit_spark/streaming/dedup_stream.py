@@ -33,6 +33,32 @@ def _hadoop_path_exists(spark, path: str) -> bool:
     return bool(fs.exists(hpath))
 
 
+def _store_committed(spark, path: str) -> bool:
+    """True iff a parquet store at `path` has COMMITTED data: the
+    directory exists AND contains a partition directory or data file. A
+    bare existence check would treat a crash mid-first-write (dir +
+    _temporary staging created, no committed files) as a readable store
+    and fail every subsequent batch with an unrecoverable
+    AnalysisException; treating it as absent lets batch 0's retry rewrite
+    it (dynamic partition overwrite replaces torn files). NB dynamic
+    partitioned writes produce NO _SUCCESS marker, so commit-ness is
+    judged by committed content, and the store's partition dirs
+    (`_batch_id=N`) start with '_' — hence the '=' test, not a
+    hidden-file prefix test."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(hpath):
+        return False
+    for st in fs.listStatus(hpath):
+        name = st.getPath().getName()
+        if name == "_temporary":
+            continue
+        if "=" in name or name.endswith(".parquet") or name == "_SUCCESS":
+            return True
+    return False
+
+
 def near_dup_pairs_stream(
     stream: DataFrame,
     text_col: str = "text",
@@ -185,13 +211,13 @@ def near_dedup_labeler(
         )
         comp = connected_components(within)
         dropped = comp.filter(F.col("id") != F.col("component")).select("id")
-        # EXPLICIT store-existence check (Hadoop FS — works for any scheme)
-        # instead of a blanket AnalysisException catch: only "first batch,
-        # no store yet" may skip the cross-batch join. A real analysis
-        # error — e.g. store schema drift after changing num_hashes or id
-        # types — must propagate, not silently disable cross-batch dedup
-        # for every subsequent batch.
-        if _hadoop_path_exists(spark, sig_store_path):
+        # EXPLICIT store-commit check (Hadoop FS — works for any scheme)
+        # instead of a blanket AnalysisException catch: only "no committed
+        # store yet" (first batch, or a torn first write) may skip the
+        # cross-batch join. A real analysis error — e.g. store schema
+        # drift after changing num_hashes or id types — must propagate,
+        # not silently disable cross-batch dedup for every later batch.
+        if _store_committed(spark, sig_store_path):
             prior = (
                 spark.read.parquet(sig_store_path)
                 .filter(F.col("_batch_id") < F.lit(batch_id))

@@ -90,22 +90,39 @@ def _score_batch_rep(texts: pd.Series) -> pd.DataFrame:
 
 
 # one model instance per python worker PROCESS (fastText/KenLM load once,
-# score millions of rows). Keyed by the loader OBJECT's identity — NOT
-# (module, qualname): two lambdas defined in the same scope (the documented
-# usage) share identical qualnames ('<lambda>') and would collide, handing
-# the KenLM call the cached fastText object. The cache entry holds the
-# loader itself, so its id() can never be recycled while the entry lives;
-# the `is` check guards the (impossible while held) aliasing case anyway.
-_PROCESS_MODEL_CACHE: dict[int, tuple[object, object]] = {}
+# score millions of rows). Keyed by a CONTENT DIGEST of the pickled
+# loader, computed ONCE on the driver and captured in the UDF closure:
+# - not (module, qualname): two lambdas in the same scope (the documented
+#   usage) share '<lambda>' and would collide, handing the KenLM call the
+#   cached fastText object;
+# - not id(loader): cloudpickle deserializes a FRESH function object per
+#   task, so id() misses on every task — the multi-GB model would reload
+#   per task and every stale copy would pin in the cache.
+# Identical pickled bytes => identical loader behavior, so sharing the
+# model across such loaders is correct by construction.
+_PROCESS_MODEL_CACHE: dict[str, object] = {}
 
 
-def _cached_model(loader):
-    key = id(loader)
-    hit = _PROCESS_MODEL_CACHE.get(key)
-    if hit is None or hit[0] is not loader:
-        hit = (loader, loader())
-        _PROCESS_MODEL_CACHE[key] = hit
-    return hit[1]
+def _loader_key(loader) -> str | None:
+    if loader is None:
+        return None
+    import hashlib
+
+    try:
+        from pyspark import cloudpickle
+
+        blob = cloudpickle.dumps(loader)
+    except Exception:
+        import pickle
+
+        blob = pickle.dumps(loader)
+    return hashlib.sha256(blob).hexdigest()
+
+
+def _cached_model(key: str, loader):
+    if key not in _PROCESS_MODEL_CACHE:
+        _PROCESS_MODEL_CACHE[key] = loader()
+    return _PROCESS_MODEL_CACHE[key]
 
 
 def scoring_udf(lang_model_loader=None, ppl_model_loader=None):
@@ -139,24 +156,27 @@ def scoring_udf(lang_model_loader=None, ppl_model_loader=None):
     if lang_model_loader is None and ppl_model_loader is None:
         return F.pandas_udf(_score_batch, returnType=SCORE_SCHEMA)
 
+    keys = (_loader_key(lang_model_loader), _loader_key(ppl_model_loader))
+
     def score(texts: pd.Series) -> pd.DataFrame:
         df = _score_batch(texts)
-        _apply_models(df, texts, lang_model_loader, ppl_model_loader)
+        _apply_models(df, texts, lang_model_loader, ppl_model_loader, keys)
         return df
 
     return F.pandas_udf(score, returnType=SCORE_SCHEMA)
 
 
-def _apply_models(df, texts: pd.Series, lang_model_loader, ppl_model_loader):
+def _apply_models(df, texts: pd.Series, lang_model_loader, ppl_model_loader, keys):
     """Override lang/lang_conf/ppl in a scored frame with real-model
-    outputs for present (non-missing) rows. In-place."""
+    outputs for present (non-missing) rows. In-place. `keys` are the
+    driver-computed content digests for the two loaders."""
     present = [
         i for i, t in enumerate(texts) if t is not None and not df["missing"].iat[i]
     ]
     if not present:
         return
     if lang_model_loader is not None:
-        model = _cached_model(lang_model_loader)
+        model = _cached_model(keys[0], lang_model_loader)
         labels, confs = [], []
         for i in present:
             lab, prob = model.predict(texts.iat[i].replace("\n", " "))
@@ -165,7 +185,7 @@ def _apply_models(df, texts: pd.Series, lang_model_loader, ppl_model_loader):
         df.loc[present, "lang"] = labels
         df.loc[present, "lang_conf"] = confs
     if ppl_model_loader is not None:
-        model = _cached_model(ppl_model_loader)
+        model = _cached_model(keys[1], ppl_model_loader)
         df.loc[present, "ppl"] = [
             float(model.perplexity(texts.iat[i])) for i in present
         ]
@@ -198,12 +218,13 @@ def fused_scrub_score_udf(
 
     score = _score_batch_rep if repetition else _score_batch
     schema = FUSED_SCHEMA_REP if repetition else FUSED_SCHEMA
+    keys = (_loader_key(lang_model_loader), _loader_key(ppl_model_loader))
 
     def batch(texts: pd.Series) -> pd.DataFrame:
         scrubbed = _scrub_batch(texts)
         df = score(scrubbed)
         if lang_model_loader is not None or ppl_model_loader is not None:
-            _apply_models(df, scrubbed, lang_model_loader, ppl_model_loader)
+            _apply_models(df, scrubbed, lang_model_loader, ppl_model_loader, keys)
         df.insert(0, "scrubbed_text", scrubbed)
         return df
 

@@ -71,21 +71,44 @@ def test_lang_only_injection_keeps_standins_for_ppl(spark):
     assert scored.select("ppl").distinct().count() > 1
 
 
-def test_cached_model_keys_on_loader_identity():
+def test_cached_model_keys_on_loader_content():
     """Two loaders defined in the same scope — the documented usage is two
     LAMBDAS (`lambda: fasttext.load_model(...)`, `lambda: kenlm.Model(...)`)
-    which share module AND qualname ('<lambda>') — must cache separately,
-    and repeat lookups must not re-run the loader."""
-    from dataqualitykit_spark.udfs.scoring import _cached_model
+    which share module AND qualname ('<lambda>') — must cache separately;
+    repeat lookups must not re-run the loader; and the key must be STABLE
+    across re-pickling (cloudpickle hands every Spark task a fresh
+    function object, so an id()-based key would reload the model per
+    task)."""
+    from dataqualitykit_spark.udfs.scoring import _cached_model, _loader_key
 
     calls = {"a": 0, "b": 0}
-    a = lambda: (calls.__setitem__("a", calls["a"] + 1), "model-a")[1]  # noqa: E731
-    b = lambda: (calls.__setitem__("b", calls["b"] + 1), "model-b")[1]  # noqa: E731
-    assert _cached_model(a) == "model-a"
-    assert _cached_model(b) == "model-b"  # old qualname key returned model-a
-    assert _cached_model(a) == "model-a"
-    assert _cached_model(b) == "model-b"
+
+    def make(tag):
+        def load():
+            calls[tag] += 1
+            return f"model-{tag}"
+
+        return load
+
+    a, b = make("a"), make("b")
+    ka, kb = _loader_key(a), _loader_key(b)
+    assert ka != kb  # same qualname, different closures -> different keys
+    assert _cached_model(ka, a) == "model-a"
+    assert _cached_model(kb, b) == "model-b"
+    assert _cached_model(ka, a) == "model-a"
     assert calls == {"a": 1, "b": 1}  # each loader ran exactly once
+
+    # every task receives a re-pickled CLONE of the loader but the SAME
+    # driver-computed key (captured in the UDF closure) — the cache must
+    # hit on the key, never reload for the fresh function object. (An
+    # id()-keyed or re-pickled-bytes-keyed cache would miss here:
+    # cloudpickle bytes are not round-trip stable.)
+    from pyspark import cloudpickle
+
+    a_clone = cloudpickle.loads(cloudpickle.dumps(a))
+    assert a_clone is not a
+    assert _cached_model(ka, a_clone) == "model-a"
+    assert calls["a"] == 1  # clone did NOT reload
 
 
 def test_same_scope_lambda_loaders_do_not_collide(spark):

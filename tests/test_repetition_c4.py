@@ -154,7 +154,10 @@ def test_sample_to_token_budget_matches_one_window_oracle(spark):
     rows = [
         (i, ["en", "de", "fr"][i % 3], "word " * (5 + (i * 7) % 40))
         for i in range(120)
-    ] + [(997, "en", None)]
+    ] + [(997, "en", None)] + [
+        # NULL group: budgeted as its own group, never silently dropped
+        (1000 + i, None, "word " * 30) for i in range(5)
+    ]
     df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
     for budget in (0, 50, 400, 10**9):
         got = {
@@ -324,3 +327,41 @@ def test_pipeline_repetition_gate_columns_engine_parity(spark):
         .collect()
     }
     assert got_udf == got_cols
+
+
+def test_c4_crlf_lines_survive(spark):
+    """CRLF documents: the trailing \\r must not defeat the terminal-
+    punctuation test (space-only rtrim would silently empty the whole
+    corpus)."""
+    doc = (
+        "First proper sentence right here.\r\n"
+        "Second proper sentence right here.\r\n"
+        "Third proper sentence right here.\r"
+    )
+    r = _by_id(c4_line_filter(
+        spark.createDataFrame([(1, doc)], "doc_id long, text string")
+    ).collect())[1]
+    assert r["n_lines_kept"] == 3
+    assert r["keep"] is True
+
+
+def test_filter_blocked_domains_port_and_userinfo(spark):
+    """Explicit ports and userinfo must not defeat the blocklist."""
+    from dataqualitykit_spark.operators.url_filter import filter_blocked_domains
+
+    df = spark.createDataFrame(
+        [
+            (1, "https://ads.example.com:8080/page"),
+            (2, "https://user@example.com/page"),
+            (3, "https://user:pw@sub.example.com:443/x"),
+            (4, "https://fine.other.org:8080/x"),
+        ],
+        "doc_id long, url string",
+    )
+    got = {
+        r["doc_id"]: r["blocked_domain"]
+        for r in filter_blocked_domains(
+            df, ["example.com"], label_only=True
+        ).collect()
+    }
+    assert got == {1: True, 2: True, 3: True, 4: False}

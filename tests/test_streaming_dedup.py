@@ -178,3 +178,28 @@ def test_near_dedup_labeler_first_batch_without_store_runs(spark, tmp_path):
         r["url"]: r["keep"] for r in spark.read.parquet(labels).collect()
     }
     assert rows == {"doc-1": True, "doc-2": True}
+
+
+def test_near_dedup_labeler_torn_store_treated_as_absent(spark, tmp_path):
+    """A crash during the FIRST store write leaves the directory without
+    the committer's _SUCCESS marker; the labeler must treat it as absent
+    (retry rewrites it) instead of failing every batch on an unreadable
+    store."""
+    import os
+
+    from dataqualitykit_spark.streaming.dedup_stream import near_dedup_labeler
+
+    store = str(tmp_path / "tornstore")
+    os.makedirs(os.path.join(store, "_temporary"))  # torn write residue
+    labels = str(tmp_path / "labels_torn")
+    fn = near_dedup_labeler(labels, store, "text", "url")
+    batch = spark.createDataFrame(
+        [("doc-1", "first text body here"), ("doc-2", "second text body here")],
+        "url string, text string",
+    )
+    fn(batch, batch_id=0)  # must not raise
+    assert spark.read.parquet(labels).count() == 2
+    # the retry's write committed real store content
+    from dataqualitykit_spark.streaming.dedup_stream import _store_committed
+
+    assert _store_committed(spark, store)
