@@ -1067,6 +1067,17 @@ def q_ivf_cosine_topk(spark, sf):
     return similarity.ivf_topk(emb, queries, "vec_id", "embedding", k=5)
 
 
+def q_semantic_dedup(spark, sf):
+    # SemDeDup-style clustered embedding dedup — rows-only (learned
+    # KMeans quantizer, no SQL mirror; same status as IVF). Deterministic:
+    # hash-ordered fit sample + id-derived keepers; labels pinned by
+    # tests/test_embedding_lsh_recall.py planted-group goldens.
+    # threshold 0.4 like embed_cosine_dups_lsh: the synthetic embeddings
+    # are near-orthogonal, a near-dup threshold would return no dups.
+    emb = _t(spark, sf, "embeddings")
+    return similarity.semantic_dedup(emb, threshold=0.4)
+
+
 def q_embed_cosine_dups_lsh(spark, sf):
     # multi-band LSH-routed near-dup pairs (scale path for
     # embed_cosine_dups; recall contract in tests/test_embedding_lsh_recall.py).
@@ -1192,6 +1203,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_cosine_topk": q_lsh_cosine_topk,
         "embed_cosine_dups_lsh": q_embed_cosine_dups_lsh,
         "ivf_cosine_topk": q_ivf_cosine_topk,
+        "semantic_dedup": q_semantic_dedup,  # NEW r4, rows-only by design
         "embed_cosine_dups": q_embed_cosine_dups,
         "fingerprints": q_fingerprints,
         "infer_types": q_infer_types,

@@ -558,3 +558,81 @@ def cosine_dup_pairs_lsh(
         .select("id_a", "id_b", F.round(sim, 6).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    threshold: float = 0.95,
+    seed: int = 42,
+    max_fit_rows: int = 100_000,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    "SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication"): cluster embeddings with a coarse KMeans quantizer,
+    compare pairs ONLY within a cluster (the clusters bound the quadratic
+    — exactly the paper's trick), connect the >= threshold pairs into
+    components, keep the min-id member of each.
+
+    Returns one row per corpus vector: (id, cell, keep boolean,
+    component — the kept representative's id, = own id for keepers and
+    singletons).
+
+    Rows-only at the driver (learned quantizer, no SQL mirror — same
+    status as IVF); labels are deterministic: the quantizer fits on a
+    hash-ordered sample (same recipe as ivf_topk) and components/keepers
+    derive from ids.
+
+    100 TB shape: assignment is a projection; the pair join shuffles
+    (cell, id, vec) and each task handles one cell's O(k^2) comparisons
+    — cell count tunes the quadratic down; CC runs over dup-pair
+    participants only (tiny)."""
+    import numpy as _np  # noqa: F401  (kmeans dependency check)
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    from .dedup import connected_components
+
+    c = corpus.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).withColumn("_feat", array_to_vector(F.col("v")))
+    fit = (
+        c.orderBy(F.xxhash64(F.col("id").cast("string")).asc(), F.col("id").asc())
+        .limit(max_fit_rows)
+        .select("_feat")
+    )
+    model = KMeans(
+        k=n_cells, seed=seed, featuresCol="_feat", predictionCol="cell"
+    ).fit(fit)
+    assigned = model.transform(c).drop("_feat")
+
+    a = assigned.select("cell", F.col("id").alias("id_a"), F.col("v").alias("va"))
+    b = assigned.select("cell", F.col("id").alias("id_b"), F.col("v").alias("vb"))
+    pairs = (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            cosine_similarity_col(F.col("va"), F.col("vb")) >= threshold
+        )
+        .select("id_a", "id_b")
+    )
+    comp = connected_components(pairs)
+    noncanon = comp.filter(F.col("id") != F.col("component"))
+    return (
+        assigned.join(comp, "id", "left")
+        .select(
+            "id",
+            "cell",
+            F.col("component").isNull().alias("_single"),
+            F.coalesce("component", F.col("id")).alias("component"),
+        )
+        .withColumn(
+            "keep",
+            F.col("_single") | (F.col("component") == F.col("id")),
+        )
+        .drop("_single")
+        .select("id", "cell", "keep", "component")
+    )

@@ -166,3 +166,52 @@ def test_cosine_topk_blocked_rejects_ragged_dims(spark):
 
     with _pt.raises(Exception, match="ragged"):
         similarity.cosine_topk_blocked(df, q, k=2).collect()
+
+
+def test_semantic_dedup_planted_groups(spark):
+    """SemDeDup-style clustered dedup: planted near-identical embedding
+    groups collapse to one keeper each (min id, component = keeper id);
+    unrelated vectors survive as singletons."""
+    import random
+
+    from dataqualitykit_spark.operators.similarity import semantic_dedup
+
+    rng = random.Random(5)
+    rows = []
+    vid = 0
+    group_ids = []
+    for g in range(3):
+        base = [rng.uniform(-1, 1) for _ in range(16)]
+        ids = []
+        for m in range(4):
+            vec = [x + rng.uniform(-1e-3, 1e-3) for x in base]
+            rows.append((vid, vec))
+            ids.append(vid)
+            vid += 1
+        group_ids.append(ids)
+    singles = []
+    for _ in range(30):
+        rows.append((vid, [rng.uniform(-1, 1) for _ in range(16)]))
+        singles.append(vid)
+        vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    out = {
+        r["id"]: r.asDict()
+        for r in semantic_dedup(df, n_cells=4, threshold=0.99).collect()
+    }
+    assert len(out) == len(rows)
+    for ids in group_ids:
+        keepers = [i for i in ids if out[i]["keep"]]
+        assert keepers == [min(ids)], (ids, keepers)
+        assert all(out[i]["component"] == min(ids) for i in ids)
+    # random 16-dim vectors are nowhere near cosine 0.99: all singletons
+    dropped_singles = [i for i in singles if not out[i]["keep"]]
+    assert not dropped_singles
+
+    # determinism: second run produces identical labels
+    again = {
+        r["id"]: (r["keep"], r["component"])
+        for r in semantic_dedup(df, n_cells=4, threshold=0.99).collect()
+    }
+    assert again == {k: (v["keep"], v["component"]) for k, v in out.items()}
