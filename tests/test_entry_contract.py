@@ -108,6 +108,7 @@ def test_every_query_has_oracle_or_is_hash_based():
         "simhash_fast",
         "ivf_cosine_topk",
         "media_metadata",
+        "semantic_dedup",  # learned KMeans quantizer, like IVF
     }
 
 
