@@ -10,6 +10,8 @@ any exact math).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -560,14 +562,32 @@ def cosine_dup_pairs_lsh(
     )
 
 
+def _with_cell_blocks(assigned: DataFrame, target_block_rows: int) -> DataFrame:
+    """Attach per-cell block metadata for the salted within-cell pair join:
+    `_nb` = ceil(cell_size / target_block_rows) blocks for the row's cell,
+    `_blk` = this row's deterministic block (xxhash64(id) mod _nb). The
+    cell-size aggregate is tiny (one row per cell) and broadcast back."""
+    sizes = assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("_cell_n"))
+    nb = F.greatest(
+        F.lit(1), F.ceil(F.col("_cell_n") / F.lit(target_block_rows))
+    ).cast("int")
+    return (
+        assigned.join(F.broadcast(sizes), "cell")
+        .withColumn("_nb", nb)
+        .withColumn("_blk", F.pmod(F.xxhash64("id"), F.col("_nb")).cast("int"))
+        .drop("_cell_n")
+    )
+
+
 def semantic_dedup(
     corpus: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_cells: int = 16,
+    n_cells: int | None = None,
     threshold: float = 0.95,
     seed: int = 42,
     max_fit_rows: int = 100_000,
+    target_block_rows: int = 1024,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     "SemDeDup: Data-efficient learning at web-scale through semantic
@@ -580,15 +600,28 @@ def semantic_dedup(
     component — the kept representative's id, = own id for keepers and
     singletons).
 
-    Rows-only at the driver (learned quantizer, no SQL mirror — same
-    status as IVF); labels are deterministic: the quantizer fits on a
-    hash-ordered sample (same recipe as ivf_topk) and components/keepers
-    derive from ids.
+    Labels are deterministic: the quantizer fits on a hash-ordered sample
+    (same recipe as ivf_topk) and components/keepers derive from ids.
 
-    100 TB shape: assignment is a projection; the pair join shuffles
-    (cell, id, vec) and each task handles one cell's O(k^2) comparisons
-    — cell count tunes the quadratic down; CC runs over dup-pair
-    participants only (tiny)."""
+    RECALL LIMITATION (inherent SemDeDup trade-off): near-dup pairs whose
+    members quantize into DIFFERENT cells are never compared — recall is
+    bounded by the quantizer's tendency to co-locate near-identical
+    vectors (exact copies always share a cell; near-copies straddling a
+    cell boundary can be missed). That is the paper's accepted price for
+    bounding the quadratic.
+
+    100 TB shape: assignment is a projection. `n_cells=None` scales the
+    cell count with the corpus — ceil(sqrt(N)), clamped to [16, 4096] —
+    at the cost of ONE count() job; pass an explicit n_cells to skip it.
+    The within-cell quadratic is fanned out as salted BLOCK PAIRS: each
+    cell is split into nb = ceil(cell_size / target_block_rows) blocks
+    and the comparison set is joined on (cell, block_i, block_j), i<=j —
+    a hot cell spans nb*(nb+1)/2 tasks instead of ONE, so parallelism is
+    no longer capped at n_cells and no single task owns a hot cell's
+    O(k^2). Each row is replicated (_nb+1) times across the two join
+    sides (the standard triangle-join cost); nb==1 cells degenerate to
+    the plain per-cell join. CC runs over dup-pair participants only
+    (tiny)."""
     import numpy as _np  # noqa: F401  (kmeans dependency check)
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
@@ -599,6 +632,9 @@ def semantic_dedup(
         F.col(id_col).alias("id"),
         F.col(vec_col).cast("array<double>").alias("v"),
     ).withColumn("_feat", array_to_vector(F.col("v")))
+    if n_cells is None:
+        n = c.count()
+        n_cells = int(max(16, min(4096, math.isqrt(max(n - 1, 0)) + 1)))
     fit = (
         c.orderBy(F.xxhash64(F.col("id").cast("string")).asc(), F.col("id").asc())
         .limit(max_fit_rows)
@@ -607,32 +643,51 @@ def semantic_dedup(
     model = KMeans(
         k=n_cells, seed=seed, featuresCol="_feat", predictionCol="cell"
     ).fit(fit)
-    assigned = model.transform(c).drop("_feat")
+    # lazy checkpoint: assigned is consumed 4x (cell sizes, both pair
+    # sides, final label join) — cut the lineage so the scan+assign
+    # projection runs once, materializing inside the first consumer's job
+    assigned = model.transform(c).drop("_feat").localCheckpoint(eager=False)
 
-    a = assigned.select("cell", F.col("id").alias("id_a"), F.col("v").alias("va"))
-    b = assigned.select("cell", F.col("id").alias("id_b"), F.col("v").alias("vb"))
+    blocked = _with_cell_blocks(assigned, target_block_rows)
+    # side A covers block pairs (blk, j) for j >= blk; side B covers
+    # (i, blk) for i <= blk — every unordered block pair (i, j), i<=j,
+    # meets exactly once on join key (cell, lo, hi)
+    a = blocked.select(
+        "cell",
+        F.col("_blk").alias("lo"),
+        F.explode(F.sequence(F.col("_blk"), F.col("_nb") - 1)).alias("hi"),
+        F.col("id").alias("id_a"),
+        F.col("v").alias("va"),
+    )
+    b = blocked.select(
+        "cell",
+        F.explode(F.sequence(F.lit(0), F.col("_blk"))).alias("lo"),
+        F.col("_blk").alias("hi"),
+        F.col("id").alias("id_b"),
+        F.col("v").alias("vb"),
+    )
     pairs = (
-        a.join(b, "cell")
-        .filter(F.col("id_a") < F.col("id_b"))
+        a.join(b, on=["cell", "lo", "hi"])
+        # same-block pairs appear in both orders -> keep one; cross-block
+        # pairs appear exactly once in arbitrary order -> keep, canonicalize
         .filter(
-            cosine_similarity_col(F.col("va"), F.col("vb")) >= threshold
+            F.when(F.col("lo") == F.col("hi"), F.col("id_a") < F.col("id_b"))
+            .otherwise(F.col("id_a") != F.col("id_b"))
         )
-        .select("id_a", "id_b")
+        .filter(cosine_similarity_col(F.col("va"), F.col("vb")) >= threshold)
+        .select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+        )
     )
     comp = connected_components(pairs)
-    noncanon = comp.filter(F.col("id") != F.col("component"))
     return (
         assigned.join(comp, "id", "left")
         .select(
             "id",
             "cell",
-            F.col("component").isNull().alias("_single"),
             F.coalesce("component", F.col("id")).alias("component"),
         )
-        .withColumn(
-            "keep",
-            F.col("_single") | (F.col("component") == F.col("id")),
-        )
-        .drop("_single")
+        .withColumn("keep", F.col("component") == F.col("id"))
         .select("id", "cell", "keep", "component")
     )
