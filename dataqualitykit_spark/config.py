@@ -23,6 +23,12 @@ WS_REGEX = r"[ \t\n\r\x0b\f]+"
 # '' and the literal tokens below all count as missing).
 MISSING_TOKENS = ("NA", "N/A", "null", "none")
 
+# C4 words-per-line bar — SINGLE source of truth for
+# PipelineConfig.c4_min_words_per_line AND operators.c4_filter.
+# MIN_WORDS_PER_LINE (which aliases it) AND the driver oracle SQL.
+# Deliberately 3, not the paper's 5 — see c4_filter.py for the rationale.
+C4_MIN_WORDS_PER_LINE = 3
+
 
 @dataclass(frozen=True)
 class PipelineConfig:
@@ -84,13 +90,33 @@ class PipelineConfig:
     # doc-level 'policy_phrase' gate (lorem ipsum / '{') joins the quality
     # rules. Off by default; zero-shuffle when on.
     c4_lines: bool = False
-    c4_min_words_per_line: int = 3
+    c4_min_words_per_line: int = C4_MIN_WORDS_PER_LINE
 
     # Gopher-style repetition gates (Rae et al. 2021) over the scrubbed
     # text: drop_reason='repetition' when either enabled fraction exceeds
     # its ceiling. None = gate off. Both are zero-shuffle column algebra.
     max_dup_line_char_frac: float | None = None
     max_dup_5gram_frac: float | None = None
+
+    # domain blocklist — the FIRST gate of a crawl pipeline (known-bad
+    # hosts are dropped before paying for dedup windows or model scoring;
+    # drop_reason='blocked_domain'). Entries are bare lowercase domains;
+    # a url whose host equals an entry OR is a subdomain of one is
+    # blocked. The tuple is inlined as a plan literal (arrays_overlap
+    # over the host's dot-suffix set — zero shuffle, zero join); for
+    # 10^5+-entry lists use operators.url_filter.filter_blocked_domains
+    # directly with a broadcast DataFrame before run_pipeline.
+    blocklist: tuple[str, ...] | None = None
+
+    # deterministic per-group token budget applied AFTER the quality
+    # decision (the curriculum/mixture step): among keep=true rows, each
+    # budget_by group keeps the deterministic (md5(url), url)-ordered
+    # prefix whose scrubbed-text token total stays <= token_budget; rows
+    # past the line flip to keep=false, drop_reason='token_budget'.
+    # Token counts reuse the scorer's n_words metric (no re-tokenize).
+    # budget_by=None pools the whole corpus into one budget group.
+    token_budget: int | None = None
+    budget_by: str | None = "lang"
 
     # near-duplicate dedup (MinHash-LSH pairs -> connected components ->
     # keep the canonical min-url row per cluster, drop_reason='dup_near').
@@ -145,6 +171,7 @@ class PipelineConfig:
 # at 10^12 docs this is the difference between scoring the corpus once
 # and scoring every mirror of it.
 DROP_REASON_ORDER: tuple[str, ...] = (
+    "blocked_domain",  # opt-in blocklist gate (cfg.blocklist) — FIRST
     "missing_text",
     "dup_url",
     "dup_content",
@@ -162,6 +189,7 @@ DROP_REASON_ORDER: tuple[str, ...] = (
     "stopword_density",
     "lang",
     "perplexity",
+    "token_budget",  # opt-in post-decision budget cut (cfg.token_budget)
 )
 
 DEFAULT_CONFIG = PipelineConfig()

@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from ..config import C4_MIN_WORDS_PER_LINE
 from ..functions import text as T
 
 # shared by the Spark implementation AND the driver oracle SQL
@@ -36,7 +37,14 @@ LINE_BAN_PHRASES = (
     "uses cookies",
 )
 DOC_BAN_PHRASES = ("lorem ipsum", "{")
-MIN_WORDS_PER_LINE = 3
+# Single source of truth is config.C4_MIN_WORDS_PER_LINE (aliased here so
+# operator callers keep the local name): PipelineConfig's default and the
+# driver oracle SQL all derive from the same constant (ADVICE r4: two
+# independent constants could drift). DELIBERATE deviation from the
+# paper: C4 (Raffel et al. 2020) uses >= 5 words/line; the default is 3
+# because the synthetic fixture corpora run short lines and a 5-word bar
+# empties them — pass min_words_per_line=5 for paper-faithful behavior.
+MIN_WORDS_PER_LINE = C4_MIN_WORDS_PER_LINE
 MIN_SENTENCES = 3
 # count of sentence-terminal characters (. ! ?) = sentence-end count
 SENTENCE_END_CLASS = r"[.!?]"

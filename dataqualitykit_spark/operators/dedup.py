@@ -183,6 +183,34 @@ def minhash_signatures(
     return hashed.select("id", sig.alias("sig"))
 
 
+def minhash_signatures_agg(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 32,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Independent A/B twin of minhash_signatures: the i-th permutation's
+    minimum computed via explode + groupBy + 32 compiled min() aggregates
+    instead of array_min over a transform — a genuinely different physical
+    plan (hash aggregate with partial/final merge vs per-row HOF) over the
+    same shingle-hash definition. Used by the `minhash_lsh_dups_fast`
+    driver parity query: any divergence between the two paths is a bug in
+    one of them. NOT the production path (the groupBy adds a per-doc
+    exchange the projection form doesn't have). Docs whose text yields no
+    shingle hashes (NULL text) produce no row here — the parity join
+    treats absent-vs-NULL-signature as agreement."""
+    sh = with_shingle_hashes(df, text_col, id_col, shingle_k)
+    ex = sh.select("id", F.explode(F.array_distinct("hashes")).alias("h"))
+    aggs = [
+        F.min(F.xxhash64(F.lit(i), F.col("h"))).alias(f"_m{i}")
+        for i in range(num_hashes)
+    ]
+    agged = ex.groupBy("id").agg(*aggs)
+    sig = F.array(*[F.col(f"_m{i}") for i in range(num_hashes)])
+    return agged.select("id", sig.alias("sig"))
+
+
 def _band_keys_fast(sigs: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
     """(id, band, bucket:long) band keys over xxhash64 signatures — the
     sig array is projected away before any exchange."""
@@ -643,6 +671,43 @@ def simhash64(
     return hashed.select("id", sim.alias("simhash"))
 
 
+def simhash64_agg(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_k: int = 2,
+) -> DataFrame:
+    """Independent A/B twin of simhash64: the same 2*ones > n bit vote
+    computed via explode + groupBy + 64 compiled sum() aggregates instead
+    of the single-pass array<int>[64] HOF accumulator — a different
+    physical plan over the same shingle hashes. Used by the `simhash_fast`
+    driver parity query (any divergence = a bug in one path). NOT the
+    production path: this is exactly the explode+sum shape
+    scripts/microbench_votes.py measured at 2.2x the HOF vote, kept here
+    because a *check* wants plan diversity, not speed. Docs with NULL
+    text produce no row (production emits a NULL simhash) — the parity
+    join treats absent-vs-NULL as agreement."""
+    hashed = with_shingle_hashes(
+        df.select(id_col, text_col), text_col, id_col, shingle_k
+    )
+    ex = hashed.select("id", F.explode("hashes").alias("h"))
+    aggs = [
+        F.sum(
+            F.when(F.col("h").bitwiseAND(_bit_mask(b)) != 0, 1).otherwise(-1)
+        ).alias(f"_b{b}")
+        for b in range(64)
+    ]
+    counts = ex.groupBy("id").agg(*aggs)
+    sim = F.lit(0).cast("long")
+    for b in range(64):
+        sim = sim.bitwiseOR(
+            F.when(F.col(f"_b{b}") > 0, _bit_mask(b)).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    return counts.select("id", sim.alias("simhash"))
+
+
 def winnowing_fingerprints(
     df: DataFrame,
     text_col: str,
@@ -811,7 +876,14 @@ def paragraph_scrub(
     and fine while the boilerplate set fits a task (heavy-tailed in
     practice); for adversarial corpora route through paragraph_dedup's
     join-based reassembly with a unique row key. NULL text passes
-    through as NULL."""
+    through as NULL.
+
+    Collision trade-off (repo xxhash64-keying policy, ADVICE r4): an
+    innocent paragraph whose 64-bit hash collides with a repeated one is
+    silently scrubbed from every doc — probability ~n_distinct_paras *
+    n_repeated / 2^64 per corpus (negligible below ~10^9 distinct
+    paragraphs); the prior string-membership form was exact at ~10-50x
+    the broadcast bytes."""
     paras = (
         df.select(F.col(doc_key).alias("_k"), F.explode(F.split(F.col(text_col), "\n")).alias("para"))
         .filter(F.trim("para") != "")
@@ -846,6 +918,7 @@ def exact_substring_scrub(
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 50,
+    stride: int = 1,
 ) -> DataFrame:
     """ExactSubstr deduplication (Lee et al. 2021, "Deduplicating
     Training Data Makes Language Models Better") — the span-level exact
@@ -869,7 +942,20 @@ def exact_substring_scrub(
     combine map-side instead of hammering one window partition — and
     the duplicate-start lists join back per doc (AQE broadcasts when
     small). Token coverage is a per-row index HOF: O(tokens x
-    dup-windows-in-doc), all inside one projection."""
+    dup-windows-in-doc), all inside one projection.
+
+    stride>1 (VERDICT r4 item #3) applies WINNOWING position sampling
+    (the same window-min rule as winnowing_fingerprints) before the
+    exchange: only positions whose (gram-hash, pos) is minimal in some
+    window of `stride` consecutive positions are shuffled, cutting the
+    ~24 B/token occurrence shuffle ~stride-fold. Granularity coarsens:
+    winnowing's guarantee means a duplicated span is detected once it
+    spans >= n + stride - 1 tokens (shorter dup windows may be missed,
+    and the scrubbed token set derives from the SELECTED positions
+    only); the stride=1 default keeps the exact Lee-et-al semantics and
+    remains the DuckDB-oracled path. The window-min pass is a per-doc
+    O(positions x stride) map-side HOF — traded against stride-fold
+    fewer shuffled rows."""
     txt = F.col(text_col)
     toks = F.filter(F.split(txt, WS_REGEX), lambda w: w != F.lit(""))
     base = df.select(
@@ -879,16 +965,46 @@ def exact_substring_scrub(
     starts = F.when(m >= n, F.sequence(F.lit(0), m - F.lit(n))).otherwise(
         F.array().cast("array<int>")
     )
-    occ = (
-        base.select("id", "w", F.explode(starts).alias("s"))
-        .select(
-            "id",
-            "s",
-            F.xxhash64(F.array_join(F.slice("w", F.col("s") + 1, n), " ")).alias(
-                "h"
+    if stride == 1:
+        occ = (
+            base.select("id", "w", F.explode(starts).alias("s"))
+            .select(
+                "id",
+                "s",
+                F.xxhash64(
+                    F.array_join(F.slice("w", F.col("s") + 1, n), " ")
+                ).alias("h"),
+            )
+        )
+    else:
+        # winnowing selection BEFORE the explode: per doc, build the
+        # (h, s) position array, keep each stride-window's minimum
+        # (ordered by hash then position — leftmost-min tie rule),
+        # distinct the argmins, and only those positions are shuffled
+        hs = F.transform(
+            starts,
+            lambda s: F.struct(
+                F.xxhash64(F.array_join(F.slice("w", s + 1, n), " ")).alias(
+                    "h"
+                ),
+                s.alias("s"),
             ),
         )
-    )
+        npos = F.size(hs)
+        sel = (
+            F.when(npos <= 0, F.array().cast("array<struct<h:bigint,s:int>>"))
+            .when(npos <= stride, F.array(F.array_min(hs)))
+            .otherwise(
+                F.transform(
+                    F.sequence(F.lit(1), npos - stride + 1),
+                    lambda j: F.array_min(F.slice(hs, j, stride)),
+                )
+            )
+        )
+        occ = (
+            base.select("id", F.explode(F.array_distinct(sel)).alias("_hs"))
+            .select("id", F.col("_hs.s").alias("s"), F.col("_hs.h").alias("h"))
+        )
     firsts = (
         occ.groupBy("h")
         .agg(F.min(F.struct("id", "s")).alias("_first"), F.count(F.lit(1)).alias("_c"))

@@ -357,3 +357,49 @@ def media_fixture(spark, n: int = 64) -> DataFrame:
             )
         )
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+EXPECTED_SCHEMA = (
+    MEDIA_SCHEMA + ", exp_format string, exp_width int, exp_height int, "
+    "exp_channels int, exp_sample_rate_hz int, exp_duration_ms int, "
+    "exp_parse_ok boolean"
+)
+
+
+def media_fixture_expected(spark, n: int = 64) -> DataFrame:
+    """media_fixture plus the metadata the parsers MUST recover, derived
+    from the generator's construction parameters (NOT by running the
+    parsers — that would be circular): odd rows are garbage (exp_parse_ok
+    false, all fields null); even rows carry the container's real
+    dimensions / fmt-chunk values / mvhd duration. The WAV fixture writes
+    max(dur_ms, 250) ms of data at 16 kB/s, so its expected parsed
+    duration is max(dur_ms, 250) regardless of the nominal column.
+
+    This is the invariant side of the `media_metadata` driver query: the
+    parse output joined against these columns must show ZERO mismatches."""
+    rows = []
+    for i in range(n):
+        kind = ("image", "audio", "video")[i % 3]
+        w, h = 64 + i % 128, 48 + i % 96
+        dur = (i % 3 == 2) * (1000 + 500 * (i % 7))
+        base = (
+            i,
+            kind,
+            _fixture_payload(i, kind, w, h, dur),
+            ("image/png", "audio/wav", "video/mp4")[i % 3],
+            w,
+            h,
+            dur,
+        )
+        if i % 2:  # garbage payload -> quarantine
+            exp = (None, None, None, None, None, None, False)
+        elif kind == "image":
+            exp = ("png", w, h, None, None, None, True)
+        elif kind == "audio":
+            # fmt: 1 channel @ 8 kHz 16-bit -> 16000 B/s byte rate;
+            # data chunk holds max(dur, 250) ms -> parser recovers it
+            exp = ("wav", None, None, 1, 8000, max(dur, 250), True)
+        else:  # video: mvhd timescale 1000, duration = dur
+            exp = ("mp4", None, None, None, None, dur, True)
+        rows.append(base + exp)
+    return spark.createDataFrame(rows, EXPECTED_SCHEMA)

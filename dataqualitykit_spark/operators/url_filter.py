@@ -40,6 +40,18 @@ def _suffixes(domain):
     )
 
 
+def blocked_domain_col(url, blocked: list[str] | tuple[str, ...]):
+    """Boolean column: url's host equals a blocklist entry or is a
+    subdomain of one — the blocklist INLINED as a plan literal array, so
+    the check is a zero-shuffle, zero-join, whole-stage-codegen'd
+    projection (arrays_overlap over the host's O(label-count) dot-suffix
+    set). This is run_pipeline's cfg.blocklist path: config blocklists
+    are small by construction; 10^5+-entry lists belong in
+    filter_blocked_domains' broadcast-join form instead."""
+    bl = F.array(*[F.lit(d.lower()) for d in blocked])
+    return F.arrays_overlap(_suffixes(_host_of(url)), bl)
+
+
 def filter_blocked_domains(
     df: DataFrame,
     blocked: DataFrame | list[str],

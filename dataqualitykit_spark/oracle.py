@@ -86,6 +86,26 @@ def run_oracle(
     missing = [is_missing(r.text) for r in out]
     chash = [content_hash(r.text or "") for r in out]
 
+    # blocklist FIRST gate (mirrors pipeline cfg.blocklist): host = the
+    # url authority, lowercased, userinfo/port stripped; blocked when any
+    # dot-suffix of the host equals a blocklist entry. Blocked rows are
+    # ineligible for the content window and the near-dup pass below.
+    blocked = [False] * len(out)
+    if cfg.blocklist:
+        import re as _re
+
+        from .semantics import URL_DOMAIN_REGEX
+
+        entries = {e.lower() for e in cfg.blocklist}
+        for i, r in enumerate(out):
+            m = _re.match(URL_DOMAIN_REGEX, r.url or "")
+            host = (m.group(1) if m else "").lower()
+            host = _re.sub(r"^[^/@]*@", "", host)
+            host = _re.sub(r":[0-9]+$", "", host)
+            labels = host.split(".")
+            sfx = {".".join(labels[j:]) for j in range(len(labels))}
+            blocked[i] = bool(entries & sfx)
+
     # url keep-most-recent — gate on KEY PRESENCE (schema), exactly like
     # the pipeline gates on column presence; an all-NULL warc_ts column
     # must still dedup (NULLs order last, matching Spark desc NULLS LAST)
@@ -112,7 +132,9 @@ def run_oracle(
     dup_content = [False] * len(out)
     if cfg.dedup_content:
         eligible = [
-            i for i in range(len(out)) if not missing[i] and not dup_url[i]
+            i
+            for i in range(len(out))
+            if not missing[i] and not dup_url[i] and not blocked[i]
         ]
         eligible.sort(key=lambda i: (out[i].url, (out[i].warc_ts or _EPOCH)))
         seen: set[str] = set()
@@ -132,7 +154,10 @@ def run_oracle(
         surv = [
             i
             for i in range(len(out))
-            if not missing[i] and not dup_url[i] and not dup_content[i]
+            if not missing[i]
+            and not dup_url[i]
+            and not blocked[i]
+            and not dup_content[i]
         ]
         by_url = {out[i].url: i for i in surv}
         pairs = [
@@ -162,7 +187,9 @@ def run_oracle(
                 dup_near[by_url[url]] = True
 
     for i, r in enumerate(out):
-        if missing[i]:
+        if blocked[i]:
+            r.reasons = ["blocked_domain"]
+        elif missing[i]:
             r.reasons = ["missing_text"]
         elif dup_url[i]:
             r.reasons = ["dup_url"]
@@ -176,4 +203,31 @@ def run_oracle(
             r.scrubbed_text = scrubbed
         r.keep = not r.reasons
         r.drop_reason = r.reasons[0] if r.reasons else None
+
+    # token-budget cut LAST (mirrors pipeline cfg.token_budget): per
+    # budget_by group, kept rows ordered by (md5(url), url) survive while
+    # the inclusive running scrubbed-word total stays <= the budget; the
+    # rest flip to drop_reason='token_budget'. Token counts are the same
+    # n_words the scorer reports (len(tokenize(scrubbed))).
+    if cfg.token_budget is not None:
+        import hashlib as _hl
+
+        from .semantics import tokenize as _tok
+
+        groups: dict[Any, list[tuple[str, str, int]]] = {}
+        for i, r in enumerate(out):
+            if not r.keep:
+                continue
+            g = rows[i].get(cfg.budget_by) if cfg.budget_by else "all"
+            key = _hl.md5(r.url.encode("utf-8")).hexdigest()
+            groups.setdefault(g, []).append((key, r.url, i))
+        for items in groups.values():
+            items.sort()
+            running = 0
+            for _key, _url, i in items:
+                running += len(_tok(out[i].scrubbed_text or ""))
+                if running > cfg.token_budget:
+                    out[i].keep = False
+                    out[i].reasons = ["token_budget"]
+                    out[i].drop_reason = "token_budget"
     return out

@@ -279,6 +279,19 @@ def run_pipeline(df: DataFrame, cfg: PipelineConfig = DEFAULT_CONFIG) -> DataFra
         # downstream stage AND satisfies the url window's distribution
         base = base.repartition(n_salt, url_key)
 
+    # domain blocklist FIRST (opt-in): known-bad hosts are flagged before
+    # any dedup window or model sees them — blocked rows never win a
+    # content-dedup window (they are ineligible) and are never scored.
+    # Zero-shuffle: the blocklist is a plan-literal suffix check.
+    if cfg.blocklist:
+        from .operators.url_filter import blocked_domain_col
+
+        base = base.withColumn(
+            "_blocked", blocked_domain_col(F.col("url"), cfg.blocklist)
+        )
+    else:
+        base = base.withColumn("_blocked", F.lit(False))
+
     # C4-style line cleaning FIRST (opt-in, extraction-time semantics):
     # only terminal-punctuation lines with enough words and no ban phrase
     # survive; every later stage (missing check, hashes, models, the
@@ -318,7 +331,9 @@ def run_pipeline(df: DataFrame, cfg: PipelineConfig = DEFAULT_CONFIG) -> DataFra
         base = base.withColumn("_dup_url", F.lit(False))
 
     # content keep-one among eligible rows, keyed by raw-text md5
-    eligible = ~F.col("_missing_raw") & ~F.col("_dup_url")
+    # (blocked rows are ineligible: a blocked mirror must not win the
+    # window and shadow a keepable copy of the same content)
+    eligible = ~F.col("_missing_raw") & ~F.col("_dup_url") & ~F.col("_blocked")
     if cfg.dedup_content:
         base = base.withColumn("_eligible", eligible)
         order = [F.col("_eligible").desc(), F.col("url").asc()]
@@ -392,7 +407,8 @@ def run_pipeline(df: DataFrame, cfg: PipelineConfig = DEFAULT_CONFIG) -> DataFra
     labeled = (
         scored.withColumn(
             "drop_reason",
-            F.when(F.col("_missing_raw"), F.lit("missing_text"))
+            F.when(F.col("_blocked"), F.lit("blocked_domain"))
+            .when(F.col("_missing_raw"), F.lit("missing_text"))
             .when(F.col("_dup_url"), F.lit("dup_url"))
             .when(F.col("_dup_content"), F.lit("dup_content"))
             .when(F.col("_dup_near"), F.lit("dup_near"))
@@ -412,9 +428,48 @@ def run_pipeline(df: DataFrame, cfg: PipelineConfig = DEFAULT_CONFIG) -> DataFra
         "content_md5",
         F.md5(F.encode(F.coalesce(F.col("_orig_text"), F.lit("")), "UTF-8")),
     )
+
+    # token-budget cut LAST (opt-in): among kept rows, each budget_by
+    # group keeps the deterministic (md5(url), url)-ordered prefix whose
+    # token total stays <= token_budget; rows past the line flip to
+    # drop_reason='token_budget'. Reuses the scorer's n_words (no second
+    # tokenize); the picked-url set joins back small (AQE broadcast).
+    if cfg.token_budget is not None:
+        from .operators.sampling import sample_to_token_budget
+
+        kept = labeled.filter(F.col("keep"))
+        by = cfg.budget_by
+        if by is None:
+            kept = kept.withColumn("_budget_g", F.lit("all"))
+            by = "_budget_g"
+        picked = (
+            sample_to_token_budget(
+                kept,
+                cfg.token_budget,
+                text_col="scrubbed_text",
+                id_col="url",
+                by=by,
+                token_expr=F.col("n_words"),
+            )
+            .select("url")
+            .withColumn("_in_budget", F.lit(True))
+        )
+        labeled = (
+            labeled.join(picked, "url", "left")
+            .withColumn(
+                "drop_reason",
+                F.when(
+                    F.col("keep") & F.col("_in_budget").isNull(),
+                    F.lit("token_budget"),
+                ).otherwise(F.col("drop_reason")),
+            )
+            .withColumn("keep", F.col("drop_reason").isNull())
+            .drop("_in_budget", "_budget_g")
+        )
+
     return labeled.drop(
         "_missing_raw", "_dup_url", "_dup_content", "_dup_near", "_eligible",
-        "_survivor", "_missing", "_orig_text", "text",
+        "_survivor", "_missing", "_orig_text", "text", "_blocked",
     )
 
 

@@ -17,10 +17,17 @@ def _iceberg_available(spark: SparkSession) -> bool:
     # resolves a MISSING class to a JavaPackage object without raising, so
     # the attribute form reported the jar present in jar-less sessions and
     # autodetect silently chose the iceberg branch (caught by
-    # tests/test_tableio_branch.py).
+    # tests/test_tableio_branch.py). Resolution goes through the CONTEXT
+    # classloader (ADVICE r4): the 1-arg Class.forName uses the py4j
+    # gateway's root classloader, which cannot see jars added after
+    # session start (ADD JAR / --packages land in Spark's mutable URL
+    # classloader) — a false "absent" that would silently downgrade an
+    # iceberg session to the parquet branch.
     try:
-        spark._jvm.java.lang.Class.forName(
-            "org.apache.iceberg.spark.SparkCatalog"
+        jvm = spark._jvm
+        loader = jvm.java.lang.Thread.currentThread().getContextClassLoader()
+        jvm.java.lang.Class.forName(
+            "org.apache.iceberg.spark.SparkCatalog", False, loader
         )
         return True
     except Exception:

@@ -1,0 +1,104 @@
+"""Round-5 pipeline stages (VERDICT r4 item #4): cfg.blocklist as the
+FIRST gate and cfg.token_budget as the FINAL stage, each verified by
+Spark-vs-pure-python-oracle parity on the pages fixture (the same 3-way
+scheme as pipeline_c4 — the SQL leg lives in __spark_entry__'s
+pipeline_blocklist / pipeline_token_budget driver oracles)."""
+
+from __future__ import annotations
+
+import pytest
+
+from dataqualitykit_spark.config import PipelineConfig
+from dataqualitykit_spark.fixtures import generate_pages
+from dataqualitykit_spark.oracle import run_oracle
+from dataqualitykit_spark.pipeline import run_pipeline
+
+N_PAGES = 600
+
+
+def _pages_with_subdomains():
+    rows = generate_pages(N_PAGES)
+    for i, r in enumerate(rows):
+        if i % 7 == 0:
+            r["url"] = r["url"].replace("https://", "https://sub.", 1)
+    return rows
+
+
+def _parity(spark, rows, cfg):
+    from dataqualitykit_spark.fixtures.pages import PAGES_SCHEMA
+
+    df = spark.createDataFrame(rows, schema=PAGES_SCHEMA)
+    got = {
+        (r["url"], r["warc_ts"]): (r["keep"], r["drop_reason"])
+        for r in run_pipeline(df, cfg)
+        .select("url", "warc_ts", "keep", "drop_reason")
+        .collect()
+    }
+    golden = run_oracle(rows, cfg)
+    mism = [
+        (g.url, g.drop_reason, got[(g.url, g.warc_ts)])
+        for g in golden
+        if got[(g.url, g.warc_ts)] != (g.keep, g.drop_reason)
+    ]
+    assert not mism[:10], mism[:10]
+    return golden
+
+
+def test_blocklist_parity_and_subdomain_match(spark):
+    cfg = PipelineConfig(
+        blocklist=("hot-domain.example", "medium-a.example", "nope.invalid")
+    )
+    rows = _pages_with_subdomains()
+    golden = _parity(spark, rows, cfg)
+    blocked = [g for g in golden if g.drop_reason == "blocked_domain"]
+    assert blocked, "blocklist never fired"
+    # both the exact host and a planted sub. subdomain must match
+    hosts = {g.url.split("://", 1)[1].split("/", 1)[0] for g in blocked}
+    assert "hot-domain.example" in hosts, hosts
+    assert "sub.hot-domain.example" in hosts, hosts
+    # a blocked mirror must never shadow a keepable copy: every blocked
+    # row's reason is blocked_domain, never dup_*
+    assert all(g.reasons == ["blocked_domain"] for g in blocked)
+
+
+def test_blocklist_rows_never_scored(spark):
+    from pyspark.sql import functions as F
+
+    from dataqualitykit_spark.fixtures import pages_dataframe
+
+    cfg = PipelineConfig(blocklist=("hot-domain.example",))
+    out = run_pipeline(pages_dataframe(spark, 300), cfg)
+    blocked = out.filter(F.col("drop_reason") == "blocked_domain")
+    n = blocked.count()
+    assert n > 0
+    # metric columns stay NULL for blocked rows (they never reach the
+    # Arrow scorer)
+    assert blocked.filter(F.col("ppl").isNotNull()).count() == 0
+    assert blocked.filter(F.col("scrubbed_text").isNotNull()).count() == 0
+
+
+@pytest.mark.parametrize("by", ["lang", None])
+def test_token_budget_parity(spark, by):
+    cfg = PipelineConfig(token_budget=1500, budget_by=by)
+    rows = generate_pages(N_PAGES)
+    golden = _parity(spark, rows, cfg)
+    cut = [g for g in golden if g.drop_reason == "token_budget"]
+    kept = [g for g in golden if g.keep]
+    assert cut, "budget cut never fired"
+    assert kept, "budget dropped everything"
+
+
+def test_token_budget_deterministic_rerun(spark):
+    from dataqualitykit_spark.fixtures import pages_dataframe
+
+    cfg = PipelineConfig(token_budget=1500)
+    df = pages_dataframe(spark, 300)
+    a = {
+        (r["url"], r["warc_ts"]): r["drop_reason"]
+        for r in run_pipeline(df, cfg).select("url", "warc_ts", "drop_reason").collect()
+    }
+    b = {
+        (r["url"], r["warc_ts"]): r["drop_reason"]
+        for r in run_pipeline(df, cfg).select("url", "warc_ts", "drop_reason").collect()
+    }
+    assert a == b

@@ -94,22 +94,14 @@ def test_rows_only_queries_run(spark):
         assert df.count() >= 0, name
 
 
-def test_every_query_has_oracle_or_is_hash_based():
+def test_every_query_has_oracle():
+    # round 5: zero rows-only queries. The former allowlist entries
+    # (xxhash64 fast twins, learned-quantizer IVF/SemDeDup, binary
+    # container parsing) now return Spark-side violation counts against
+    # planted ground truth / independent A/B plans, with SQL-computable
+    # oracle rows — full value-hash checks at the driver.
     rows_only = set(entry_mod.queries()) - set(entry_mod.oracle_sql())
-    # only the xxhash64 fast-path twins (engine-specific hash family) and
-    # the ANN bucket path may skip the oracle; everything else — including
-    # the full pipeline and the md5-portable near-dup ops — is SQL-checked
-    # xxhash64 fast-path twins (engine-specific hash family), the
-    # learned-quantizer IVF path, and binary container parsing (no SQL
-    # mirror; exact values pinned by unit goldens) are the only
-    # rows-only queries left
-    assert rows_only <= {
-        "minhash_lsh_dups_fast",
-        "simhash_fast",
-        "ivf_cosine_topk",
-        "media_metadata",
-        "semantic_dedup",  # learned KMeans quantizer, like IVF
-    }
+    assert rows_only == set(), rows_only
 
 
 def test_entry_smoke(spark):

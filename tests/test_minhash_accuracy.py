@@ -268,3 +268,44 @@ def test_exact_substring_scrub_overlapping_windows(spark):
     assert out[1]["n_tokens_removed"] == 0
     assert out[2]["cleaned_text"] == "ff gg hh ii jj"
     assert out[2]["n_tokens_removed"] == 5
+
+
+def test_exact_substring_scrub_stride_sampled(spark):
+    """stride>1 (winnowing position sampling, VERDICT r5 item #3): a
+    duplicated span of >= n + stride - 1 tokens is still detected via at
+    least one consistently-selected window; the min-id doc keeps its
+    copy; stride=1 on the same input keeps the exact semantics."""
+    # 12-token identical run across two docs; n=4, stride=4 ->
+    # winnowing guarantees detection for runs >= 4 + 4 - 1 = 7 tokens
+    run = " ".join(f"tok{i}" for i in range(12))
+    df = spark.createDataFrame(
+        [
+            (1, f"aa bb cc {run} dd ee"),
+            (2, f"ff gg hh {run} ii jj"),
+            (3, "an unrelated document with no shared spans anywhere"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["id"]: r.asDict()
+        for r in dedup.exact_substring_scrub(df, n=4, stride=4).collect()
+    }
+    # min-id doc untouched, later doc loses tokens, unrelated untouched
+    assert out[1]["n_tokens_removed"] == 0
+    assert out[2]["n_tokens_removed"] > 0
+    assert out[3]["n_tokens_removed"] == 0
+    # the scrub derives from selected positions only: removed <= run size
+    assert out[2]["n_tokens_removed"] <= 12
+    # determinism: identical second run
+    again = {
+        r["id"]: r["n_tokens_removed"]
+        for r in dedup.exact_substring_scrub(df, n=4, stride=4).collect()
+    }
+    assert again == {k: v["n_tokens_removed"] for k, v in out.items()}
+    # stride=1 exact semantics unaffected by the new code path
+    exact = {
+        r["id"]: r.asDict()
+        for r in dedup.exact_substring_scrub(df, n=4, stride=1).collect()
+    }
+    assert exact[2]["cleaned_text"] == "ff gg hh ii jj"
+    assert exact[2]["n_tokens_removed"] == 12
