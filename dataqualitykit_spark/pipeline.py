@@ -434,9 +434,16 @@ def run_pipeline(df: DataFrame, cfg: PipelineConfig = DEFAULT_CONFIG) -> DataFra
     # token total stays <= token_budget; rows past the line flip to
     # drop_reason='token_budget'. Reuses the scorer's n_words (no second
     # tokenize); the picked-url set joins back small (AQE broadcast).
+    # COST NOTE: the sampler's bucket-sums action evaluates the pipeline
+    # subtree once more than a budget-less run (lazy frames, two
+    # actions). cfg.near_dup_materialize='localCheckpoint' — the same
+    # storage-for-recompute knob the near-dedup stage honors —
+    # materializes `labeled` once so the scorer runs a single time.
     if cfg.token_budget is not None:
         from .operators.sampling import sample_to_token_budget
 
+        if cfg.near_dup_materialize == "localCheckpoint":
+            labeled = labeled.localCheckpoint()
         kept = labeled.filter(F.col("keep"))
         by = cfg.budget_by
         if by is None:

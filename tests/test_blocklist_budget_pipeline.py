@@ -102,3 +102,68 @@ def test_token_budget_deterministic_rerun(spark):
         for r in run_pipeline(df, cfg).select("url", "warc_ts", "drop_reason").collect()
     }
     assert a == b
+
+
+def test_blocklist_adds_no_exchanges(spark):
+    """The blocklist gate is a plan-literal suffix check: turning it on
+    must add ZERO Exchange nodes to the pipeline plan (the 100 TB
+    contract — a blocklist that costs a corpus shuffle would be wired
+    wrong)."""
+    from dataqualitykit_spark.fixtures import pages_dataframe
+
+    df = pages_dataframe(spark, 50)
+
+    def n_exchanges(cfg):
+        plan = (
+            run_pipeline(df, cfg)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        return plan.count("Exchange")
+
+    base = n_exchanges(PipelineConfig())
+    with_bl = n_exchanges(PipelineConfig(blocklist=("hot-domain.example",)))
+    assert with_bl == base, (base, with_bl)
+
+
+def test_blocked_domain_col_streaming_composes(spark, tmp_path):
+    """blocked_domain_col is a stateless projection — it composes with
+    readStream for free (same contract as the c4/repetition columns)."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from dataqualitykit_spark.operators.url_filter import blocked_domain_col
+
+    src = tmp_path / "in"
+    src.mkdir()
+    rows = [
+        {"url": "https://ads.bad.example/x"},
+        {"url": "https://ok.example/y"},
+        {"url": "https://bad.example/z"},
+    ]
+    (src / "a.json").write_text("\n".join(_json.dumps(r) for r in rows))
+    stream = (
+        spark.readStream.schema("url string").json(str(src))
+        .withColumn("blocked", blocked_domain_col(F.col("url"), ["bad.example"]))
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("bl_stream")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            r["url"]: r["blocked"]
+            for r in spark.sql("SELECT * FROM bl_stream").collect()
+        }
+    finally:
+        q.stop()
+    assert got == {
+        "https://ads.bad.example/x": True,
+        "https://ok.example/y": False,
+        "https://bad.example/z": True,
+    }
