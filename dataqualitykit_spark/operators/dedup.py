@@ -980,8 +980,14 @@ def exact_substring_scrub(
         # winnowing selection BEFORE the explode: per doc, build the
         # (h, s) position array, keep each stride-window's minimum
         # (ordered by hash then position — leftmost-min tie rule),
-        # distinct the argmins, and only those positions are shuffled
-        hs = F.transform(
+        # distinct the argmins, and only those positions are shuffled.
+        # The (h, s) array is MATERIALIZED in its own projection first
+        # (same idiom as minhash_signatures' `base`): inlined into the
+        # window-min transform, slice(hs, j, stride) re-evaluates the
+        # whole gram-hash construction per window — measured 6x the
+        # stride=1 runtime at sf0.1; materialized, the pass is O(positions
+        # x stride) struct compares as intended.
+        hs_expr = F.transform(
             starts,
             lambda s: F.struct(
                 F.xxhash64(F.array_join(F.slice("w", s + 1, n), " ")).alias(
@@ -990,6 +996,8 @@ def exact_substring_scrub(
                 s.alias("s"),
             ),
         )
+        with_hs = base.select("id", hs_expr.alias("_hsarr"))
+        hs = F.col("_hsarr")
         npos = F.size(hs)
         sel = (
             F.when(npos <= 0, F.array().cast("array<struct<h:bigint,s:int>>"))
@@ -1002,7 +1010,7 @@ def exact_substring_scrub(
             )
         )
         occ = (
-            base.select("id", F.explode(F.array_distinct(sel)).alias("_hs"))
+            with_hs.select("id", F.explode(F.array_distinct(sel)).alias("_hs"))
             .select("id", F.col("_hs.s").alias("s"), F.col("_hs.h").alias("h"))
         )
     firsts = (
