@@ -1011,10 +1011,17 @@ def q_minhash_lsh_dups_fast(spark, sf):
         "sig", "sig_alt"
     )
     sig_j = prod_sig.join(alt_sig, "id", "left")
+    # NULL-text normalization: the projection form emits an all-NULL
+    # signature array where the agg twin emits no row — both mean "no
+    # shingles", so fold the all-NULL shape to NULL before comparing
+    prod_norm = F.when(
+        F.size(F.filter(F.col("sig"), lambda x: x.isNotNull())) == 0,
+        F.lit(None),
+    ).otherwise(F.col("sig"))
     sig_row = sig_j.agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum(
-            (~F.col("sig").eqNullSafe(F.col("sig_alt"))).cast("int")
+            (~prod_norm.eqNullSafe(F.col("sig_alt"))).cast("int")
         ).cast("long").alias("n_sig_mismatch"),
     )
     fast = dedup.minhash_jaccard(d, "text", "doc_id").filter(

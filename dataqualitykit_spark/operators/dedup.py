@@ -197,9 +197,9 @@ def minhash_signatures_agg(
     same shingle-hash definition. Used by the `minhash_lsh_dups_fast`
     driver parity query: any divergence between the two paths is a bug in
     one of them. NOT the production path (the groupBy adds a per-doc
-    exchange the projection form doesn't have). Docs whose text yields no
-    shingle hashes (NULL text) produce no row here — the parity join
-    treats absent-vs-NULL-signature as agreement."""
+    exchange the projection form doesn't have). NULL-text docs produce no
+    row here while the projection form emits an all-NULL signature array —
+    the parity query normalizes that shape to NULL before comparing."""
     sh = with_shingle_hashes(df, text_col, id_col, shingle_k)
     ex = sh.select("id", F.explode(F.array_distinct("hashes")).alias("h"))
     aggs = [

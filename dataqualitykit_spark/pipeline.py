@@ -449,6 +449,11 @@ def run_pipeline(df: DataFrame, cfg: PipelineConfig = DEFAULT_CONFIG) -> DataFra
         if by is None:
             kept = kept.withColumn("_budget_g", F.lit("all"))
             by = "_budget_g"
+        # url is the sampler's row id: unique among kept rows whenever
+        # dedup_url is on (the default). distinct() guards the join-back
+        # against row multiplication if a caller disables url dedup and
+        # feeds duplicate kept urls — same-url rows then share one
+        # budget verdict (tiny frame, cheap exchange).
         picked = (
             sample_to_token_budget(
                 kept,
@@ -459,6 +464,7 @@ def run_pipeline(df: DataFrame, cfg: PipelineConfig = DEFAULT_CONFIG) -> DataFra
                 token_expr=F.col("n_words"),
             )
             .select("url")
+            .distinct()
             .withColumn("_in_budget", F.lit(True))
         )
         labeled = (
