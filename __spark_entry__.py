@@ -946,16 +946,42 @@ def q_infer_types(spark, sf):
     )
 
 
-def q_quality_score(spark, sf):
+def _quality_score_col(t):
     # composite 0..1 quality score from the metric legs (length, symbol,
-    # stopword density) — the brief's "quality scoring" op as one column
-    d = _t(spark, sf, "documents")
-    t = F.col("text")
+    # stopword density) — shared by q_quality_score and the
+    # top-fraction filter query
     length_score = F.least(T.char_count(t) / F.lit(500.0), F.lit(1.0))
     symbol_score = F.greatest(F.lit(0.0), F.lit(1.0) - T.symbol_ratio(t) * 4.0)
     sw_score = F.least(T.stopword_density(t) * 4.0, F.lit(1.0))
-    score = (length_score + symbol_score + sw_score) / 3.0
-    return d.select("doc_id", F.round(score, 6).alias("quality_score"))
+    return (length_score + symbol_score + sw_score) / 3.0
+
+
+def q_quality_score(spark, sf):
+    # the brief's "quality scoring" op as one column
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id", F.round(_quality_score_col(F.col("text")), 6).alias("quality_score")
+    )
+
+
+def q_top_fraction_sample(spark, sf):
+    """DCLM/FineWeb-style classifier filter: keep EXACTLY the top 25% of
+    docs per lang by quality score (deterministic ties via md5(doc_id)).
+    Spark runs sampling.top_fraction_by_score's histogram-prefix cut
+    (fully-kept score bins via broadcast semi-join, one row_number window
+    over ONLY the threshold bin); the oracle runs the one-window
+    row_number form the cut is row-identical to. frac=0.25 is
+    binary-exact so ceil(frac*n) agrees across engines."""
+    from dataqualitykit_spark.operators import sampling
+
+    d = _t(spark, sf, "documents")
+    scored = d.select(
+        "doc_id", "lang", _quality_score_col(F.col("text")).alias("qs")
+    )
+    out = sampling.top_fraction_by_score(
+        scored, 0.25, score_col="qs", id_col="doc_id", by="lang"
+    )
+    return out.select("doc_id", "lang", F.round("qs", 6).alias("qs"))
 
 
 def q_token_count(spark, sf):
@@ -1441,6 +1467,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_line_filter": q_c4_line_filter,
         "domain_blocklist": q_domain_blocklist,
         "token_budget_sample": q_token_budget_sample,
+        "top_fraction_sample": q_top_fraction_sample,  # NEW r5
         # -- round 5 conversions: formerly rows-only (err=no_oracle in the
         # -- driver record), now invariant/parity-oracled — zero green
         # -- rounds under the new contract, so they head the window --------
@@ -2546,6 +2573,33 @@ def oracle_sql() -> dict[str, str]:
                    round((length_score + symbol_score + sw_score) / 3.0, 6)
                      AS quality_score
             FROM m""".replace("{sw}", sw),
+        "top_fraction_sample": f"""
+            WITH tok AS (
+              SELECT doc_id, lang, text, {{toks}} AS toks FROM documents
+            ), m AS (
+              SELECT doc_id, lang,
+                     (least(length(text) / 500.0, 1.0)
+                      + greatest(0.0, 1.0 -
+                          (length(text) - length(regexp_replace(text,
+                            '[^A-Za-z0-9 \\t\\n\\r\\x0b\\f]', '', 'g')))
+                          / CAST(greatest(length(text), 1) AS DOUBLE) * 4.0)
+                      + least(len(list_filter(toks,
+                          x -> list_contains([{{sw}}], lower(x))))
+                          / CAST(greatest(len(toks), 1) AS DOUBLE) * 4.0, 1.0)
+                     ) / 3.0 AS qs
+              FROM tok
+            ), r AS (
+              SELECT doc_id, lang, qs,
+                     row_number() OVER (PARTITION BY lang
+                       ORDER BY qs DESC NULLS LAST,
+                                md5(CAST(doc_id AS VARCHAR)) ASC,
+                                doc_id ASC) AS rn,
+                     count(*) OVER (PARTITION BY lang) AS n
+              FROM m
+            )
+            SELECT doc_id, lang, round(qs, 6) AS qs
+            FROM r WHERE rn <= CEIL(0.25 * n)"""
+        .replace("{toks}", _sql_tokens("text")).replace("{sw}", sw),
         "token_count": _token_count_sql(),
         "fingerprints": """
             WITH g AS (

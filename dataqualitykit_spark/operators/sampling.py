@@ -101,3 +101,100 @@ def sample_to_token_budget(
         kept_full.unionByName(kept_cut)
         .drop("_key", "_bkt", "_g")
     )
+
+
+def top_fraction_by_score(
+    df: DataFrame,
+    frac: float,
+    score_col: str = "score",
+    id_col: str = "doc_id",
+    by: str | None = None,
+    lo: float = 0.0,
+    hi: float = 1.0,
+    bins: int = 1024,
+) -> DataFrame:
+    """Keep EXACTLY ceil(frac * n_group) top-score rows per `by` group —
+    the classifier-filter step of a DCLM/FineWeb-style pipeline ("keep
+    the top 25% by quality score per language"), deterministic under ties
+    via the (score DESC, md5(id), id) total order. `by=None` pools the
+    corpus into one group. Returns the kept input rows unchanged.
+
+    100 TB shape — the naive form is a row_number window per group,
+    which funnels an entire language through ONE window partition.
+    Instead, the same HISTOGRAM-PREFIX CUT idiom as
+    sample_to_token_budget: (1) one partial-aggregated pass counts rows
+    per (group, score-bin) over `bins` fixed-width bins on [lo, hi]
+    (scores clamped; bin(x) is monotone in x, so bin order == score
+    order across bins); the bins*|groups| summary collects to the driver
+    (bounded — `by` cardinality must be modest, same contract as the
+    sampler), (2) the driver walks each group's bins in DESCENDING score
+    order to find the fully-kept bins and the threshold bin's remaining
+    quota, (3) fully-kept bins pass via a broadcast semi-join; ONLY the
+    threshold bin (1/bins of one group) runs a row_number window ordered
+    by (true score DESC NULLS LAST, md5(id), id). Row-identical to the
+    one-window form by construction — that form IS the DuckDB oracle.
+
+    Cross-engine note: keep_n = ceil(frac * n) is IEEE-double arithmetic
+    on both sides; use binary-exact fractions (0.25, 0.5, 0.125) when a
+    SQL mirror must agree at group sizes where frac*n lands on an
+    integer. NULL scores sort last (dropped first)."""
+    gkey = (
+        F.when(F.col(by).isNull(), F.lit("\x00null")).otherwise(
+            F.concat(F.lit("v:"), F.col(by).cast("string"))
+        )
+        if by is not None
+        else F.lit("all")
+    )
+    span = float(hi) - float(lo)
+    clamped = F.least(
+        F.greatest(F.coalesce(F.col(score_col), F.lit(float(lo))), F.lit(float(lo))),
+        F.lit(float(hi)),
+    )
+    bin_col = F.least(
+        F.floor((clamped - F.lit(float(lo))) / F.lit(span) * bins),
+        F.lit(bins - 1),
+    ).cast("int")
+    base = (
+        df.withColumn("_g", gkey)
+        .withColumn(
+            "_key", F.md5(F.encode(F.col(id_col).cast("string"), "UTF-8"))
+        )
+        .withColumn("_bin", bin_col)
+    )
+    spark = df.sparkSession
+
+    import math as _math
+
+    sums = base.groupBy("_g", "_bin").count().collect()
+    per_group: dict = {}
+    for r in sums:
+        per_group.setdefault(r["_g"], []).append((r["_bin"], r["count"]))
+    full_rows, cut_rows = [], []
+    for g, bs in per_group.items():
+        n = sum(c for _, c in bs)
+        keep_n = min(n, _math.ceil(frac * n))
+        cum = 0
+        for b, c in sorted(bs, reverse=True):  # descending score bins
+            if cum + c <= keep_n:
+                full_rows.append((g, b))
+                cum += c
+                if cum == keep_n:
+                    break
+            else:
+                if keep_n - cum > 0:
+                    cut_rows.append((g, b, keep_n - cum))
+                break  # lower bins are all dropped
+
+    full = spark.createDataFrame(full_rows, "_g string, _bin int")
+    kept_full = base.join(F.broadcast(full), ["_g", "_bin"], "left_semi")
+    cut = spark.createDataFrame(cut_rows, "_g string, _bin int, _quota long")
+    w = Window.partitionBy("_g", "_bin").orderBy(
+        F.col(score_col).desc_nulls_last(), F.col("_key").asc(), F.col(id_col).asc()
+    )
+    kept_cut = (
+        base.join(F.broadcast(cut), ["_g", "_bin"])
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= F.col("_quota"))
+        .drop("_quota", "_rn")
+    )
+    return kept_full.unionByName(kept_cut).drop("_g", "_key", "_bin")

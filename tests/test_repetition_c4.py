@@ -365,3 +365,74 @@ def test_filter_blocked_domains_port_and_userinfo(spark):
         ).collect()
     }
     assert got == {1: True, 2: True, 3: True, 4: False}
+
+
+def _top_frac_oracle(rows, frac):
+    """One-window mirror of top_fraction_by_score: per group, rank by
+    (score DESC, md5(id), id), keep rn <= ceil(frac * n)."""
+    import hashlib
+    import math
+    from collections import defaultdict
+
+    by_g = defaultdict(list)
+    for doc_id, g, score in rows:
+        key = hashlib.md5(str(doc_id).encode()).hexdigest()
+        # score None sorts LAST (dropped first): sort key (not-none, score) desc
+        by_g[g].append(((score is not None, score if score is not None else 0.0), key, doc_id))
+    kept = set()
+    for g, docs in by_g.items():
+        # (score-presence, score) DESC primary; (md5 key, id) ASC
+        # tie-break — two stable sorts, secondary first
+        docs.sort(key=lambda t: (t[1], t[2]))
+        docs.sort(key=lambda t: t[0], reverse=True)
+        keep_n = min(len(docs), math.ceil(frac * len(docs)))
+        for _s, _k, doc_id in docs[:keep_n]:
+            kept.add(doc_id)
+    return kept
+
+
+def test_top_fraction_by_score_matches_one_window_oracle(spark):
+    """Histogram-prefix cut == one-window row_number form, at several
+    fractions, with ties (equal scores resolved by md5 key), a NULL
+    group, NULL scores (sort last), and out-of-[lo,hi] scores (clamped
+    for binning, true score ordering preserved)."""
+    from dataqualitykit_spark.operators.sampling import top_fraction_by_score
+
+    rows = []
+    for i in range(150):
+        g = ["en", "de", None][i % 3]
+        score = [0.9, 0.5, 0.5, 0.1, 1.7, -0.3][i % 6]  # ties + out-of-range
+        rows.append((i, g, float(score)))
+    rows.append((900, "en", None))  # NULL score -> dropped first
+    df = spark.createDataFrame(rows, "doc_id long, g string, score double")
+    for frac in (0.0, 0.25, 0.5, 1.0):
+        got = {
+            r["doc_id"]
+            for r in top_fraction_by_score(
+                df, frac, score_col="score", id_col="doc_id", by="g"
+            ).collect()
+        }
+        want = _top_frac_oracle(rows, frac)
+        assert got == want, (frac, len(got), len(want), got ^ want)
+    # global pool (by=None): one group over everything
+    got_all = {
+        r["doc_id"]
+        for r in top_fraction_by_score(
+            df, 0.25, score_col="score", id_col="doc_id", by=None
+        ).collect()
+    }
+    want_all = _top_frac_oracle([(i, "all", s) for i, _g, s in rows], 0.25)
+    assert got_all == want_all
+    # exactness: per-group kept counts are ceil(frac * n) exactly
+    import math
+    from collections import Counter
+
+    kept_per_g = Counter(
+        r["g"]
+        for r in top_fraction_by_score(
+            df, 0.25, score_col="score", id_col="doc_id", by="g"
+        ).collect()
+    )
+    n_per_g = Counter(g for _i, g, _s in rows)
+    for g, n in n_per_g.items():
+        assert kept_per_g[g] == math.ceil(0.25 * n), (g, n, kept_per_g[g])
