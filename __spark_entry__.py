@@ -984,6 +984,22 @@ def q_top_fraction_sample(spark, sf):
     return out.select("doc_id", "lang", F.round("qs", 6).alias("qs"))
 
 
+def q_hash_split(spark, sf):
+    """Deterministic leakage-safe holdout split: md5-derived u in [0,1)
+    buckets every doc into train/val/test by cumulative fraction —
+    assignment is a pure projection (zero shuffle) and identical across
+    engines. Binary-exact fractions (0.5/0.25/0.25) so the cumulative
+    thresholds carry no float-accumulation skew between Spark and the
+    SQL mirror."""
+    from dataqualitykit_spark.operators import sampling
+
+    d = _t(spark, sf, "documents")
+    out = sampling.hash_split(
+        d, {"train": 0.5, "val": 0.25, "test": 0.25}, id_col="doc_id"
+    )
+    return out.select("doc_id", "split")
+
+
 def q_token_count(spark, sf):
     d = _t(spark, sf, "documents")
     return d.select(
@@ -1468,6 +1484,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_blocklist": q_domain_blocklist,
         "token_budget_sample": q_token_budget_sample,
         "top_fraction_sample": q_top_fraction_sample,  # NEW r5
+        "hash_split": q_hash_split,  # NEW r5
         # -- round 5 conversions: formerly rows-only (err=no_oracle in the
         # -- driver record), now invariant/parity-oracled — zero green
         # -- rounds under the new contract, so they head the window --------
@@ -2600,6 +2617,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang, round(qs, 6) AS qs
             FROM r WHERE rn <= CEIL(0.25 * n)"""
         .replace("{toks}", _sql_tokens("text")).replace("{sw}", sw),
+        "hash_split": """
+            WITH u AS (
+              SELECT doc_id,
+                     CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))
+                          AS BIGINT) / CAST(4503599627370496 AS DOUBLE) AS u
+              FROM documents
+            )
+            SELECT doc_id,
+                   CASE WHEN u < 0.5 THEN 'train'
+                        WHEN u < 0.75 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM u""",
         "token_count": _token_count_sql(),
         "fingerprints": """
             WITH g AS (

@@ -198,3 +198,48 @@ def top_fraction_by_score(
         .drop("_quota", "_rn")
     )
     return kept_full.unionByName(kept_cut).drop("_g", "_key", "_bin")
+
+
+def hash_split(
+    df: DataFrame,
+    fractions: dict[str, float],
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: `split` column from the
+    md5 of (salt || id) mapped to [0, 1) and bucketed by cumulative
+    fraction — the standard leakage-safe holdout split (an id always
+    lands in the same split, across runs AND across machines; salt
+    rotates the assignment). Zero shuffle, zero state: one projection,
+    whole-stage codegen. Fractions must sum to <= 1.0; ids falling past
+    the last cumulative bound get the LAST split name (so {'train': .9,
+    'val': .1} is exhaustive by construction).
+
+    u = first 13 md5 hex chars / 16^13 — 52 bits of the hash, exactly
+    representable in a double, engine-portable (the DuckDB oracle
+    computes the identical u)."""
+    total = sum(fractions.values())
+    if total > 1.0 + 1e-9:
+        raise ValueError(f"fractions sum to {total} > 1")
+    key = F.md5(
+        F.encode(
+            F.concat(F.lit(salt), F.col(id_col).cast("string")), "UTF-8"
+        )
+    )
+    u = F.conv(F.substring(key, 1, 13), 16, 10).cast("double") / F.lit(
+        float(16**13)
+    )
+    names = list(fractions)
+    cum = 0.0
+    expr = None
+    for name in names[:-1]:
+        cum += fractions[name]
+        branch = u < F.lit(cum)
+        expr = (
+            F.when(branch, F.lit(name))
+            if expr is None
+            else expr.when(branch, F.lit(name))
+        )
+    last = F.lit(names[-1])
+    split = last if expr is None else expr.otherwise(last)
+    return df.withColumn("split", split)

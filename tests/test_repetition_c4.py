@@ -436,3 +436,36 @@ def test_top_fraction_by_score_matches_one_window_oracle(spark):
     n_per_g = Counter(g for _i, g, _s in rows)
     for g, n in n_per_g.items():
         assert kept_per_g[g] == math.ceil(0.25 * n), (g, n, kept_per_g[g])
+
+
+def test_hash_split_deterministic_and_exhaustive(spark):
+    """hash_split: every row gets exactly one split; assignment is
+    identical across runs and independent of partitioning; salt rotates
+    it; proportions track the fractions (loose bound — it's a hash)."""
+    from dataqualitykit_spark.operators.sampling import hash_split
+
+    df = spark.createDataFrame(
+        [(i,) for i in range(2000)], "doc_id long"
+    )
+    fr = {"train": 0.5, "val": 0.25, "test": 0.25}
+    a = {r["doc_id"]: r["split"] for r in hash_split(df, fr).collect()}
+    b = {
+        r["doc_id"]: r["split"]
+        for r in hash_split(df.repartition(7), fr).collect()
+    }
+    assert a == b  # partition-independent
+    assert set(a.values()) <= {"train", "val", "test"}
+    from collections import Counter
+
+    c = Counter(a.values())
+    assert abs(c["train"] / 2000 - 0.5) < 0.05, c
+    assert abs(c["val"] / 2000 - 0.25) < 0.05, c
+    salted = {
+        r["doc_id"]: r["split"]
+        for r in hash_split(df, fr, salt="v2").collect()
+    }
+    assert salted != a  # salt rotates assignment
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="> 1"):
+        hash_split(df, {"a": 0.9, "b": 0.2})
