@@ -29,8 +29,38 @@ def streaming_quality_filter(
 ) -> DataFrame:
     """(url, warc_ts, text, ...) stream -> labeled stream (keep,
     drop_reason, scrubbed_text, metric columns). Stateless: safe under any
-    trigger, no watermark needed."""
-    return decide_quality(with_metrics(stream, cfg), cfg)
+    trigger, no watermark needed.
+
+    cfg.blocklist composes for free (round 5): the plan-literal suffix
+    check is a projection, blocked rows take drop_reason='blocked_domain'
+    FIRST and their text is masked BEFORE the Arrow scorer (the batch
+    pipeline's exact semantics — blocked docs are never scored, their
+    metric columns stay NULL)."""
+    if cfg.blocklist:
+        from ..operators.url_filter import blocked_domain_col
+
+        stream = stream.withColumn(
+            "_blocked", blocked_domain_col(F.col("url"), cfg.blocklist)
+        ).withColumn("text", F.when(~F.col("_blocked"), F.col("text")))
+    out = decide_quality(with_metrics(stream, cfg), cfg)
+    if cfg.blocklist:
+        from ..pipeline import _METRIC_COLS
+
+        out = out.withColumn(
+            "drop_reason",
+            F.when(F.col("_blocked"), F.lit("blocked_domain")).otherwise(
+                F.col("drop_reason")
+            ),
+        ).withColumn("keep", F.col("drop_reason").isNull())
+        # metric columns are NULL for blocked rows (same post-hoc masking
+        # the batch pipeline applies to non-survivors — the Arrow scorer
+        # emits typed defaults for masked text, not NULLs)
+        for col, typ in _METRIC_COLS.items():
+            out = out.withColumn(
+                col, F.when(~F.col("_blocked"), F.col(col)).cast(typ)
+            )
+        out = out.drop("_blocked")
+    return out
 
 
 def streaming_quality_metrics(

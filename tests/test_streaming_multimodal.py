@@ -217,3 +217,40 @@ def test_streaming_c4_and_repetition_columns(spark, tmp_path):
     assert rows[1]["keep"] is True
     assert rows[2]["drop_reason"] == "policy_phrase"
     assert rows[3]["keep"] is False  # no terminal punctuation anywhere
+
+
+def test_streaming_quality_filter_blocklist(spark, tmp_path):
+    """cfg.blocklist in the STREAMING filter: blocked rows labeled
+    'blocked_domain' first, never scored (metric columns NULL) — the
+    batch pipeline's exact semantics over readStream."""
+    from dataqualitykit_spark.config import PipelineConfig
+    from dataqualitykit_spark.fixtures import generate_pages
+    from dataqualitykit_spark.fixtures.pages import PAGES_SCHEMA
+    from dataqualitykit_spark.streaming import streaming_quality_filter
+
+    src = str(tmp_path / "src_bl")
+    spark.createDataFrame(generate_pages(200), PAGES_SCHEMA).write.parquet(src)
+
+    cfg = PipelineConfig(blocklist=("hot-domain.example",))
+    stream = spark.readStream.schema(PAGES_SCHEMA).parquet(src)
+    labeled = streaming_quality_filter(stream, cfg)
+    assert labeled.isStreaming
+
+    q = (
+        labeled.select("url", "keep", "drop_reason", "ppl", "scrubbed_text")
+        .writeStream.format("memory")
+        .queryName("labeled_bl_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql("select * from labeled_bl_stream")
+    blocked = out.filter(F.col("drop_reason") == "blocked_domain")
+    n = blocked.count()
+    assert n > 0
+    assert blocked.filter(F.col("url").contains("hot-domain")).count() == n
+    # blocked rows never reach the scorer
+    assert blocked.filter(F.col("ppl").isNotNull()).count() == 0
+    assert blocked.filter(F.col("scrubbed_text").isNotNull()).count() == 0
+    # non-blocked rows still flow through the quality stages
+    assert out.filter(F.col("keep")).count() > 0
