@@ -90,6 +90,16 @@ def run_resumable(
     fail_after=k raises after k buckets (test hook for the kill/resume
     contract).
     """
+    if cfg.token_budget is not None:
+        # the budget is a GLOBAL per-group quota; applied inside each
+        # bucket it would multiply by n_buckets. Run it as a
+        # post-compaction pass instead (sample_to_token_budget over the
+        # final labeled keeps).
+        raise ValueError(
+            "cfg.token_budget is global — clear it for run_resumable and "
+            "apply sampling.sample_to_token_budget to the compacted "
+            "labeled table instead"
+        )
     io = TableIO(spark, out_root, fmt="parquet")
     os.makedirs(out_root, exist_ok=True)
     manifest = Manifest(os.path.join(out_root, "manifest.json"))

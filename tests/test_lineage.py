@@ -268,3 +268,18 @@ def test_cross_bucket_near_dedup_with_paragraph_scrub(spark, tmp_path):
     ), [(r["url"], r["drop_reason"]) for r in out]
     # the scrub really ran: boilerplate is gone from the kept text
     assert boiler not in (keepers[0]["scrubbed_text"] or "")
+
+
+def test_run_resumable_rejects_global_token_budget(spark, tmp_path):
+    """cfg.token_budget is a GLOBAL quota — applied per bucket it would
+    multiply by n_buckets; run_resumable must refuse and point at the
+    post-compaction path."""
+    import pytest
+
+    from dataqualitykit_spark.config import PipelineConfig
+    from dataqualitykit_spark.fixtures import pages_dataframe
+    from dataqualitykit_spark.lineage import run_resumable
+
+    cfg = PipelineConfig(token_budget=1000)
+    with pytest.raises(ValueError, match="global"):
+        run_resumable(spark, pages_dataframe(spark, 20), str(tmp_path / "o"), cfg=cfg)
