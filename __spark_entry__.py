@@ -984,6 +984,39 @@ def q_top_fraction_sample(spark, sf):
     return out.select("doc_id", "lang", F.round("qs", 6).alias("qs"))
 
 
+# robots-meta variants planted by the noindex_flag query — hits in both
+# attribute orders, quoted and unquoted, mixed case; the third plants a
+# robots meta that does NOT say noindex (must stay False)
+_NOINDEX_METAS = (
+    '<meta name="robots" content="noindex, nofollow">',
+    "<meta content='NOINDEX' name=robots>",
+    '<meta name="robots" content="index, follow">',
+)
+
+
+def q_noindex_flag(spark, sf):
+    """Robots noindex exclusion (crawl-pipeline table stakes): wrap each
+    doc in deterministic HTML whose head carries one of three planted
+    robots metas — attribute order, quoting and case all vary — and flag
+    via functions.text.has_noindex. The oracle builds the identical html
+    and runs the SAME two regexes (shared constants; inline (?i) works in
+    Java regex and RE2 alike)."""
+    d = _t(spark, sf, "documents")
+    meta = (
+        F.when(F.col("doc_id") % 4 == 0, F.lit(_NOINDEX_METAS[0]))
+        .when(F.col("doc_id") % 4 == 1, F.lit(_NOINDEX_METAS[1]))
+        .otherwise(F.lit(_NOINDEX_METAS[2]))
+    )
+    html = F.concat(
+        F.lit("<html><head>"),
+        meta,
+        F.lit("</head><body>"),
+        F.coalesce(F.col("text"), F.lit("")),
+        F.lit("</body></html>"),
+    )
+    return d.select("doc_id", T.has_noindex(html).alias("noindex"))
+
+
 def q_hash_split(spark, sf):
     """Deterministic leakage-safe holdout split: md5-derived u in [0,1)
     buckets every doc into train/val/test by cumulative fraction —
@@ -1485,6 +1518,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget_sample": q_token_budget_sample,
         "top_fraction_sample": q_top_fraction_sample,  # NEW r5
         "hash_split": q_hash_split,  # NEW r5
+        "noindex_flag": q_noindex_flag,  # NEW r5
         # -- round 5 conversions: formerly rows-only (err=no_oracle in the
         # -- driver record), now invariant/parity-oracled — zero green
         # -- rounds under the new contract, so they head the window --------
@@ -2144,6 +2178,28 @@ SELECT doc_id AS id,
 FROM h"""
 
 
+def _noindex_sql() -> str:
+    from dataqualitykit_spark.functions.text import ROBOTS_NOINDEX_PATTERNS
+
+    p1, p2 = (_sql_lit(p) for p in ROBOTS_NOINDEX_PATTERNS)
+    m0, m1, m2 = (_sql_lit(m) for m in _NOINDEX_METAS)
+    return f"""
+        WITH h AS (
+          SELECT doc_id,
+                 concat('<html><head>',
+                        CASE WHEN doc_id % 4 = 0 THEN {m0}
+                             WHEN doc_id % 4 = 1 THEN {m1}
+                             ELSE {m2} END,
+                        '</head><body>', coalesce(text, ''),
+                        '</body></html>') AS html
+          FROM documents
+        )
+        SELECT doc_id,
+               (regexp_matches(html, {p1}) OR regexp_matches(html, {p2}))
+                 AS noindex
+        FROM h"""
+
+
 def oracle_sql() -> dict[str, str]:
     m_text = _sql_missing("text")
     sw = _stopword_sql_list()
@@ -2617,6 +2673,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang, round(qs, 6) AS qs
             FROM r WHERE rn <= CEIL(0.25 * n)"""
         .replace("{toks}", _sql_tokens("text")).replace("{sw}", sw),
+        "noindex_flag": _noindex_sql(),
         "hash_split": """
             WITH u AS (
               SELECT doc_id,

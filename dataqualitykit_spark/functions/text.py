@@ -135,6 +135,30 @@ def html_to_text(col: Column) -> Column:
     return out
 
 
+# robots meta exclusion: <meta name="robots" content="... noindex ...">
+# in either attribute order, quotes optional, case-insensitive. Shared
+# verbatim with the DuckDB oracle (inline (?i) works in Java regex AND
+# RE2); X-Robots-Tag response headers are out of scope (no header column
+# in the input contract).
+ROBOTS_NOINDEX_PATTERNS = (
+    r"""(?i)<meta[^>]*name\s*=\s*["']?robots["']?[^>]*content\s*=\s*["'][^"']*noindex""",
+    r"""(?i)<meta[^>]*content\s*=\s*["'][^"']*noindex[^"']*["'][^>]*name\s*=\s*["']?robots""",
+)
+
+
+def has_noindex(html: Column) -> Column:
+    """True when the page's robots meta declares noindex — the standard
+    crawl-pipeline exclusion (the site explicitly opted out of indexing;
+    respecting it is table stakes for a training corpus). Pure regexp
+    projection over the raw html string; NULL-safe False. Apply at
+    extraction time, BEFORE html_to_text drops the markup — the labeled
+    pipeline input (url, text, lang) no longer carries the meta tags."""
+    hit = F.lit(False)
+    for pat in ROBOTS_NOINDEX_PATTERNS:
+        hit = hit | html.rlike(pat)
+    return F.coalesce(hit, F.lit(False))
+
+
 def domain_of(url: Column) -> Column:
     """scheme://HOST/... -> host (lowercased); '' when no authority part."""
     from ..semantics import URL_DOMAIN_REGEX

@@ -266,3 +266,28 @@ def test_html_to_text_parity_and_goldens(spark):
     assert S.html_to_text("&amp;lt; stays literal entity") == "&lt; stays literal entity"
     assert S.html_to_text("<div>a</div>\n\n\n\n<div>b</div>") == "a\n\nb"
     assert S.html_to_text(None) is None
+
+
+def test_has_noindex_goldens(spark):
+    """Robots noindex: both attribute orders, optional quotes, mixed
+    case hit; robots metas WITHOUT noindex, noindex in body text, and
+    NULL html do not."""
+    from pyspark.sql import functions as F
+
+    from dataqualitykit_spark.functions.text import has_noindex
+
+    rows = [
+        (1, '<head><meta name="robots" content="noindex,nofollow"></head>'),
+        (2, "<meta content='noindex' name=robots>"),
+        (3, '<META NAME="ROBOTS" CONTENT="NOINDEX">'),
+        (4, '<meta name="robots" content="index, follow">'),
+        (5, "<p>the word noindex in body text</p>"),
+        (6, None),
+        (7, '<meta name="googlebot" content="noindex">'),  # not robots
+    ]
+    df = spark.createDataFrame(rows, "id long, html string")
+    got = {
+        r["id"]: r["noindex"]
+        for r in df.select("id", has_noindex(F.col("html")).alias("noindex")).collect()
+    }
+    assert got == {1: True, 2: True, 3: True, 4: False, 5: False, 6: False, 7: False}
