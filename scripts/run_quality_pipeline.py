@@ -40,6 +40,16 @@ def main() -> None:
     p.add_argument("--normalize-urls", action="store_true",
                    help="dedup on canonical urls (tracking params, case, "
                         "fragments stripped)")
+    p.add_argument("--blocklist-file", default=None,
+                   help="text file, one bare domain per line; urls whose "
+                        "host equals or is a subdomain of an entry drop "
+                        "FIRST (drop_reason='blocked_domain')")
+    p.add_argument("--token-budget", type=int, default=None,
+                   help="GLOBAL per-group token budget applied as a "
+                        "post-compaction pass over the labeled keeps "
+                        "(writes the <output>/budgeted table)")
+    p.add_argument("--budget-by", default="lang",
+                   help="grouping column for --token-budget")
     p.add_argument("--master", default=None)
     p.add_argument("--no-resume", action="store_true",
                    help="ignore an existing manifest and start over")
@@ -65,17 +75,50 @@ def main() -> None:
 
         shutil.rmtree(args.output, ignore_errors=True)
 
+    blocklist = None
+    if args.blocklist_file:
+        with open(args.blocklist_file) as f:
+            blocklist = tuple(
+                ln.strip().lower() for ln in f if ln.strip()
+            )
     cfg = PipelineConfig(
         salt_partitions=args.salt_partitions,
         dedup_near=args.near_dedup,
         near_dup_threshold=args.near_dup_threshold,
         normalize_urls=args.normalize_urls,
+        blocklist=blocklist,
     )
     manifest = run_resumable(
         spark, source, args.output, n_buckets=args.buckets, cfg=cfg
     )
     total = sum(v["rows"] for v in manifest.state.values())
     print(f"done: {len(manifest.state)} buckets, {total} rows -> {args.output}")
+
+    # GLOBAL token budget: a post-compaction pass over the labeled keeps
+    # (run_resumable refuses a per-bucket budget by design — inside each
+    # bucket the quota would multiply by n_buckets)
+    if args.token_budget is not None:
+        from pyspark.sql import functions as F
+
+        from dataqualitykit_spark.operators.sampling import (
+            sample_to_token_budget,
+        )
+
+        labeled = spark.read.parquet(f"{args.output}/labeled")
+        kept = labeled.filter(F.col("keep"))
+        budgeted = sample_to_token_budget(
+            kept,
+            args.token_budget,
+            text_col="scrubbed_text",
+            id_col="url",
+            by=args.budget_by,
+            token_expr=F.col("n_words"),
+        )
+        budgeted.write.mode("overwrite").parquet(f"{args.output}/budgeted")
+        print(
+            f"budgeted: {args.token_budget} tokens per "
+            f"{args.budget_by} group -> {args.output}/budgeted"
+        )
     spark.stop()
 
 
