@@ -984,6 +984,45 @@ def q_top_fraction_sample(spark, sf):
     return out.select("doc_id", "lang", F.round("qs", 6).alias("qs"))
 
 
+def q_gopher_line_rules(spark, sf):
+    """Gopher line-shape rules (Rae et al. 2021 A1.1.1 — the OTHER half
+    of the Gopher family next to gopher_repetition): bullet-line /
+    ellipsis-line / alpha-word fractions with the paper's thresholds.
+    Deterministic plants so every rule demonstrably fires: every 5th doc
+    becomes an all-bullet list, doc_id%5==1 gains ellipsis teaser lines,
+    doc_id%5==2 becomes symbol soup; the oracle builds identical text
+    and mirrors the line/word algebra."""
+    from dataqualitykit_spark.operators import repetition as R
+
+    d = _t(spark, sf, "documents")
+    bullets = F.concat_ws(
+        "\n",
+        *[F.concat(F.lit("• item "), (F.col("doc_id") + i).cast("string")) for i in range(4)],
+    )
+    planted = (
+        F.when(F.col("doc_id") % 5 == 0, bullets)
+        .when(
+            F.col("doc_id") % 5 == 1,
+            F.concat(
+                F.coalesce(F.col("text"), F.lit("")),
+                F.lit("\nRead more...\nSee more...\nStory continues…"),
+            ),
+        )
+        .when(F.col("doc_id") % 5 == 2, F.lit("12 34 %% ## 56 @@ 78 :: 90"))
+        .otherwise(F.col("text"))
+    )
+    return R.gopher_line_metrics(
+        d.select("doc_id", planted.alias("text")), "text", "doc_id"
+    ).select(
+        F.col("id").alias("doc_id"),
+        "n_lines",
+        "bullet_line_frac",
+        "ellipsis_line_frac",
+        "alpha_word_frac",
+        "gopher_line_ok",
+    )
+
+
 # robots-meta variants planted by the noindex_flag query — hits in both
 # attribute orders, quoted and unquoted, mixed case; the third plants a
 # robots meta that does NOT say noindex (must stay False)
@@ -1519,6 +1558,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_fraction_sample": q_top_fraction_sample,  # NEW r5
         "hash_split": q_hash_split,  # NEW r5
         "noindex_flag": q_noindex_flag,  # NEW r5
+        "gopher_line_rules": q_gopher_line_rules,  # NEW r5
         # -- round 5 conversions: formerly rows-only (err=no_oracle in the
         # -- driver record), now invariant/parity-oracled — zero green
         # -- rounds under the new contract, so they head the window --------
@@ -2178,6 +2218,73 @@ SELECT doc_id AS id,
 FROM h"""
 
 
+def _gopher_line_sql() -> str:
+    from dataqualitykit_spark.operators import repetition as R
+
+    bullets = " OR ".join(
+        f"starts_with(ltrim(l), {_sql_lit(p)})" for p in R.BULLET_PREFIXES
+    )
+    ellips = " OR ".join(
+        f"ends_with(trim(l, e' \\t\\r\\x0B\\f'), {_sql_lit(s)})"
+        for s in R.ELLIPSIS_SUFFIXES
+    )
+    bullet_items = ", ".join(
+        f"concat('• item ', CAST(doc_id + {i} AS VARCHAR))" for i in range(4)
+    )
+    return f"""
+        WITH p AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 5 = 0
+                        THEN concat_ws(chr(10), {bullet_items})
+                      WHEN doc_id % 5 = 1
+                        THEN concat(coalesce(text, ''),
+                             chr(10), 'Read more...',
+                             chr(10), 'See more...',
+                             chr(10), 'Story continues…')
+                      WHEN doc_id % 5 = 2 THEN '12 34 %% ## 56 @@ 78 :: 90'
+                      ELSE text END AS text
+          FROM documents
+        ), m AS (
+          SELECT doc_id, text,
+                 list_filter(string_split(text, chr(10)),
+                             l -> trim(l, e' \\t\\r\\x0B\\f') <> '') AS lines,
+                 {_sql_tokens('text')} AS toks
+          FROM p
+        ), f AS (
+          SELECT doc_id, text,
+                 len(lines) AS n_lines,
+                 len(list_filter(lines, l -> {bullets})) AS n_bullet,
+                 len(list_filter(lines, l -> {ellips})) AS n_ellip,
+                 len(toks) AS n_words,
+                 len(list_filter(toks, w -> regexp_matches(w, '[A-Za-z]')))
+                   AS n_alpha
+          FROM m
+        )
+        SELECT doc_id,
+               CAST(coalesce(n_lines, 0) AS INT) AS n_lines,
+               round(CASE WHEN coalesce(n_lines, 0) > 0
+                          THEN n_bullet / CAST(n_lines AS DOUBLE)
+                          ELSE 0.0 END, 6) AS bullet_line_frac,
+               round(CASE WHEN coalesce(n_lines, 0) > 0
+                          THEN n_ellip / CAST(n_lines AS DOUBLE)
+                          ELSE 0.0 END, 6) AS ellipsis_line_frac,
+               round(CASE WHEN coalesce(n_words, 0) > 0
+                          THEN n_alpha / CAST(n_words AS DOUBLE)
+                          ELSE 0.0 END, 6) AS alpha_word_frac,
+               coalesce(text IS NOT NULL
+                 AND (CASE WHEN coalesce(n_lines, 0) > 0
+                           THEN n_bullet / CAST(n_lines AS DOUBLE)
+                           ELSE 0.0 END) <= {R.MAX_BULLET_LINE_FRAC}
+                 AND (CASE WHEN coalesce(n_lines, 0) > 0
+                           THEN n_ellip / CAST(n_lines AS DOUBLE)
+                           ELSE 0.0 END) <= {R.MAX_ELLIPSIS_LINE_FRAC}
+                 AND (CASE WHEN coalesce(n_words, 0) > 0
+                           THEN n_alpha / CAST(n_words AS DOUBLE)
+                           ELSE 0.0 END) >= {R.MIN_ALPHA_WORD_FRAC},
+                 FALSE) AS gopher_line_ok
+        FROM f"""
+
+
 def _noindex_sql() -> str:
     from dataqualitykit_spark.functions.text import ROBOTS_NOINDEX_PATTERNS
 
@@ -2674,6 +2781,7 @@ def oracle_sql() -> dict[str, str]:
             FROM r WHERE rn <= CEIL(0.25 * n)"""
         .replace("{toks}", _sql_tokens("text")).replace("{sw}", sw),
         "noindex_flag": _noindex_sql(),
+        "gopher_line_rules": _gopher_line_sql(),
         "hash_split": """
             WITH u AS (
               SELECT doc_id,

@@ -124,3 +124,87 @@ def repetition_metrics(
             ).alias("top_2gram_char_frac"),
         )
     )
+
+
+# Gopher line-shape rule constants (Rae et al. 2021, A1.1.1) — shared
+# verbatim with the DuckDB oracle SQL so the two cannot drift
+BULLET_PREFIXES = ("•", "‣", "·", "- ", "* ")
+ELLIPSIS_SUFFIXES = ("...", "…")
+MAX_BULLET_LINE_FRAC = 0.9
+MAX_ELLIPSIS_LINE_FRAC = 0.3
+MIN_ALPHA_WORD_FRAC = 0.8
+
+
+def gopher_line_metrics(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_bullet_line_frac: float = MAX_BULLET_LINE_FRAC,
+    max_ellipsis_line_frac: float = MAX_ELLIPSIS_LINE_FRAC,
+    min_alpha_word_frac: float = MIN_ALPHA_WORD_FRAC,
+) -> DataFrame:
+    """The OTHER Gopher quality rules (Rae et al. 2021, A1.1.1) — line
+    shape, completing the family repetition_metrics started:
+      - bullet_line_frac: non-blank lines starting with a bullet marker
+        (paper: drop when > 90% — a page that is ALL list is nav/spam)
+      - ellipsis_line_frac: non-blank lines ending with an ellipsis
+        (paper: drop when > 30% — truncated teaser/preview pages)
+      - alpha_word_frac: words containing >= 1 [A-Za-z] character
+        (paper: drop when < 80% — symbol/number soup)
+    Returns (id, n_lines, bullet_line_frac, ellipsis_line_frac,
+    alpha_word_frac, gopher_line_ok). Zero-shuffle column algebra, NULL
+    text -> zero metrics with gopher_line_ok=false (nothing to keep).
+
+    Fractions are computed over NON-BLANK lines (space/tab/CR-trimmed,
+    the C4 trim discipline) and whitespace words; all thresholds are
+    parameters with the paper's values as defaults."""
+    txt = F.col(text_col)
+    trim_chars = F.lit(" \t\r\x0b\f")
+    lines = F.filter(
+        F.split(txt, r"\n"),
+        lambda ln: F.btrim(ln, trim_chars) != F.lit(""),
+    )
+
+    def _starts_bullet(ln):
+        t = F.ltrim(ln)
+        hit = F.lit(False)
+        for p in BULLET_PREFIXES:
+            hit = hit | t.startswith(p)
+        return hit
+
+    def _ends_ellipsis(ln):
+        t = F.btrim(ln, trim_chars)
+        hit = F.lit(False)
+        for s in ELLIPSIS_SUFFIXES:
+            hit = hit | t.endswith(s)
+        return hit
+
+    words = T.words(txt)
+    n_lines = F.size(lines)
+    n_words = F.size(words)
+    bullet = F.size(F.filter(lines, _starts_bullet))
+    ellip = F.size(F.filter(lines, _ends_ellipsis))
+    alpha = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+    bullet_frac = F.when(
+        n_lines > 0, bullet / n_lines.cast("double")
+    ).otherwise(F.lit(0.0))
+    ellip_frac = F.when(
+        n_lines > 0, ellip / n_lines.cast("double")
+    ).otherwise(F.lit(0.0))
+    alpha_frac = F.when(
+        n_words > 0, alpha / n_words.cast("double")
+    ).otherwise(F.lit(0.0))
+    ok = (
+        txt.isNotNull()
+        & (bullet_frac <= max_bullet_line_frac)
+        & (ellip_frac <= max_ellipsis_line_frac)
+        & (alpha_frac >= min_alpha_word_frac)
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.coalesce(n_lines, F.lit(0)).cast("int").alias("n_lines"),
+        F.round(F.coalesce(bullet_frac, F.lit(0.0)), 6).alias("bullet_line_frac"),
+        F.round(F.coalesce(ellip_frac, F.lit(0.0)), 6).alias("ellipsis_line_frac"),
+        F.round(F.coalesce(alpha_frac, F.lit(0.0)), 6).alias("alpha_word_frac"),
+        F.coalesce(ok, F.lit(False)).alias("gopher_line_ok"),
+    )

@@ -469,3 +469,43 @@ def test_hash_split_deterministic_and_exhaustive(spark):
 
     with _pt.raises(ValueError, match="> 1"):
         hash_split(df, {"a": 0.9, "b": 0.2})
+
+
+def test_gopher_line_metrics_goldens(spark):
+    """Gopher line-shape rules (Rae 2021 A1.1.1): bullet-heavy lists,
+    ellipsis teaser pages and symbol soup all fail; ordinary prose
+    passes; NULL and empty text fail closed."""
+    from dataqualitykit_spark.operators.repetition import gopher_line_metrics
+
+    df = spark.createDataFrame(
+        [
+            # 3/4 lines bulleted (0.75 <= 0.9) AND the bullet markers
+            # only cost 3/18 words their alpha (0.833 >= 0.8)
+            (1, "• one extra thing here\n• two more things here\n- three little things\nprose line with words"),
+            (2, "Read the story...\nMore below…\nA normal line here"),
+            (3, "%% ## 12 34 @@ ::"),
+            (4, "Two plain sentences of text.\nAnother ordinary line."),
+            (5, None),
+            (6, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["id"]: r.asDict() for r in gopher_line_metrics(df).collect()}
+    r1 = out[1]  # 3 of 4 lines bulleted -> 0.75 <= 0.9 passes bullets
+    assert r1["bullet_line_frac"] == 0.75
+    assert r1["gopher_line_ok"] is True
+    # all-bullet doc fails
+    all_b = spark.createDataFrame(
+        [(9, "• a\n• b\n• c")], "doc_id long, text string"
+    )
+    r9 = gopher_line_metrics(all_b).collect()[0]
+    assert r9["bullet_line_frac"] == 1.0 and r9["gopher_line_ok"] is False
+    r2 = out[2]  # 2 of 3 lines end with ellipsis -> 0.667 > 0.3 fails
+    assert r2["ellipsis_line_frac"] == round(2 / 3, 6)
+    assert r2["gopher_line_ok"] is False
+    r3 = out[3]  # zero alpha words
+    assert r3["alpha_word_frac"] == 0.0 and r3["gopher_line_ok"] is False
+    r4 = out[4]
+    assert r4["alpha_word_frac"] == 1.0 and r4["gopher_line_ok"] is True
+    assert out[5]["gopher_line_ok"] is False and out[5]["n_lines"] == 0
+    assert out[6]["gopher_line_ok"] is False
