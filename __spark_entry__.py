@@ -984,6 +984,67 @@ def q_top_fraction_sample(spark, sf):
     return out.select("doc_id", "lang", F.round("qs", 6).alias("qs"))
 
 
+# planted docs for the pipeline_line_shape query — each passes every
+# EARLIER pipeline gate (length, words, mean word length, symbol ratio,
+# distinct lines, repetition) so 'line_shape' is provably the first
+# failing rule; doc_id is baked in so content dedup cannot collapse them
+_LS_BULLET_LINES = (
+    "• the quick brown fox jumps over the lazy dog here",
+    "• a second bullet line with plenty of common words",
+    "• a third bullet line that keeps the list going on",
+)
+_LS_ELLIPSIS_LINES = (
+    "the first teaser line keeps you reading for more...",
+    "a second teaser line with the same trailing promise...",
+    "yet another line that simply never quite finishes…",
+)
+_LS_SOUP = (
+    "12 345 67 890 23 456 78 901 34 567 89 012 45 678 90 123 56 789 01 234 "
+    * 2
+)
+
+
+def q_pipeline_line_shape(spark, sf):
+    """Flagship pipeline with the Gopher line-shape gates ON (paper
+    thresholds 0.9/0.3/0.8): every 6th doc becomes an all-bullet list,
+    doc_id%6==1 an ellipsis teaser page, doc_id%6==2 numeric soup — each
+    planted to pass all earlier gates so drop_reason='line_shape' is the
+    demonstrable first failure; the oracle builds identical text and
+    mirrors the fractions in the decide CTE. 3-way parity like
+    pipeline_c4 (python doc_reasons / Spark fused-scorer flags / SQL)."""
+    from dataqualitykit_spark.config import PipelineConfig
+    from dataqualitykit_spark.operators import repetition as R
+
+    cfg = PipelineConfig(
+        max_bullet_line_frac=R.MAX_BULLET_LINE_FRAC,
+        max_ellipsis_line_frac=R.MAX_ELLIPSIS_LINE_FRAC,
+        min_alpha_word_frac=R.MIN_ALPHA_WORD_FRAC,
+    )
+    docs = _t(spark, sf, "documents")
+    did = F.col("doc_id").cast("string")
+    bullet_doc = F.concat(
+        F.lit("\n".join(_LS_BULLET_LINES) + "\n• unique closing item "), did
+    )
+    ellipsis_doc = F.concat(
+        F.lit("\n".join(_LS_ELLIPSIS_LINES) + "\nthe unique closing teaser "),
+        did,
+        F.lit(" still goes on..."),
+    )
+    soup_doc = F.concat(F.lit(_LS_SOUP), did)
+    planted = (
+        F.when(F.col("doc_id") % 6 == 0, bullet_doc)
+        .when(F.col("doc_id") % 6 == 1, ellipsis_doc)
+        .when(F.col("doc_id") % 6 == 2, soup_doc)
+        .otherwise(F.col("text"))
+    )
+    pages = docs.select(
+        F.concat(F.lit("doc://"), F.col("source"), F.lit("/"), F.col("doc_id")).alias("url"),
+        planted.alias("text"),
+        "lang",
+    )
+    return run_pipeline(pages, cfg).select("url", "keep", "drop_reason")
+
+
 def q_gopher_line_rules(spark, sf):
     """Gopher line-shape rules (Rae et al. 2021 A1.1.1 — the OTHER half
     of the Gopher family next to gopher_repetition): bullet-line /
@@ -1546,6 +1607,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_near_dedup": q_pipeline_near_dedup,
         "pipeline_blocklist": q_pipeline_blocklist,  # NEW r5
         "pipeline_token_budget": q_pipeline_token_budget,  # NEW r5
+        "pipeline_line_shape": q_pipeline_line_shape,  # NEW r5
         # -- one green round (r04) — need a second ---------------------------
         "pipeline_paragraph_scrub": q_pipeline_paragraph_scrub,
         "pipeline_c4": q_pipeline_c4,
@@ -1806,6 +1868,7 @@ def _pipeline_sql(
     url_expr: str | None = None,
     blocklist: tuple[str, ...] | None = None,
     token_budget: int | None = None,
+    line_shape: tuple[float, float, float] | None = None,
 ) -> str:
     """Full-pipeline oracle: content dedup -> [near-dup dedup via
     md5-MinHash-LSH pairs + recursive-CTE connected components] -> scrub
@@ -1982,6 +2045,32 @@ def _pipeline_sql(
                    / CAST(len({g5_list}) AS DOUBLE)
               ELSE 0.0 END AS d5g"""
         rep_when = f"WHEN dlcf > {mx_dlcf} OR d5g > {mx_d5g} THEN 'repetition'\n           "
+    line_when = ""
+    if line_shape is not None:
+        from dataqualitykit_spark.operators import repetition as _R
+
+        mx_bullet, mx_ellip, mn_alpha = line_shape
+        bullets = " OR ".join(
+            f"starts_with(ltrim(l), {_sql_lit(p)})" for p in _R.BULLET_PREFIXES
+        )
+        ellips = " OR ".join(
+            f"ends_with(trim(l, e' \\t\\r\\x0B\\f'), {_sql_lit(sfx)})"
+            for sfx in _R.ELLIPSIS_SUFFIXES
+        )
+        extra_met2 += f""",
+         len(list_filter(nlines, l -> {bullets})) AS ls_bullet,
+         len(list_filter(nlines, l -> {ellips})) AS ls_ellip,
+         len(list_filter(toks, w -> regexp_matches(w, '[A-Za-z]')))
+           AS ls_alpha"""
+        line_when = (
+            f"WHEN (n_lines > 0 AND ls_bullet / CAST(n_lines AS DOUBLE)"
+            f" > {mx_bullet})\n"
+            f"                OR (n_lines > 0 AND ls_ellip /"
+            f" CAST(n_lines AS DOUBLE) > {mx_ellip})\n"
+            f"                OR ((CASE WHEN nw > 0 THEN ls_alpha /"
+            f" CAST(nw AS DOUBLE) ELSE 0.0 END) < {mn_alpha})"
+            f" THEN 'line_shape'\n           "
+        )
     if c4_lines:
         from dataqualitykit_spark.operators import c4_filter as C4
 
@@ -2059,7 +2148,7 @@ WITH RECURSIVE {base_ctes}, ded AS (
            WHEN n_lines >= {C.min_lines_for_ratio}
                 AND n_distinct_lines / CAST(n_lines AS DOUBLE)
                     < {C.min_distinct_line_ratio} THEN 'repeated_lines'
-           {rep_when}WHEN bp_hits >= {C.max_boilerplate_hits} THEN 'boilerplate'
+           {rep_when}{line_when}WHEN bp_hits >= {C.max_boilerplate_hits} THEN 'boilerplate'
            {policy_when}WHEN nw > 0 AND (sw_hits < {C.min_stopword_hits}
                 OR sw_hits / CAST(greatest(nw, 1) AS DOUBLE)
                    < {C.min_stopword_density}) THEN 'stopword_density'
@@ -2866,6 +2955,29 @@ def oracle_sql() -> dict[str, str]:
         blocklist=_BL_DOMAINS,
     )
     d["pipeline_token_budget"] = _pipeline_sql(token_budget=_TB_BUDGET)
+    from dataqualitykit_spark.operators import repetition as _Rr
+
+    _ls_bullet_sql = _sql_lit("\n".join(_LS_BULLET_LINES) + "\n• unique closing item ")
+    _ls_ellipsis_sql = _sql_lit(
+        "\n".join(_LS_ELLIPSIS_LINES) + "\nthe unique closing teaser "
+    )
+    d["pipeline_line_shape"] = _pipeline_sql(
+        text_expr=(
+            "CASE WHEN doc_id % 6 = 0 THEN "
+            f"concat({_ls_bullet_sql}, CAST(doc_id AS VARCHAR)) "
+            "WHEN doc_id % 6 = 1 THEN "
+            f"concat({_ls_ellipsis_sql}, CAST(doc_id AS VARCHAR), "
+            f"{_sql_lit(' still goes on...')}) "
+            "WHEN doc_id % 6 = 2 THEN "
+            f"concat({_sql_lit(_LS_SOUP)}, CAST(doc_id AS VARCHAR)) "
+            "ELSE text END"
+        ),
+        line_shape=(
+            _Rr.MAX_BULLET_LINE_FRAC,
+            _Rr.MAX_ELLIPSIS_LINE_FRAC,
+            _Rr.MIN_ALPHA_WORD_FRAC,
+        ),
+    )
     d["pipeline_paragraph_scrub"] = _pipeline_sql(
         para_scrub=True,
         text_expr=(

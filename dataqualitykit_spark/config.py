@@ -98,6 +98,16 @@ class PipelineConfig:
     max_dup_line_char_frac: float | None = None
     max_dup_5gram_frac: float | None = None
 
+    # Gopher line-shape gates (Rae et al. 2021 A1.1.1) over the scrubbed
+    # text: drop_reason='line_shape' when any enabled rule fails
+    # (bullet-heavy lists, ellipsis teaser pages, symbol soup). None =
+    # gate off; the paper's values are 0.9 / 0.3 / 0.8 (constants in
+    # operators/repetition.py). Computed inside the fused Arrow scorer
+    # when on — same engine policy as the repetition gates.
+    max_bullet_line_frac: float | None = None
+    max_ellipsis_line_frac: float | None = None
+    min_alpha_word_frac: float | None = None
+
     # domain blocklist — the FIRST gate of a crawl pipeline (known-bad
     # hosts are dropped before paying for dedup windows or model scoring;
     # drop_reason='blocked_domain'). Entries are bare lowercase domains;
@@ -184,6 +194,7 @@ DROP_REASON_ORDER: tuple[str, ...] = (
     "symbol_ratio",
     "repeated_lines",
     "repetition",  # opt-in Gopher gate (max_dup_line_char_frac/5gram)
+    "line_shape",  # opt-in Gopher line-shape gate (bullet/ellipsis/alpha)
     "boilerplate",
     "policy_phrase",  # opt-in C4 doc gate (cfg.c4_lines)
     "stopword_density",

@@ -135,6 +135,63 @@ MAX_ELLIPSIS_LINE_FRAC = 0.3
 MIN_ALPHA_WORD_FRAC = 0.8
 
 
+_LINE_TRIM = " \t\r\x0b\f"
+
+
+def _nonblank_lines(txt):
+    return F.filter(
+        F.split(txt, r"\n"),
+        lambda ln: F.btrim(ln, F.lit(_LINE_TRIM)) != F.lit(""),
+    )
+
+
+def _starts_bullet_col(ln):
+    t = F.ltrim(ln)
+    hit = F.lit(False)
+    for p in BULLET_PREFIXES:
+        hit = hit | t.startswith(p)
+    return hit
+
+
+def _ends_ellipsis_col(ln):
+    t = F.btrim(ln, F.lit(_LINE_TRIM))
+    hit = F.lit(False)
+    for s in ELLIPSIS_SUFFIXES:
+        hit = hit | t.endswith(s)
+    return hit
+
+
+def bullet_line_frac_col(txt):
+    """Fraction of non-blank lines starting with a bullet marker (0.0 for
+    line-less text). Column twin of semantics.line_shape_fracs[0]."""
+    lines = _nonblank_lines(txt)
+    n = F.size(lines)
+    return F.when(
+        n > 0, F.size(F.filter(lines, _starts_bullet_col)) / n.cast("double")
+    ).otherwise(F.lit(0.0))
+
+
+def ellipsis_line_frac_col(txt):
+    """Fraction of non-blank lines ending with an ellipsis. Column twin
+    of semantics.line_shape_fracs[1]."""
+    lines = _nonblank_lines(txt)
+    n = F.size(lines)
+    return F.when(
+        n > 0, F.size(F.filter(lines, _ends_ellipsis_col)) / n.cast("double")
+    ).otherwise(F.lit(0.0))
+
+
+def alpha_word_frac_col(txt):
+    """Fraction of whitespace words containing >= 1 [A-Za-z] character.
+    Column twin of semantics.line_shape_fracs[2]."""
+    words = T.words(txt)
+    n = F.size(words)
+    return F.when(
+        n > 0,
+        F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]"))) / n.cast("double"),
+    ).otherwise(F.lit(0.0))
+
+
 def gopher_line_metrics(
     df: DataFrame,
     text_col: str = "text",
@@ -159,41 +216,10 @@ def gopher_line_metrics(
     the C4 trim discipline) and whitespace words; all thresholds are
     parameters with the paper's values as defaults."""
     txt = F.col(text_col)
-    trim_chars = F.lit(" \t\r\x0b\f")
-    lines = F.filter(
-        F.split(txt, r"\n"),
-        lambda ln: F.btrim(ln, trim_chars) != F.lit(""),
-    )
-
-    def _starts_bullet(ln):
-        t = F.ltrim(ln)
-        hit = F.lit(False)
-        for p in BULLET_PREFIXES:
-            hit = hit | t.startswith(p)
-        return hit
-
-    def _ends_ellipsis(ln):
-        t = F.btrim(ln, trim_chars)
-        hit = F.lit(False)
-        for s in ELLIPSIS_SUFFIXES:
-            hit = hit | t.endswith(s)
-        return hit
-
-    words = T.words(txt)
-    n_lines = F.size(lines)
-    n_words = F.size(words)
-    bullet = F.size(F.filter(lines, _starts_bullet))
-    ellip = F.size(F.filter(lines, _ends_ellipsis))
-    alpha = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
-    bullet_frac = F.when(
-        n_lines > 0, bullet / n_lines.cast("double")
-    ).otherwise(F.lit(0.0))
-    ellip_frac = F.when(
-        n_lines > 0, ellip / n_lines.cast("double")
-    ).otherwise(F.lit(0.0))
-    alpha_frac = F.when(
-        n_words > 0, alpha / n_words.cast("double")
-    ).otherwise(F.lit(0.0))
+    n_lines = F.size(_nonblank_lines(txt))
+    bullet_frac = bullet_line_frac_col(txt)
+    ellip_frac = ellipsis_line_frac_col(txt)
+    alpha_frac = alpha_word_frac_col(txt)
     ok = (
         txt.isNotNull()
         & (bullet_frac <= max_bullet_line_frac)

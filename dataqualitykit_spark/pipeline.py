@@ -72,6 +72,31 @@ def _repetition_flag(cfg: PipelineConfig) -> list[tuple[str, Column]]:
     return [("repetition", ~F.col("_missing") & cond)]
 
 
+def _line_shape_on(cfg: PipelineConfig) -> bool:
+    return (
+        cfg.max_bullet_line_frac is not None
+        or cfg.max_ellipsis_line_frac is not None
+        or cfg.min_alpha_word_frac is not None
+    )
+
+
+def _line_shape_flag(cfg: PipelineConfig) -> list[tuple[str, Column]]:
+    """Opt-in Gopher line-shape gate (Rae 2021 A1.1.1) — reads the
+    bullet/ellipsis/alpha fraction columns with_metrics guarantees when
+    any threshold is set (fused into the Arrow scorer on the 'udf' path,
+    same engine policy as the repetition gates)."""
+    if not _line_shape_on(cfg):
+        return []
+    cond = F.lit(False)
+    if cfg.max_bullet_line_frac is not None:
+        cond = cond | (F.col("bullet_line_frac") > cfg.max_bullet_line_frac)
+    if cfg.max_ellipsis_line_frac is not None:
+        cond = cond | (F.col("ellipsis_line_frac") > cfg.max_ellipsis_line_frac)
+    if cfg.min_alpha_word_frac is not None:
+        cond = cond | (F.col("alpha_word_frac") < cfg.min_alpha_word_frac)
+    return [("line_shape", ~F.col("_missing") & cond)]
+
+
 def _policy_flag(cfg: PipelineConfig) -> list[tuple[str, Column]]:
     """Opt-in C4 doc-level ban gate (lorem ipsum / '{') on scrubbed text."""
     if not cfg.c4_lines:
@@ -110,6 +135,7 @@ def _quality_flags(cfg: PipelineConfig) -> list[tuple[str, Column]]:
             & (c("distinct_line_ratio") < cfg.min_distinct_line_ratio),
         ),
         *_repetition_flag(cfg),
+        *_line_shape_flag(cfg),
         (
             "boilerplate",
             ~c("_missing") & (c("boilerplate_hits") >= cfg.max_boilerplate_hits),
@@ -154,8 +180,12 @@ def with_metrics(df: DataFrame, cfg: PipelineConfig = DEFAULT_CONFIG) -> DataFra
             cfg.max_dup_line_char_frac is not None
             or cfg.max_dup_5gram_frac is not None
         )
+        line_on = _line_shape_on(cfg)
         fused = fused_scrub_score_udf(
-            cfg.lang_model_loader, cfg.ppl_model_loader, repetition=rep_on
+            cfg.lang_model_loader,
+            cfg.ppl_model_loader,
+            repetition=rep_on,
+            line_shape=line_on,
         )
         m = F.col("_score")
         rep_cols = (
@@ -166,6 +196,12 @@ def with_metrics(df: DataFrame, cfg: PipelineConfig = DEFAULT_CONFIG) -> DataFra
             if rep_on
             else []
         )
+        if line_on:
+            rep_cols += [
+                m["bullet_line_frac"].alias("bullet_line_frac"),
+                m["ellipsis_line_frac"].alias("ellipsis_line_frac"),
+                m["alpha_word_frac"].alias("alpha_word_frac"),
+            ]
         df = df.withColumn("_score", fused(F.col("text")))
         return df.select(
             "*",
@@ -205,6 +241,29 @@ def with_metrics(df: DataFrame, cfg: PipelineConfig = DEFAULT_CONFIG) -> DataFra
         ).withColumn(
             "dup_5gram_frac",
             F.when(s.isNull(), F.lit(0.0)).otherwise(_rep.dup_5gram_frac_col(s)),
+        )
+    if _line_shape_on(cfg):
+        from .operators import repetition as _rep
+
+        df = (
+            df.withColumn(
+                "bullet_line_frac",
+                F.when(s.isNull(), F.lit(0.0)).otherwise(
+                    _rep.bullet_line_frac_col(s)
+                ),
+            )
+            .withColumn(
+                "ellipsis_line_frac",
+                F.when(s.isNull(), F.lit(0.0)).otherwise(
+                    _rep.ellipsis_line_frac_col(s)
+                ),
+            )
+            .withColumn(
+                "alpha_word_frac",
+                F.when(s.isNull(), F.lit(0.0)).otherwise(
+                    _rep.alpha_word_frac_col(s)
+                ),
+            )
         )
     # model seam: real fastText/KenLM loaders (cfg) replace the embedded
     # stand-ins' lang/ppl outputs; everything else is unchanged

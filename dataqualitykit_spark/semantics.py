@@ -304,6 +304,41 @@ def dup_5gram_frac(text: str) -> float:
     return (len(grams) - len(set(grams))) / len(grams)
 
 
+def line_shape_fracs(text: str) -> tuple[float, float, float]:
+    """Mirror of operators/repetition.gopher_line_metrics' three
+    fractions (Rae et al. 2021 A1.1.1), over one text: (bullet_line_frac,
+    ellipsis_line_frac, alpha_word_frac). Non-blank lines by WS_CHARS
+    strip (identical to the operator's trim set after the newline split);
+    bullets test the space-lstripped line; words are the shared
+    whitespace tokenizer; alpha = contains >= 1 ASCII letter."""
+    from .operators.repetition import BULLET_PREFIXES, ELLIPSIS_SUFFIXES
+
+    lines = [ln for ln in text.split("\n") if ln.strip(WS_CHARS) != ""]
+    n_lines = len(lines)
+    bullet = sum(
+        1 for ln in lines if ln.lstrip(" ").startswith(BULLET_PREFIXES)
+    )
+    ellip = sum(
+        1
+        for ln in lines
+        if ln.strip(" \t\r\x0b\f").endswith(ELLIPSIS_SUFFIXES)
+    )
+    words = tokenize(text)
+    n_words = len(words)
+    # EXACT [A-Za-z] (the Spark rlike class): per-char ASCII range test —
+    # str.lower() tricks break on multi-char case folds (e.g. 'İ')
+    alpha = sum(
+        1
+        for w in words
+        if any("a" <= c <= "z" or "A" <= c <= "Z" for c in w)
+    )
+    return (
+        bullet / n_lines if n_lines else 0.0,
+        ellip / n_lines if n_lines else 0.0,
+        alpha / n_words if n_words else 0.0,
+    )
+
+
 # C4 gate mirrors (constants live in operators/c4_filter — imported here
 # lazily to keep semantics dependency-light at import time)
 def c4_keep_line(ln: str, min_words_per_line: int) -> bool:
@@ -636,6 +671,24 @@ def doc_reasons(text: str | None, cfg: PipelineConfig) -> tuple[list[str], str]:
         and dup_5gram_frac(scrubbed) > cfg.max_dup_5gram_frac
     ):
         reasons.append("repetition")
+    if (
+        cfg.max_bullet_line_frac is not None
+        or cfg.max_ellipsis_line_frac is not None
+        or cfg.min_alpha_word_frac is not None
+    ):
+        bf, ef, af = line_shape_fracs(scrubbed)
+        if (
+            (cfg.max_bullet_line_frac is not None and bf > cfg.max_bullet_line_frac)
+            or (
+                cfg.max_ellipsis_line_frac is not None
+                and ef > cfg.max_ellipsis_line_frac
+            )
+            or (
+                cfg.min_alpha_word_frac is not None
+                and af < cfg.min_alpha_word_frac
+            )
+        ):
+            reasons.append("line_shape")
     if boilerplate_hits(scrubbed) >= cfg.max_boilerplate_hits:
         reasons.append("boilerplate")
     if cfg.c4_lines and c4_doc_banned(scrubbed):

@@ -89,6 +89,42 @@ def _score_batch_rep(texts: pd.Series) -> pd.DataFrame:
     return pd.DataFrame(scored, columns=_COLS_REP)
 
 
+# Gopher line-shape gate fields (round 5) — same opt-in pattern: extra
+# schema fields only when the gate is on, computed from the semantics
+# mirror inside the fused pass (the per-line/per-word JVM HOF forms would
+# pay the same interpreted-expression tax the repetition gates measured)
+_LINE_FIELDS = [
+    ("bullet_line_frac", DoubleType()),
+    ("ellipsis_line_frac", DoubleType()),
+    ("alpha_word_frac", DoubleType()),
+]
+
+
+def _extras_spec(repetition: bool, line_shape: bool):
+    """(extra fields, per-text extras fn, null extras tuple) for the
+    enabled opt-in gate families — the fused schema and batch fn compose
+    from this so every gate combination shares one code path."""
+    from ..semantics import dup_5gram_frac, dup_line_char_frac, line_shape_fracs
+
+    fields: list = []
+    fns = []
+    if repetition:
+        fields += _REP_FIELDS[len(_FIELDS):]
+        fns.append(lambda t: (dup_line_char_frac(t), dup_5gram_frac(t)))
+    if line_shape:
+        fields += _LINE_FIELDS
+        fns.append(line_shape_fracs)
+    null_extras = tuple(0.0 for _ in fields)
+
+    def extras(t):
+        out: tuple = ()
+        for fn in fns:
+            out += tuple(fn(t))
+        return out
+
+    return fields, extras, null_extras
+
+
 # one model instance per python worker PROCESS (fastText/KenLM load once,
 # score millions of rows). Keyed by a CONTENT DIGEST of the pickled
 # loader, computed ONCE on the driver and captured in the UDF closure:
@@ -210,15 +246,37 @@ FUSED_SCHEMA_REP = StructType(
 
 
 def fused_scrub_score_udf(
-    lang_model_loader=None, ppl_model_loader=None, repetition: bool = False
+    lang_model_loader=None,
+    ppl_model_loader=None,
+    repetition: bool = False,
+    line_shape: bool = False,
 ):
     """raw text -> struct(scrubbed_text, <all SCORE_SCHEMA metrics>[,
-    dup_line_char_frac, dup_5gram_frac when repetition=True])."""
+    dup_line_char_frac, dup_5gram_frac when repetition][,
+    bullet_line_frac, ellipsis_line_frac, alpha_word_frac when
+    line_shape])."""
     from .scrubbing import _scrub_batch
 
-    score = _score_batch_rep if repetition else _score_batch
-    schema = FUSED_SCHEMA_REP if repetition else FUSED_SCHEMA
     keys = (_loader_key(lang_model_loader), _loader_key(ppl_model_loader))
+    if repetition or line_shape:
+        fields, extras, null_extras = _extras_spec(repetition, line_shape)
+        cols = _COLS + [n for n, _ in fields]
+        null_row = _NULL_SCORE + null_extras
+        schema = StructType(
+            [StructField("scrubbed_text", StringType())]
+            + [StructField(n, t) for n, t in _FIELDS + fields]
+        )
+
+        def score(texts: pd.Series) -> pd.DataFrame:
+            scored = [
+                null_row if t is None else full_metrics(t) + extras(t)
+                for t in texts
+            ]
+            return pd.DataFrame(scored, columns=cols)
+
+    else:
+        score = _score_batch
+        schema = FUSED_SCHEMA
 
     def batch(texts: pd.Series) -> pd.DataFrame:
         scrubbed = _scrub_batch(texts)

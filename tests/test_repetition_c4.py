@@ -509,3 +509,67 @@ def test_gopher_line_metrics_goldens(spark):
     assert r4["alpha_word_frac"] == 1.0 and r4["gopher_line_ok"] is True
     assert out[5]["gopher_line_ok"] is False and out[5]["n_lines"] == 0
     assert out[6]["gopher_line_ok"] is False
+
+
+def test_pipeline_line_shape_gate_matches_python_oracle(spark):
+    """The Gopher line-shape gates flow through run_pipeline (fused
+    Arrow scorer) and the pure-python oracle identically; planted
+    all-bullet, ellipsis-teaser and numeric-soup docs fire
+    drop_reason='line_shape' as the FIRST failing rule."""
+    from datetime import datetime
+
+    from dataqualitykit_spark.config import PipelineConfig
+    from dataqualitykit_spark.fixtures.pages import generate_pages
+    from dataqualitykit_spark.operators import repetition as R
+
+    ts = datetime(2024, 6, 1)
+    bullets = "\n".join(
+        f"• the quick brown fox jumps over the lazy dog number {i}"
+        for i in range(4)
+    )
+    teasers = "\n".join(
+        f"a distinct teaser line number {i} that keeps you wanting more..."
+        for i in range(4)
+    )
+    soup = "12 345 67 890 23 456 78 901 34 567 89 012 45 678 90 123 " * 3
+    planted = [
+        {"url": "https://ls-b.example/p", "warc_ts": ts, "html": None,
+         "text": bullets, "lang": "en"},
+        {"url": "https://ls-e.example/p", "warc_ts": ts, "html": None,
+         "text": teasers, "lang": "en"},
+        {"url": "https://ls-s.example/p", "warc_ts": ts, "html": None,
+         "text": soup, "lang": "en"},
+    ]
+    cfg = PipelineConfig(
+        max_bullet_line_frac=R.MAX_BULLET_LINE_FRAC,
+        max_ellipsis_line_frac=R.MAX_ELLIPSIS_LINE_FRAC,
+        min_alpha_word_frac=R.MIN_ALPHA_WORD_FRAC,
+    )
+    reasons = _pipeline_vs_oracle(spark, generate_pages(400) + planted, cfg)
+    assert "line_shape" in reasons, sorted(r for r in reasons if r)
+
+    # engine parity: the 'columns' path produces identical labels
+    from dataqualitykit_spark.fixtures import PAGES_SCHEMA
+    from dataqualitykit_spark.pipeline import run_pipeline
+
+    rows = generate_pages(150) + planted
+    df = spark.createDataFrame(rows, schema=PAGES_SCHEMA)
+    udf_lab = {
+        (r["url"], r["warc_ts"]): (r["keep"], r["drop_reason"])
+        for r in run_pipeline(df, cfg).select(
+            "url", "warc_ts", "keep", "drop_reason"
+        ).collect()
+    }
+    cols_cfg = PipelineConfig(
+        max_bullet_line_frac=R.MAX_BULLET_LINE_FRAC,
+        max_ellipsis_line_frac=R.MAX_ELLIPSIS_LINE_FRAC,
+        min_alpha_word_frac=R.MIN_ALPHA_WORD_FRAC,
+        metrics_engine="columns",
+    )
+    cols_lab = {
+        (r["url"], r["warc_ts"]): (r["keep"], r["drop_reason"])
+        for r in run_pipeline(df, cols_cfg).select(
+            "url", "warc_ts", "keep", "drop_reason"
+        ).collect()
+    }
+    assert udf_lab == cols_lab
