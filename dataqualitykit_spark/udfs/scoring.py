@@ -72,21 +72,6 @@ _REP_FIELDS = _FIELDS + [
     ("dup_line_char_frac", DoubleType()),
     ("dup_5gram_frac", DoubleType()),
 ]
-SCORE_SCHEMA_REP = StructType([StructField(n, t) for n, t in _REP_FIELDS])
-_NULL_SCORE_REP = _NULL_SCORE + (0.0, 0.0)
-_COLS_REP = [n for n, _ in _REP_FIELDS]
-
-
-def _score_batch_rep(texts: pd.Series) -> pd.DataFrame:
-    from ..semantics import dup_5gram_frac, dup_line_char_frac
-
-    scored = [
-        _NULL_SCORE_REP
-        if t is None
-        else full_metrics(t) + (dup_line_char_frac(t), dup_5gram_frac(t))
-        for t in texts
-    ]
-    return pd.DataFrame(scored, columns=_COLS_REP)
 
 
 # Gopher line-shape gate fields (round 5) — same opt-in pattern: extra
@@ -239,12 +224,6 @@ FUSED_SCHEMA = StructType(
     [StructField("scrubbed_text", StringType())]
     + [StructField(n, t) for n, t in _FIELDS]
 )
-FUSED_SCHEMA_REP = StructType(
-    [StructField("scrubbed_text", StringType())]
-    + [StructField(n, t) for n, t in _REP_FIELDS]
-)
-
-
 def fused_scrub_score_udf(
     lang_model_loader=None,
     ppl_model_loader=None,
