@@ -1045,6 +1045,35 @@ def q_pipeline_line_shape(spark, sf):
     return run_pipeline(pages, cfg).select("url", "keep", "drop_reason")
 
 
+# gibberish paragraph planted by the paragraph_ppl query — uniform-ish
+# rare-bigram letters score ppl ~22-27 vs ~8-14 for English prose
+_PPQ_GIBBERISH = "zxq qvk jxw zzv qqk xjz vqz kxq jzz wvx qkz zzq"
+
+
+def q_paragraph_ppl(spark, sf):
+    """CCNet-style paragraph-level LM filter: every 3rd doc gains a
+    planted gibberish paragraph that must be scrubbed (char-bigram ppl >
+    22); the doc's own prose paragraph survives when English and drops
+    when non-Latin (empty [a-z ] projection -> the +inf sentinel — the
+    LM defines the target distribution, exactly CCNet's behavior). One
+    Arrow pass, no explode, no exchange; the oracle unnests paragraphs
+    to rows and applies the identical seq-normalization + bigram-matrix
+    SQL the pipeline ppl oracle uses."""
+    from dataqualitykit_spark.operators.paragraph_quality import (
+        paragraph_ppl_scrub,
+    )
+
+    d = _t(spark, sf, "documents")
+    planted = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(F.col("text"), F.lit("\n" + _PPQ_GIBBERISH)),
+    ).otherwise(F.col("text"))
+    pages = d.select("doc_id", planted.alias("text"))
+    return paragraph_ppl_scrub(pages, "text", "doc_id").select(
+        F.col("id").alias("doc_id"), "cleaned_text", "n_paras", "n_dropped"
+    )
+
+
 def q_gopher_line_rules(spark, sf):
     """Gopher line-shape rules (Rae et al. 2021 A1.1.1 — the OTHER half
     of the Gopher family next to gopher_repetition): bullet-line /
@@ -1621,6 +1650,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_split": q_hash_split,  # NEW r5
         "noindex_flag": q_noindex_flag,  # NEW r5
         "gopher_line_rules": q_gopher_line_rules,  # NEW r5
+        "paragraph_ppl": q_paragraph_ppl,  # NEW r5
         # -- round 5 conversions: formerly rows-only (err=no_oracle in the
         # -- driver record), now invariant/parity-oracled — zero green
         # -- rounds under the new contract, so they head the window --------
@@ -2374,6 +2404,52 @@ def _gopher_line_sql() -> str:
         FROM f"""
 
 
+def _paragraph_ppl_sql(max_ppl: float = 22.0) -> str:
+    gib = _sql_lit("\n" + _PPQ_GIBBERISH)
+    seq = (
+        "trim(regexp_replace(regexp_replace(lower(para), '[^a-z ]+', ' ', 'g'), "
+        f"{_SQL_WS}, ' ', 'g'), ' ')"
+    )
+    return f"""
+        WITH p0 AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 3 = 0 THEN text || {gib}
+                      ELSE text END AS text
+          FROM documents
+        ), s AS (
+          SELECT doc_id, string_split(text, chr(10)) AS parts
+          FROM p0 WHERE text IS NOT NULL
+        ), px AS (
+          SELECT doc_id,
+                 unnest([{{'pos': i, 'para': parts[i]}}
+                         for i in generate_series(1, len(parts))]) AS u
+          FROM s
+        ), p AS (
+          SELECT doc_id, u.pos AS pos, u.para AS para FROM px
+        ), e AS (
+          SELECT doc_id, pos, para,
+                 trim(para, ' ') = '' AS blank,
+                 {seq} AS seq
+          FROM p
+        ), f AS (
+          SELECT doc_id, pos, para, blank,
+                 CASE WHEN blank THEN TRUE
+                      ELSE ({_ppl_sql('seq')}) <= {max_ppl} END AS keepp
+          FROM e
+        ), agg AS (
+          SELECT doc_id,
+                 coalesce(string_agg(CASE WHEN keepp THEN para END,
+                                     chr(10) ORDER BY pos), '') AS cleaned,
+                 sum(CASE WHEN NOT blank THEN 1 ELSE 0 END) AS np,
+                 sum(CASE WHEN NOT keepp THEN 1 ELSE 0 END) AS nd
+          FROM f GROUP BY doc_id
+        )
+        SELECT d0.doc_id, a.cleaned AS cleaned_text,
+               CAST(coalesce(a.np, 0) AS INT) AS n_paras,
+               CAST(coalesce(a.nd, 0) AS INT) AS n_dropped
+        FROM documents d0 LEFT JOIN agg a USING (doc_id)"""
+
+
 def _noindex_sql() -> str:
     from dataqualitykit_spark.functions.text import ROBOTS_NOINDEX_PATTERNS
 
@@ -2870,6 +2946,7 @@ def oracle_sql() -> dict[str, str]:
             FROM r WHERE rn <= CEIL(0.25 * n)"""
         .replace("{toks}", _sql_tokens("text")).replace("{sw}", sw),
         "noindex_flag": _noindex_sql(),
+        "paragraph_ppl": _paragraph_ppl_sql(),
         "gopher_line_rules": _gopher_line_sql(),
         "hash_split": """
             WITH u AS (

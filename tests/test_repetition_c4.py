@@ -573,3 +573,32 @@ def test_pipeline_line_shape_gate_matches_python_oracle(spark):
         ).collect()
     }
     assert udf_lab == cols_lab
+
+
+def test_paragraph_ppl_scrub_goldens(spark):
+    """CCNet paragraph-level LM filter: gibberish paragraphs drop,
+    English prose survives, blank paragraphs are preserved as structure,
+    NULL text passes through, non-Latin paragraphs score the +inf
+    sentinel and drop."""
+    from dataqualitykit_spark.operators.paragraph_quality import (
+        paragraph_ppl_scrub,
+    )
+
+    prose = "the quick brown fox jumps over the lazy dog and then rests there"
+    gib = "zxq qvk jxw zzv qqk xjz vqz kxq jzz wvx qkz zzq"
+    df = spark.createDataFrame(
+        [
+            (1, f"{prose}\n{gib}\n{prose}"),
+            (2, f"{prose}\n\n{prose}"),  # blank para preserved
+            (3, None),
+            (4, "это русский текст без латинских букв"),  # empty projection
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["id"]: r.asDict() for r in paragraph_ppl_scrub(df).collect()}
+    assert out[1]["cleaned_text"] == f"{prose}\n{prose}"
+    assert (out[1]["n_paras"], out[1]["n_dropped"]) == (2 + 1, 1)
+    assert out[2]["cleaned_text"] == f"{prose}\n\n{prose}"
+    assert out[2]["n_dropped"] == 0
+    assert out[3]["cleaned_text"] is None and out[3]["n_paras"] == 0
+    assert out[4]["cleaned_text"] == "" and out[4]["n_dropped"] == 1
