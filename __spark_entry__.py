@@ -1536,6 +1536,18 @@ def q_domain_report(spark, sf):
     return rep.select("domain", "reason", F.col("docs").cast("long").alias("docs"))
 
 
+def q_domain_reputation(spark, sf):
+    """Domain-prior triage over the FULL pipeline (FineWeb/Dolma-style
+    iterative crawl step): per-domain keep rates from the doc-level
+    decisions — the table a next crawl round thresholds into a
+    blocklist. One tiny groupBy over the labeled frame."""
+    from dataqualitykit_spark.operators.url_filter import domain_reputation
+
+    docs = _t(spark, sf, "documents")
+    labeled = run_pipeline(adapt_documents(docs))
+    return domain_reputation(labeled)
+
+
 def q_token_budget(spark, sf):
     # per-language corpus budget: docs + REAL BPE tokens + ws tokens —
     # the training-mix planning aggregate
@@ -1651,6 +1663,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "noindex_flag": q_noindex_flag,  # NEW r5
         "gopher_line_rules": q_gopher_line_rules,  # NEW r5
         "paragraph_ppl": q_paragraph_ppl,  # NEW r5
+        "domain_reputation": q_domain_reputation,  # NEW r5
         # -- round 5 conversions: formerly rows-only (err=no_oracle in the
         # -- driver record), now invariant/parity-oracled — zero green
         # -- rounds under the new contract, so they head the window --------
@@ -3156,6 +3169,16 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens
         FROM c WHERE cum <= 2000"""
     d["domain_report"] = _domain_report_sql()
+    d["domain_reputation"] = _pipeline_sql(
+        final_select=f"""SELECT
+          lower(regexp_extract(url, {_sql_lit(S.URL_DOMAIN_REGEX)}, 1)) AS domain,
+          CAST(count(*) AS BIGINT) AS docs,
+          CAST(sum(CASE WHEN drop_reason IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+            AS kept,
+          round(sum(CASE WHEN drop_reason IS NULL THEN 1 ELSE 0 END)
+                / CAST(count(*) AS DOUBLE), 6) AS keep_rate
+        FROM decided GROUP BY domain"""
+    )
     d["token_budget"] = _token_budget_sql()
     # decontamination: same tokenize/shingle chain as ngram_jaccard; the
     # engine joins xxhash64(gram) (bigints, broadcastable), the oracle

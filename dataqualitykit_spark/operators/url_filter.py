@@ -93,3 +93,56 @@ def filter_blocked_domains(
             "blocked_domain", F.coalesce("blocked_domain", F.lit(False))
         )
     return df.join(hits, url_col, "left_anti")
+
+
+def domain_reputation(
+    labeled: DataFrame,
+    url_col: str = "url",
+    keep_col: str = "keep",
+) -> DataFrame:
+    """Per-domain keep-rate table from a labeled frame — the
+    domain-prior step of an iterative crawl pipeline (FineWeb/Dolma
+    style: domains whose pages overwhelmingly fail doc-level quality are
+    spam farms; their remaining pages inherit the prior). Returns
+    (domain, docs, kept, keep_rate). One partial-aggregated groupBy on
+    the extracted host — at 10^7 domains the result is still tiny next
+    to the corpus."""
+    return (
+        labeled.groupBy(_host_of(F.col(url_col)).alias("domain"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("docs"),
+            F.sum(F.col(keep_col).cast("int")).cast("long").alias("kept"),
+        )
+        .withColumn(
+            "keep_rate",
+            F.round(F.col("kept") / F.col("docs").cast("double"), 6),
+        )
+    )
+
+
+def flag_low_reputation_domains(
+    labeled: DataFrame,
+    min_keep_rate: float = 0.3,
+    min_docs: int = 5,
+    url_col: str = "url",
+    keep_col: str = "keep",
+) -> DataFrame:
+    """Add `low_rep_domain`: True when the row's domain has >= min_docs
+    labeled pages and a keep rate < min_keep_rate (small domains carry
+    no evidence and are never flagged). The flagged-domain set is tiny
+    and broadcast back; the corpus never shuffles on the match."""
+    bad = (
+        domain_reputation(labeled, url_col, keep_col)
+        .filter(
+            (F.col("docs") >= min_docs)
+            & (F.col("keep_rate") < min_keep_rate)
+        )
+        .select("domain")
+        .withColumn("_low", F.lit(True))
+    )
+    return (
+        labeled.withColumn("_dom", _host_of(F.col(url_col)))
+        .join(F.broadcast(bad), F.col("_dom") == F.col("domain"), "left")
+        .withColumn("low_rep_domain", F.coalesce(F.col("_low"), F.lit(False)))
+        .drop("_dom", "domain", "_low")
+    )

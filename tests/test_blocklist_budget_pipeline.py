@@ -167,3 +167,35 @@ def test_blocked_domain_col_streaming_composes(spark, tmp_path):
         "https://ok.example/y": False,
         "https://bad.example/z": True,
     }
+
+
+def test_flag_low_reputation_domains(spark):
+    """Domain-prior flag: a planted spam domain (0% keep over >= min_docs
+    pages) flags every one of its rows; small domains carry no evidence
+    and never flag; healthy domains stay clean."""
+    from pyspark.sql import functions as F
+
+    from dataqualitykit_spark.operators.url_filter import (
+        domain_reputation,
+        flag_low_reputation_domains,
+    )
+
+    rows = (
+        [(f"https://spam.example/p{i}", False) for i in range(8)]
+        + [(f"https://good.example/p{i}", True) for i in range(7)]
+        + [("https://good.example/p-bad", False)]
+        # tiny domain, all dropped — below min_docs, must NOT flag
+        + [("https://tiny.example/p0", False), ("https://tiny.example/p1", False)]
+    )
+    labeled = spark.createDataFrame(rows, "url string, keep boolean")
+    rep = {r["domain"]: r.asDict() for r in domain_reputation(labeled).collect()}
+    assert rep["spam.example"]["keep_rate"] == 0.0
+    assert rep["good.example"]["keep_rate"] == 0.875
+    out = {
+        r["url"]: r["low_rep_domain"]
+        for r in flag_low_reputation_domains(
+            labeled, min_keep_rate=0.3, min_docs=5
+        ).collect()
+    }
+    assert all(out[u] for u, _k in rows if u.startswith("https://spam"))
+    assert not any(out[u] for u, _k in rows if not u.startswith("https://spam"))
