@@ -913,6 +913,169 @@ def paragraph_scrub(
     )
 
 
+def cluster_representatives(
+    components: DataFrame,
+    scored: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "score",
+) -> DataFrame:
+    """Best-scoring member per near-dup cluster — (component, rep_id,
+    rep_score, n_members). `components` is connected_components output
+    (id, component); `scored` maps id -> a quality score. Ties and NULL
+    scores resolve deterministically: highest score wins, NULL scores
+    always lose, equal scores fall back to the MIN id (the old canonical
+    rule, so keep-best degrades gracefully to keep-canonical on unscored
+    clusters).
+
+    Quality-aware representative selection is the public-pipeline
+    refinement over keep-min-id (FineWeb/Dolma keep the longest or
+    best-classifier-scored member): near-dup clusters mix full pages
+    with truncated mirrors, and min-id keeps an arbitrary one.
+
+    100 TB shape: one equi-join of the (tiny) component frame against
+    the score projection on the unique id, then a single partial-agged
+    min_by groupBy over (component) — no window, no corpus shuffle."""
+    j = components.join(
+        scored.select(
+            F.col(id_col).alias("id"),
+            F.col(score_col).cast("double").alias("_s"),
+        ),
+        "id",
+        "left",
+    )
+    # min_by over (negated score, id): largest score first, NULL score
+    # -> +inf loses to any real score, residual ties -> smallest id
+    ordk = F.struct(
+        (-F.coalesce(F.col("_s"), F.lit(float("-inf")))).alias("ns"),
+        F.col("id").alias("i"),
+    )
+    return j.groupBy("component").agg(
+        F.min_by("id", ordk).alias("rep_id"),
+        F.min_by("_s", ordk).alias("rep_score"),
+        F.count(F.lit(1)).cast("int").alias("n_members"),
+    )
+
+
+def dedup_keep_best(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "score",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Near-dup dedup keeping the BEST-SCORING row of each cluster
+    (cluster_representatives rule) instead of the canonical min-id row:
+    rows not in any pair pass through untouched; of each connected
+    component over `pairs`, only the representative survives.
+
+    100 TB shape: components/representatives cover pair PARTICIPANTS
+    only (tiny next to the corpus); the final filter is one left_anti
+    join on the unique id, broadcastable by AQE."""
+    comp = connected_components(pairs, id_a, id_b, max_iter)
+    reps = cluster_representatives(comp, df, id_col, score_col)
+    drops = comp.join(
+        reps.select(F.col("rep_id").alias("id")), "id", "left_anti"
+    ).select(F.col("id").alias("_drop_id"))
+    return df.join(
+        drops, F.col(id_col) == F.col("_drop_id"), "left_anti"
+    )
+
+
+def domain_boilerplate_scrub(
+    df: DataFrame,
+    text_col: str = "text",
+    domain_col: str = "domain",
+    id_col: str = "doc_id",
+    min_docs: int = 2,
+    min_frac: float = 0.5,
+) -> DataFrame:
+    """Per-domain boilerplate line removal — a line appearing in
+    >= min_docs docs AND >= min_frac of all docs OF THE SAME DOMAIN is
+    site template (nav menu, footer, cookie banner) and is scrubbed from
+    that domain's docs. The per-site frequency criterion is how public
+    crawl pipelines (RefinedWeb §3.1 line-wise corrections, CCNet's
+    per-shard variant) separate "this site stamps it on every page" from
+    prose that merely repeats somewhere on the web — a corpus-global
+    threshold (sibling paragraph_scrub) can't scale its cut to site
+    size. Rewrites `text_col` in place, preserving every other column
+    and every row; adds `n_boiler_lines` (lines scrubbed, 0 for clean or
+    NULL docs). Trimmed-empty lines are formatting, never flagged.
+
+    100 TB shape — the per-DOMAIN bad set cannot broadcast like
+    paragraph_scrub's single global array (millions of hosts x their
+    templates), so the scrub joins back per doc:
+      1. line frequencies: one exchange of (domain, xxhash64(line))
+         BIGINT pairs with distinct-doc counts (map-side partial agg;
+         line text never shuffles),
+      2. per-domain doc totals: a tiny groupBy(domain) joined in
+         (broadcast — |domains| << |docs|),
+      3. each doc's OWN flagged-line hashes: semi-join of the exploded
+         (id, domain, hash) bigints against the bad (domain, hash) set,
+         re-aggregated to a per-doc hash array — bounded by the doc's
+         line count, no global structure,
+      4. one join back to the corpus ON id (unique key — no skew) and an
+         in-place HOF filter by hash membership.
+    Docs with no flagged lines skip step 4's rewrite entirely (left join
+    misses). Same xxhash64-collision trade-off as paragraph_scrub: an
+    innocent line colliding with a flagged one in the SAME domain is
+    scrubbed (~n_lines * n_flagged / 2^64).
+    """
+    lines = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.col(domain_col).alias("_dom"),
+            F.explode(F.split(F.col(text_col), "\n")).alias("_line"),
+        )
+        .filter(F.trim("_line") != "")
+        .select("_id", "_dom", F.xxhash64("_line").alias("_lh"))
+    )
+    domain_docs = df.groupBy(F.col(domain_col).alias("_dom")).agg(
+        F.count_distinct(F.col(id_col)).alias("_dd")
+    )
+    bad = (
+        lines.groupBy("_dom", "_lh")
+        .agg(F.count_distinct("_id").alias("_nd"))
+        .join(F.broadcast(domain_docs), "_dom")
+        .filter(
+            (F.col("_nd") >= min_docs)
+            & (F.col("_nd") >= F.lit(float(min_frac)) * F.col("_dd"))
+        )
+        .select("_dom", "_lh")
+    )
+    doc_bad = (
+        lines.join(bad, ["_dom", "_lh"], "left_semi")
+        .groupBy("_id")
+        .agg(F.collect_set("_lh").alias("_badset"))
+    )
+    kept = F.filter(
+        F.split(F.col(text_col), "\n"),
+        lambda p: ~F.array_contains(F.col("_badset"), F.xxhash64(p)),
+    )
+    return (
+        df.join(doc_bad, F.col(id_col) == F.col("_id"), "left")
+        .withColumn(
+            "n_boiler_lines",
+            F.when(
+                F.col("_badset").isNull() | F.col(text_col).isNull(), F.lit(0)
+            )
+            .otherwise(
+                F.size(F.split(F.col(text_col), "\n")) - F.size(kept)
+            )
+            .cast("int"),
+        )
+        .withColumn(
+            text_col,
+            F.when(
+                F.col("_badset").isNull() | F.col(text_col).isNull(),
+                F.col(text_col),
+            ).otherwise(F.array_join(kept, "\n")),
+        )
+        .drop("_id", "_badset")
+    )
+
+
 def exact_substring_scrub(
     df: DataFrame,
     text_col: str = "text",

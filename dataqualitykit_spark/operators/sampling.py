@@ -243,3 +243,172 @@ def hash_split(
     last = F.lit(names[-1])
     split = last if expr is None else expr.otherwise(last)
     return df.withColumn("split", split)
+
+
+def score_buckets(
+    df: DataFrame,
+    fractions: list[tuple[str, float]] | tuple[tuple[str, float], ...] = (
+        ("head", 0.25),
+        ("middle", 0.25),
+        ("tail", 0.5),
+    ),
+    score_col: str = "ppl",
+    id_col: str = "doc_id",
+    by: str | None = "lang",
+    ascending: bool = True,
+    lo: float = 0.0,
+    hi: float = 1000.0,
+    bins: int = 1024,
+) -> DataFrame:
+    """CCNet-style score bucketing: label every row `head` / `middle` /
+    `tail` by its EXACT per-group rank position — within each `by`
+    group, rows ordered by (score asc if `ascending` else desc,
+    md5(id), id) fall into buckets at cumulative boundaries
+    ceil(cumfrac_i * n_group) (CCNet, Wenzek et al. 2020 §4.4: corpora
+    partitioned by per-language perplexity terciles; the head feeds
+    training, the tail feeds filtering studies). The last bucket absorbs
+    any remainder, so labels are exhaustive. Adds a `bucket` column;
+    rows/columns otherwise unchanged. NULL scores order LAST within the
+    group (worst under ascending=lower-is-better).
+
+    100 TB shape — the naive form is one rank window per group, which
+    funnels an entire language through ONE task; instead the same
+    HISTOGRAM-PREFIX CUT idiom as its siblings above: (1) one
+    partial-aggregated count per (group, score-bin) collects a bounded
+    bins x |groups| summary to the driver, (2) the driver walks bins in
+    score order accumulating counts against the bucket boundaries —
+    bins entirely inside one bucket label via a tiny broadcast map,
+    (3) ONLY the <= len(fractions)-1 boundary-straddling bins per group
+    run a rank window (each 1/bins of one group), offset by the bin's
+    known starting rank. Row-identical to the one-window form by
+    construction (that form is the DuckDB oracle).
+
+    Cross-engine note: boundaries are ceil(cumfrac * n) in IEEE doubles
+    with cumfrac the PYTHON running sum of the given fractions — a SQL
+    mirror must use those exact cumulative literals (0.25 + 0.25 is
+    exact; thirds are not — prefer binary-exact fractions when parity
+    at boundary group sizes matters)."""
+    import math as _math
+
+    names = [n for n, _ in fractions]
+    fracs = [f for _, f in fractions]
+    if len(names) < 2:
+        raise ValueError("need >= 2 buckets")
+    if sum(fracs) > 1.0 + 1e-9:
+        raise ValueError(f"fractions sum to {sum(fracs)} > 1")
+    gkey = (
+        F.when(F.col(by).isNull(), F.lit("\x00null")).otherwise(
+            F.concat(F.lit("v:"), F.col(by).cast("string"))
+        )
+        if by is not None
+        else F.lit("all")
+    )
+    span = float(hi) - float(lo)
+    clamped = F.least(
+        F.greatest(F.coalesce(F.col(score_col), F.lit(float(hi if ascending else lo))), F.lit(float(lo))),
+        F.lit(float(hi)),
+    )
+    bin_col = F.least(
+        F.floor((clamped - F.lit(float(lo))) / F.lit(span) * bins),
+        F.lit(bins - 1),
+    ).cast("int")
+    base = (
+        df.withColumn("_g", gkey)
+        .withColumn("_key", F.md5(F.encode(F.col(id_col).cast("string"), "UTF-8")))
+        .withColumn("_bin", bin_col)
+        .withColumn("_null_s", F.col(score_col).isNull())
+    )
+    spark = df.sparkSession
+
+    # NULL scores rank after every real score in the group regardless of
+    # direction, so they count as a virtual bin past the end.
+    sums = base.groupBy("_g", "_bin", "_null_s").count().collect()
+    per_group: dict = {}
+    for r in sums:
+        b = bins if r["_null_s"] else r["_bin"]
+        per_group.setdefault(r["_g"], {})
+        per_group[r["_g"]][b] = per_group[r["_g"]].get(b, 0) + r["count"]
+    whole_rows, cut_rows = [], []  # (_g,_bin,label) / (_g,_bin,start_rank)
+    for g, bcounts in per_group.items():
+        n = sum(bcounts.values())
+        cumfrac, bounds = 0.0, []
+        for f in fracs[:-1]:
+            cumfrac += f
+            bounds.append(min(n, _math.ceil(cumfrac * n)))
+        bounds.append(n)  # last bucket absorbs the remainder
+        order = sorted(bcounts, reverse=not ascending)
+        if not ascending and bins in bcounts:
+            # virtual NULL bin still ranks last under descending order
+            order = [b for b in order if b != bins] + [bins]
+        rank = 0  # rows ranked before this bin
+        for b in order:
+            c = bcounts[b]
+            lo_i = next(i for i, k in enumerate(bounds) if rank < k or k == n)
+            hi_i = next(i for i, k in enumerate(bounds) if rank + c <= k or k == n)
+            if lo_i == hi_i:
+                whole_rows.append((g, b, names[lo_i]))
+            else:
+                cut_rows.append((g, b, rank))
+            rank += c
+    # map the virtual NULL bin back to a joinable key
+    nb = F.when(F.col("_null_s"), F.lit(bins)).otherwise(F.col("_bin"))
+    base = base.withColumn("_jbin", nb)
+    whole = spark.createDataFrame(whole_rows, "_g string, _jbin int, bucket string")
+    labeled_whole = base.join(F.broadcast(whole), ["_g", "_jbin"], "inner")
+    if cut_rows:
+        cut = spark.createDataFrame(cut_rows, "_g string, _jbin int, _start long")
+        sort_score = (
+            F.col(score_col).asc_nulls_last()
+            if ascending
+            else F.col(score_col).desc_nulls_last()
+        )
+        w = Window.partitionBy("_g", "_jbin").orderBy(
+            sort_score, F.col("_key").asc(), F.col(id_col).asc()
+        )
+        # driver-computed (group -> boundary list) shipped as a literal
+        # map; boundary bins are few, the lookup is tiny
+        bound_items = []
+        for g, bcounts in per_group.items():
+            n = sum(bcounts.values())
+            cumfrac = 0.0
+            bs = []
+            for f in fracs[:-1]:
+                cumfrac += f
+                bs.append(min(n, _math.ceil(cumfrac * n)))
+            bs.append(n)
+            bound_items.append((g, bs))
+        bmap = F.map_from_arrays(
+            F.array(*[F.lit(g) for g, _ in bound_items]),
+            F.array(
+                *[
+                    F.array(*[F.lit(int(k)) for k in bs])
+                    for _, bs in bound_items
+                ]
+            ),
+        )
+        # the window rank lands in its own projection FIRST (a window
+        # function can't nest inside the HOF lambda below), then the
+        # label is picked by counting bucket boundaries below the rank
+        lbls = F.array(*[F.lit(nm) for nm in names])
+        pick = F.try_element_at(
+            lbls,
+            (
+                F.size(
+                    F.filter(
+                        F.try_element_at(bmap, F.col("_g")),
+                        lambda k: k < F.col("_rnk"),
+                    )
+                )
+                + F.lit(1)
+            ).cast("int"),
+        )
+        labeled_cut = (
+            base.join(F.broadcast(cut), ["_g", "_jbin"], "inner")
+            .withColumn("_rnk", F.col("_start") + F.row_number().over(w))
+            .withColumn("bucket", pick)
+            .drop("_start", "_rnk")
+        )
+        out = labeled_whole.unionByName(labeled_cut)
+    else:
+        out = labeled_whole
+    return out.drop("_g", "_key", "_bin", "_jbin", "_null_s")
