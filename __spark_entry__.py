@@ -1548,6 +1548,105 @@ def q_domain_reputation(spark, sf):
     return domain_reputation(labeled)
 
 
+# mojibake suffix planted on every 5th doc: covers 3-char smart-punct,
+# 2-char accents, NBSP and the currency block from the generated table
+_MOJI_SUFFIX = " cafÃ© â€“ itâ€™s â€œnaÃ¯veâ€\x9d 25Â°C â‚¬5 Â½"
+
+
+def q_mojibake_fix(spark, sf):
+    """cp1252-mojibake repair: every doc_id%5==0 doc gets a planted
+    mojibake suffix; fix_mojibake's generated replace chain must repair
+    exactly those (mojibake_fixed True) and leave the clean docs
+    byte-identical. The oracle runs the SAME pair table as a nested SQL
+    replace chain — one constant table, three engines."""
+    from dataqualitykit_spark.operators import mojibake as _mj
+
+    d = _t(spark, sf, "documents")
+    planted = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.col("text"), F.lit(_MOJI_SUFFIX)),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return _mj.fix_mojibake(planted).select("doc_id", "text", "mojibake_fixed")
+
+
+def q_domain_boilerplate(spark, sf):
+    """Per-domain boilerplate scrub: every even doc gets a per-source
+    footer line ('Visit www.{source}.example today!') — ~50% of each
+    source's docs, over the min_frac=0.25 cut — which must vanish from
+    exactly those docs while the same-frequency cross-source text and
+    under-threshold lines survive. Spark runs the bigint-hash join-back
+    plan; the oracle recomputes line frequencies per (source, line) in
+    SQL."""
+    d = _t(spark, sf, "documents")
+    planted = d.select(
+        "doc_id",
+        "source",
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit("\nVisit www."),
+                F.col("source"),
+                F.lit(".example today!"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    out = dedup.domain_boilerplate_scrub(
+        planted, "text", "source", "doc_id", min_docs=2, min_frac=0.25
+    )
+    return out.select("doc_id", "text", "n_boiler_lines")
+
+
+def q_dedup_keep_best(spark, sf):
+    """Keep-BEST near-dup survivor selection (FineWeb/Dolma refinement
+    over keep-min-id): clusters from exact 3-gram Jaccard >= 0.8 pairs,
+    representative = longest doc (n_chars), ties -> min doc_id. Returns
+    the surviving doc ids; the oracle recomputes clusters via the
+    recursive-CTE reach and picks representatives with a row_number
+    window."""
+    d = _t(spark, sf, "documents")
+    pairs = dedup.ngram_jaccard_pairs(d, "text", "doc_id", k=3, min_jaccard=0.8)
+    scored = d.select(
+        "doc_id", "text", F.col("n_chars").cast("double").alias("score")
+    )
+    kept = dedup.dedup_keep_best(scored, pairs, id_col="doc_id")
+    return kept.select("doc_id")
+
+
+def q_score_buckets(spark, sf):
+    """CCNet-style corpus partition: label EVERY doc head/middle/tail by
+    its exact per-language rank under the composite quality score
+    (head = best 25%, middle = next 25% — CCNet buckets by per-language
+    perplexity rank; same machinery, quality score as the rank key).
+    Spark runs score_buckets' histogram-prefix cut (rank window only
+    over boundary bins); the oracle is the one-window form it is
+    row-identical to. Fractions 0.25/0.25 are binary-exact."""
+    from dataqualitykit_spark.operators import sampling
+
+    d = _t(spark, sf, "documents")
+    scored = d.select(
+        "doc_id", "lang", _quality_score_col(F.col("text")).alias("qs")
+    )
+    out = sampling.score_buckets(
+        scored,
+        (("head", 0.25), ("middle", 0.25), ("tail", 0.5)),
+        score_col="qs",
+        id_col="doc_id",
+        by="lang",
+        ascending=False,
+        lo=0.0,
+        hi=1.0,
+    )
+    return out.select("doc_id", "lang", "bucket")
+
+
 def q_token_budget(spark, sf):
     # per-language corpus budget: docs + REAL BPE tokens + ws tokens —
     # the training-mix planning aggregate
@@ -1672,6 +1771,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_cosine_topk": q_ivf_cosine_topk,
         "semantic_dedup": q_semantic_dedup,
         "media_metadata": q_media_metadata,
+        # -- round-5 second-session webtext ops: never recorded ------------
+        "mojibake_fix": q_mojibake_fix,
+        "domain_boilerplate": q_domain_boilerplate,
+        "dedup_keep_best": q_dedup_keep_best,
+        "score_buckets": q_score_buckets,
         # -- two green rounds (r03+r04 / r02+r04) — one confirming record --
         "minhash_lsh_dups": q_minhash_lsh_dups,
         "simhash": q_simhash,
@@ -3277,6 +3381,142 @@ def oracle_sql() -> dict[str, str]:
         SELECT CAST(60 AS BIGINT) AS n_rows,
                CAST(30 AS BIGINT) AS n_parse_ok,
                CAST(0 AS BIGINT) AS n_mismatch"""
+
+    # -- round-5 second-session webtext ops --------------------------------
+    from dataqualitykit_spark.operators.mojibake import MOJIBAKE_PAIRS
+
+    chain = "text"
+    for _moji, _ch in MOJIBAKE_PAIRS:
+        chain = f"replace({chain}, {_sql_lit(_moji)}, {_sql_lit(_ch)})"
+    d["mojibake_fix"] = f"""
+        WITH p AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 5 = 0
+                      THEN text || {_sql_lit(_MOJI_SUFFIX)}
+                      ELSE text END AS text
+          FROM documents
+        ), f AS (
+          SELECT doc_id, text, {chain} AS fixed FROM p
+        )
+        SELECT doc_id, fixed AS text,
+               coalesce(fixed <> text, FALSE) AS mojibake_fixed
+        FROM f"""
+
+    d["domain_boilerplate"] = """
+        WITH p AS (
+          SELECT doc_id, source,
+                 CASE WHEN doc_id % 2 = 0
+                      THEN text || chr(10) || 'Visit www.' || source
+                           || '.example today!'
+                      ELSE text END AS text
+          FROM documents
+        ), s AS (
+          SELECT doc_id, source, string_split(text, chr(10)) AS parts FROM p
+        ), p0 AS (
+          SELECT doc_id, source,
+                 unnest([{'pos': i, 'line': parts[i]}
+                         for i in generate_series(1, len(parts))]) AS u
+          FROM s
+        ), L AS (
+          SELECT doc_id, source, u.pos AS pos, u.line AS line FROM p0
+        ), dd AS (
+          SELECT source, count(DISTINCT doc_id) AS ndocs FROM p GROUP BY source
+        ), lc AS (
+          SELECT source, line, count(DISTINCT doc_id) AS nd
+          FROM L WHERE trim(line) <> '' GROUP BY source, line
+        ), bad AS (
+          SELECT lc.source, lc.line FROM lc JOIN dd USING (source)
+          WHERE nd >= 2 AND nd >= 0.25 * ndocs
+        ), m AS (
+          SELECT L.doc_id, L.pos, L.line, (bad.line IS NOT NULL) AS isbad
+          FROM L LEFT JOIN bad ON bad.source = L.source AND bad.line = L.line
+        ), agg AS (
+          SELECT doc_id,
+                 coalesce(string_agg(CASE WHEN NOT isbad THEN line END,
+                                     chr(10) ORDER BY pos), '') AS cleaned,
+                 sum(CASE WHEN isbad THEN 1 ELSE 0 END) AS nb
+          FROM m GROUP BY doc_id
+        )
+        SELECT p.doc_id,
+               CASE WHEN p.text IS NULL THEN NULL
+                    ELSE coalesce(a.cleaned, '') END AS text,
+               CAST(CASE WHEN p.text IS NULL THEN 0
+                         ELSE coalesce(a.nb, 0) END AS INT) AS n_boiler_lines
+        FROM p LEFT JOIN agg a USING (doc_id)"""
+
+    idx_cols = ", ".join(f"toks[i+{j}]" for j in range(3))
+    d["dedup_keep_best"] = f"""
+        WITH RECURSIVE tok AS (
+          SELECT doc_id, {_sql_tokens('lower(text)')} AS toks FROM documents
+        ), sh AS (
+          SELECT doc_id,
+                 CASE WHEN len(toks) < 3 THEN [concat_ws(' ', toks)]
+                      ELSE [concat_ws(' ', {idx_cols})
+                            for i in generate_series(1, len(toks) - 2)]
+                 END AS shingles
+          FROM tok
+        ), ex AS (
+          SELECT doc_id, unnest(list_distinct(shingles)) AS s FROM sh
+        ), sizes AS (
+          SELECT doc_id, count(*) AS n FROM ex GROUP BY doc_id
+        ), inter AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+          FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id
+        ), prs AS (
+          SELECT id_a, id_b FROM inter
+          JOIN sizes na ON na.doc_id = id_a
+          JOIN sizes nb ON nb.doc_id = id_b
+          WHERE i / CAST(na.n + nb.n - i AS DOUBLE) >= 0.8
+        ), edges AS (
+          SELECT id_a AS s, id_b AS t FROM prs
+          UNION SELECT id_b, id_a FROM prs
+        ), reach(id, r) AS (
+          SELECT DISTINCT s, s FROM edges
+          UNION
+          SELECT reach.id, e.t FROM reach JOIN edges e ON e.s = reach.r
+        ), comp AS (
+          SELECT id, min(r) AS c FROM reach GROUP BY id
+        ), ranked AS (
+          SELECT comp.id,
+                 row_number() OVER (PARTITION BY c
+                   ORDER BY dd.n_chars DESC, comp.id ASC) AS rn
+          FROM comp JOIN documents dd ON dd.doc_id = comp.id
+        ), drops AS (
+          SELECT id FROM ranked WHERE rn > 1
+        )
+        SELECT doc_id FROM documents
+        WHERE doc_id NOT IN (SELECT id FROM drops)"""
+
+    d["score_buckets"] = f"""
+        WITH tok AS (
+          SELECT doc_id, lang, text, {{toks}} AS toks FROM documents
+        ), m AS (
+          SELECT doc_id, lang,
+                 (least(length(text) / 500.0, 1.0)
+                  + greatest(0.0, 1.0 -
+                      (length(text) - length(regexp_replace(text,
+                        '[^A-Za-z0-9 \\t\\n\\r\\x0b\\f]', '', 'g')))
+                      / CAST(greatest(length(text), 1) AS DOUBLE) * 4.0)
+                  + least(len(list_filter(toks,
+                      x -> list_contains([{{sw}}], lower(x))))
+                      / CAST(greatest(len(toks), 1) AS DOUBLE) * 4.0, 1.0)
+                 ) / 3.0 AS qs
+          FROM tok
+        ), r AS (
+          SELECT doc_id, lang, qs,
+                 row_number() OVER (PARTITION BY lang
+                   ORDER BY qs DESC NULLS LAST,
+                            md5(CAST(doc_id AS VARCHAR)) ASC,
+                            doc_id ASC) AS rn,
+                 count(*) OVER (PARTITION BY lang) AS n
+          FROM m
+        )
+        SELECT doc_id, lang,
+               CASE WHEN rn <= CEIL(0.25 * n) THEN 'head'
+                    WHEN rn <= CEIL(0.5 * n) THEN 'middle'
+                    ELSE 'tail' END AS bucket
+        FROM r""".replace("{toks}", _sql_tokens("text")).replace("{sw}", sw)
     return d
 
 
