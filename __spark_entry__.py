@@ -1647,6 +1647,52 @@ def q_score_buckets(spark, sf):
     return out.select("doc_id", "lang", "bucket")
 
 
+_DSIR_B = 1024  # driver-query bucket count (plan-literal array stays lean)
+_NB_B = 512
+
+
+def q_dsir_weights(spark, sf):
+    """DSIR importance weights (Xie et al. 2023): hashed unigram+bigram
+    bag-of-ngrams LMs for TARGET (lang='en' docs) vs RAW (the whole
+    corpus), per-doc weight = summed log-likelihood ratio — the
+    "select raw data that looks like the target" primitive. Spark
+    counts via two partial-agged groupBys and scores in a zero-shuffle
+    plan-literal fold; the oracle recomputes both LMs and the same
+    sequential list_sum fold in SQL (md5-13-hex bucket hash and libm
+    logs are bit-identical across engines)."""
+    from dataqualitykit_spark.operators import dsir as _ds
+
+    d = _t(spark, sf, "documents")
+    lr = _ds.dsir_log_ratio(
+        _ds.hashed_ngram_counts(d.filter(F.col("lang") == "en"), n_buckets=_DSIR_B),
+        _ds.hashed_ngram_counts(d, n_buckets=_DSIR_B),
+        n_buckets=_DSIR_B,
+    )
+    out = _ds.dsir_score(d, lr)
+    return out.select(
+        "doc_id", F.round("dsir_weight", 6).alias("dsir_weight")
+    )
+
+
+def q_nb_lang_classifier(spark, sf):
+    """Hashed-ngram multinomial Naive Bayes — the fastText-style quality
+    classifier of DCLM/FineWeb-Edu in its closed-form (oracle-able)
+    shape. Trains on (text -> lang) over the corpus itself and predicts
+    every doc; the oracle recomputes class-conditional bucket LMs +
+    priors in SQL and takes the (score DESC, label ASC) window winner —
+    the same first-max tie rule as the Spark argmax."""
+    from dataqualitykit_spark.operators import dsir as _ds
+
+    d = _t(spark, sf, "documents")
+    model = _ds.nb_train(d, "lang", n_buckets=_NB_B)
+    out = _ds.nb_predict(d, model)
+    return out.select(
+        "doc_id",
+        F.col("nb_pred").alias("pred_lang"),
+        F.round("nb_score", 6).alias("nb_logp"),
+    )
+
+
 def q_token_budget(spark, sf):
     # per-language corpus budget: docs + REAL BPE tokens + ws tokens —
     # the training-mix planning aggregate
@@ -1776,6 +1822,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_boilerplate": q_domain_boilerplate,
         "dedup_keep_best": q_dedup_keep_best,
         "score_buckets": q_score_buckets,
+        "dsir_weights": q_dsir_weights,
+        "nb_lang_classifier": q_nb_lang_classifier,
         # -- two green rounds (r03+r04 / r02+r04) — one confirming record --
         "minhash_lsh_dups": q_minhash_lsh_dups,
         "simhash": q_simhash,
@@ -3517,6 +3565,91 @@ def oracle_sql() -> dict[str, str]:
                     WHEN rn <= CEIL(0.5 * n) THEN 'middle'
                     ELSE 'tail' END AS bucket
         FROM r""".replace("{toks}", _sql_tokens("text")).replace("{sw}", sw)
+
+    # DSIR / NB shared feature CTEs: lowercased unigrams + bigrams in doc
+    # order, md5-13-hex bucket hash (exact BIGINT, matches Spark's
+    # conv(substr(md5,1,13),16,10) and python int(md5[:13],16))
+    def _dsir_fb(B: int) -> str:
+        return f"""tok AS (
+          SELECT doc_id, lang, text,
+                 {_sql_tokens('lower(text)')} AS toks
+          FROM documents
+        ), fe AS (
+          SELECT doc_id, lang, text,
+                 toks || (CASE WHEN len(toks) >= 2
+                          THEN [toks[i] || ' ' || toks[i+1]
+                                for i in generate_series(1, len(toks) - 1)]
+                          ELSE [] END) AS fs
+          FROM tok
+        ), fb AS (
+          SELECT doc_id, lang, text,
+                 [CAST(('0x' || substr(md5(f), 1, 13)) AS BIGINT) % {B}
+                  for f in fs] AS bs
+          FROM fe
+        )"""
+
+    d["dsir_weights"] = f"""
+        WITH {_dsir_fb(_DSIR_B)},
+        rx AS (SELECT unnest(bs) AS b FROM fb),
+        tx AS (SELECT unnest(bs) AS b FROM fb WHERE lang = 'en'),
+        rc AS (SELECT b, count(*) AS c FROM rx GROUP BY b),
+        tc AS (SELECT b, count(*) AS c FROM tx GROUP BY b),
+        tot AS (SELECT (SELECT count(*) FROM tx) AS tn,
+                       (SELECT count(*) FROM rx) AS rn),
+        g AS (SELECT gs AS b FROM generate_series(0, {_DSIR_B - 1}) s(gs)),
+        lrt AS (
+          SELECT g.b,
+                 ln((coalesce(tc.c, 0) + 1.0) / (tot.tn + 1.0 * {_DSIR_B}))
+                 - ln((coalesce(rc.c, 0) + 1.0) / (tot.rn + 1.0 * {_DSIR_B}))
+                 AS lr
+          FROM g CROSS JOIN tot
+          LEFT JOIN tc ON tc.b = g.b
+          LEFT JOIN rc ON rc.b = g.b
+        ),
+        v AS (SELECT list(lr ORDER BY b) AS lrv FROM lrt)
+        SELECT fb.doc_id,
+               CASE WHEN bs IS NULL THEN NULL
+                    ELSE round(coalesce(
+                           list_sum([lrv[x + 1] for x in bs]), 0.0), 6)
+               END AS dsir_weight
+        FROM fb CROSS JOIN v"""
+
+    d["nb_lang_classifier"] = f"""
+        WITH {_dsir_fb(_NB_B)},
+        dp AS (SELECT lang AS lab, count(*) AS docs FROM documents
+               WHERE lang IS NOT NULL GROUP BY lang),
+        tdoc AS (SELECT sum(docs) AS t FROM dp),
+        ex AS (SELECT lang AS lab, unnest(bs) AS b FROM fb
+               WHERE lang IS NOT NULL),
+        cc AS (SELECT lab, b, count(*) AS c FROM ex GROUP BY lab, b),
+        tt AS (SELECT lab, count(*) AS n FROM ex GROUP BY lab),
+        lc AS (
+          SELECT dp.lab, g.gs AS b,
+                 ln((coalesce(cc.c, 0) + 1.0)
+                    / (coalesce(tt.n, 0) + 1.0 * {_NB_B})) AS lw
+          FROM dp CROSS JOIN generate_series(0, {_NB_B - 1}) g(gs)
+          LEFT JOIN tt ON tt.lab = dp.lab
+          LEFT JOIN cc ON cc.lab = dp.lab AND cc.b = g.gs
+        ),
+        vec AS (SELECT lab, list(lw ORDER BY b) AS v FROM lc GROUP BY lab),
+        pri AS (SELECT dp.lab, ln(dp.docs / tdoc.t) AS p
+                FROM dp CROSS JOIN tdoc),
+        sc AS (
+          SELECT fb.doc_id, vec.lab,
+                 pri.p + coalesce(
+                   list_sum([vec.v[x + 1] for x in fb.bs]), 0.0) AS s
+          FROM fb CROSS JOIN vec
+          JOIN pri ON pri.lab = vec.lab
+          WHERE fb.bs IS NOT NULL
+        ),
+        r AS (
+          SELECT doc_id, lab, s,
+                 row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY s DESC, lab ASC) AS rn
+          FROM sc
+        )
+        SELECT dd.doc_id, r.lab AS pred_lang, round(r.s, 6) AS nb_logp
+        FROM documents dd LEFT JOIN r ON r.doc_id = dd.doc_id AND r.rn = 1"""
     return d
 
 

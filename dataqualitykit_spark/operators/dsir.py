@@ -1,0 +1,436 @@
+"""DSIR importance resampling + hashed n-gram Naive Bayes quality
+classifier — the "train a cheap linear/bag-of-ngrams model, score every
+document, keep the best" step of a modern pretraining-data pipeline
+(DSIR: Xie et al. 2023, "Data Selection for Language Models via
+Importance Resampling"; the fastText-style quality classifier: DCLM,
+Li et al. 2024, and FineWeb-Edu). No reference analog — QualityControl.py
+has no content-based corpus selection at all; its closest machinery is
+the per-column frequency profiling (reference QualityControl.py:1040-1180),
+which never scores rows against a target distribution.
+
+Both operators reduce to COUNTING over hashed n-gram features, which is
+why they are exact and cross-engine reproducible where a trained
+fastText binary would not be:
+
+- Features per doc: lowercased ASCII-whitespace unigrams (the shared
+  tokenizer, semantics.tokenize mirror) followed by space-joined
+  bigrams, in document order.
+- Bucket hash: first 13 hex chars of md5 (52 bits, double/BIGINT-exact
+  in every engine — the same trick as sampling.hash_split) mod
+  `n_buckets`. md5 rather than xxhash64 because DuckDB has no xxhash64:
+  one hash, three engines (Spark native, Python mirror, SQL oracle).
+- Unigram+bigram hashed counts ARE the model: a bag-of-ngrams LM per
+  corpus (DSIR) or per class (NB), Laplace-smoothed driver-side with
+  python math.log (bitwise-equal to DuckDB ln on this platform — both
+  call libm).
+
+100 TB shape:
+- Counting: explode -> groupBy(bucket) is partially aggregated to at
+  most `n_buckets` rows per task BEFORE the exchange — the shuffle
+  carries O(n_buckets) bigint pairs per task, never per-token rows.
+- The model is O(n_classes * n_buckets) doubles, collected once on the
+  driver (bounded, like IVF centroids) and shipped back either as a
+  plan-literal array (method='literal', small n_buckets — keeps scoring
+  inside whole-stage codegen and SQL-expressible for the oracle) or as
+  an Arrow/pandas UDF closure vector (method='arrow', large n_buckets —
+  no plan bloat, one vectorized batch pass).
+- Scoring is a ZERO-SHUFFLE projection in both methods: per doc,
+  sequentially fold log-ratio lookups over its own feature buckets
+  (F.aggregate / python sum / DuckDB list_sum all fold left-to-right,
+  so the three engines are bit-identical given identical model
+  doubles). The only exchange in a full dsir_select is the
+  histogram-prefix cut inside top_fraction_by_score.
+
+Caveats (documented, inherent): md5 per token is ~2-3x the cost of
+xxhash64 (the price of a cross-engine hash); lowercase parity across
+engines holds for ASCII/Latin-1 but exotic case folds (e.g. U+0130) may
+differ per engine; hash collisions conflate features by design (raise
+n_buckets to taste — DSIR uses 10k).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from ..functions.text import words
+
+_FEATS = "_dsir_feats"
+_BUCKETS = "_dsir_buckets"
+
+DEFAULT_BUCKETS = 4096
+
+
+# ---------------------------------------------------------------------------
+# feature extraction (shared by counting and scoring)
+# ---------------------------------------------------------------------------
+
+
+def _bucket_col(tok: Column, n_buckets: int) -> Column:
+    """md5-13-hex bucket of one token — exact in double/BIGINT range."""
+    return F.pmod(
+        F.conv(F.substring(F.md5(tok), 1, 13), 16, 10).cast("long"),
+        F.lit(n_buckets),
+    ).cast("int")
+
+
+def _with_buckets(
+    df: DataFrame, text_col: str, n_buckets: int, lowercase: bool
+) -> DataFrame:
+    """Adds _dsir_buckets: array<int> of hashed unigram+bigram buckets in
+    document order (unigrams first, then bigrams — the fold order every
+    engine mirrors). NULL text propagates to a NULL array.
+
+    Each array is materialized in its OWN projection before the next
+    HOF consumes it — a transform inlined over an expensive array
+    construction re-evaluates it per element (measured round 5:
+    CollapseProject only spares multi-referenced non-cheap projections).
+    """
+    src = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
+    toks = "_dsir_toks"
+    out = df.withColumn(toks, words(src))
+    grams = F.when(
+        F.size(F.col(toks)) >= 2,
+        F.zip_with(
+            F.slice(F.col(toks), 1, F.size(F.col(toks)) - 1),
+            F.slice(F.col(toks), 2, F.size(F.col(toks)) - 1),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    out = out.withColumn(_FEATS, F.concat(F.col(toks), grams))
+    out = out.withColumn(
+        _BUCKETS,
+        F.transform(F.col(_FEATS), lambda t: _bucket_col(t, n_buckets)),
+    )
+    return out.drop(toks, _FEATS)
+
+
+def hashed_ngram_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    n_buckets: int = DEFAULT_BUCKETS,
+    lowercase: bool = True,
+) -> DataFrame:
+    """Corpus bag-of-hashed-ngrams: (bucket int, cnt long), at most
+    `n_buckets` rows. The exchange behind the groupBy carries partially
+    aggregated (bucket, count) pairs only — never per-token rows."""
+    b = _with_buckets(df, text_col, n_buckets, lowercase)
+    return (
+        b.select(F.explode(_BUCKETS).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# DSIR: importance weights against a target corpus
+# ---------------------------------------------------------------------------
+
+
+def _counts_to_vec(rows, n_buckets: int) -> tuple[list[int], int]:
+    vec = [0] * n_buckets
+    for r in rows:
+        vec[r["bucket"]] = r["cnt"]
+    return vec, sum(vec)
+
+
+def dsir_log_ratio(
+    target_counts: DataFrame,
+    raw_counts: DataFrame,
+    n_buckets: int = DEFAULT_BUCKETS,
+    alpha: float = 1.0,
+) -> list[float]:
+    """Per-bucket log importance ratio log p_target(b) - log p_raw(b),
+    Laplace-smoothed: p(b) = (c_b + alpha) / (N + alpha * n_buckets).
+    Collects both count frames (<= n_buckets rows each — a bounded
+    model, not a data collect) and computes in python math.log, which
+    the DuckDB oracle's ln reproduces bitwise."""
+    t_vec, t_n = _counts_to_vec(target_counts.collect(), n_buckets)
+    r_vec, r_n = _counts_to_vec(raw_counts.collect(), n_buckets)
+    td = t_n + alpha * n_buckets
+    rd = r_n + alpha * n_buckets
+    return [
+        math.log((t_vec[b] + alpha) / td) - math.log((r_vec[b] + alpha) / rd)
+        for b in range(n_buckets)
+    ]
+
+
+def _fold_literal(bucket_arr: Column, vec: Sequence[float], offset: int = 0) -> Column:
+    lit = F.array(*[F.lit(float(x)) for x in vec])
+    if offset:
+        return F.aggregate(
+            bucket_arr,
+            F.lit(0.0),
+            lambda acc, b: acc + F.get(lit, b + F.lit(offset)),
+        )
+    return F.aggregate(
+        bucket_arr, F.lit(0.0), lambda acc, b: acc + F.get(lit, b)
+    )
+
+
+def _score_arrow(df: DataFrame, text_col, out_col, vecs, priors, n_buckets, lowercase):
+    """Arrow path: model vectors ride the UDF closure (no plan bloat);
+    one vectorized batch pass, python mirror of the shared tokenizer.
+    Returns per-row list of per-class scores (DSIR: one class, no prior).
+    """
+    import pandas as pd  # noqa: F401 (signature side)
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    mirror_feats = py_features
+    k = len(vecs)
+
+    @pandas_udf("array<double>")
+    def _score(s):
+        def one(text):
+            if text is None:
+                return None
+            bs = [
+                py_bucket(f, n_buckets)
+                for f in mirror_feats(text, lowercase=lowercase)
+            ]
+            out = []
+            for j in range(k):
+                v = vecs[j]
+                acc = 0.0
+                for b in bs:
+                    acc = acc + v[b]
+                out.append(priors[j] + acc if priors else acc)
+            return out
+
+        return s.map(one)
+
+    return df.withColumn(out_col, _score(F.col(text_col)))
+
+
+def dsir_score(
+    df: DataFrame,
+    log_ratio: Sequence[float],
+    text_col: str = "text",
+    weight_col: str = "dsir_weight",
+    lowercase: bool = True,
+    method: str = "literal",
+) -> DataFrame:
+    """Adds `weight_col`: the doc's summed hashed-ngram log importance
+    ratio (higher = more target-like). Zero-shuffle projection; NULL
+    text -> NULL weight; featureless text -> 0.0.
+
+    method='literal' inlines the model as a plan-literal array (keeps
+    whole-stage codegen + the SQL oracle form); method='arrow' ships it
+    in a pandas-UDF closure for large n_buckets."""
+    n_buckets = len(log_ratio)
+    if method == "arrow":
+        out = _score_arrow(
+            df, text_col, "_dsir_sc", [list(log_ratio)], None, n_buckets, lowercase
+        )
+        return out.withColumn(weight_col, F.get("_dsir_sc", 0)).drop("_dsir_sc")
+    if method != "literal":
+        raise ValueError(f"unknown method {method!r}")
+    b = _with_buckets(df, text_col, n_buckets, lowercase)
+    return b.withColumn(weight_col, _fold_literal(F.col(_BUCKETS), log_ratio)).drop(
+        _BUCKETS
+    )
+
+
+def dsir_select(
+    raw: DataFrame,
+    target: DataFrame,
+    frac: float,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = DEFAULT_BUCKETS,
+    alpha: float = 1.0,
+    lowercase: bool = True,
+    method: str = "literal",
+) -> DataFrame:
+    """End-to-end DSIR: keep exactly ceil(frac * n) most-target-like raw
+    docs. Two tiny counting jobs + a zero-shuffle scoring projection +
+    the histogram-prefix top-fraction cut (the pipeline's only
+    row-bearing exchange)."""
+    from .sampling import top_fraction_by_score
+
+    lr = dsir_log_ratio(
+        hashed_ngram_counts(target, text_col, n_buckets, lowercase),
+        hashed_ngram_counts(raw, text_col, n_buckets, lowercase),
+        n_buckets,
+        alpha,
+    )
+    scored = dsir_score(raw, lr, text_col, "dsir_weight", lowercase, method)
+    lo = min(lr) * 1000.0  # conservative per-doc bound for the histogram
+    hi = max(lr) * 1000.0
+    if lo > hi:
+        lo, hi = hi, lo
+    return top_fraction_by_score(
+        scored, frac, score_col="dsir_weight", id_col=id_col, lo=lo, hi=hi
+    ).drop("dsir_weight")
+
+
+# ---------------------------------------------------------------------------
+# hashed-ngram Naive Bayes (the fastText-style quality classifier)
+# ---------------------------------------------------------------------------
+
+
+def nb_train(
+    df: DataFrame,
+    label_col: str,
+    text_col: str = "text",
+    n_buckets: int = DEFAULT_BUCKETS,
+    alpha: float = 1.0,
+    lowercase: bool = True,
+) -> dict:
+    """Multinomial NB over hashed unigram+bigram counts — training is
+    ONE partially aggregated groupBy((label, bucket)) plus a docs-per-
+    label count; the model (n_classes * n_buckets doubles + priors) is
+    collected driver-side. NULL-label rows are excluded.
+
+    Exactly the shape of DCLM's fastText quality classifier (linear
+    over hashed ngram features) minus the iterative fit — NB's closed
+    form is what makes the result reproducible enough to oracle."""
+    labeled = df.filter(F.col(label_col).isNotNull())
+    b = _with_buckets(labeled, text_col, n_buckets, lowercase)
+    cond_rows = (
+        b.select(F.col(label_col).alias("lab"), F.explode(_BUCKETS).alias("bucket"))
+        .groupBy("lab", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    )
+    doc_rows = (
+        labeled.groupBy(F.col(label_col).alias("lab"))
+        .agg(F.count(F.lit(1)).alias("docs"))
+        .collect()
+    )
+    labels = sorted(r["lab"] for r in doc_rows)
+    idx = {lab: i for i, lab in enumerate(labels)}
+    total_docs = sum(r["docs"] for r in doc_rows)
+    log_prior = [0.0] * len(labels)
+    for r in doc_rows:
+        log_prior[idx[r["lab"]]] = math.log(r["docs"] / total_docs)
+    cond = [[0] * n_buckets for _ in labels]
+    totals = [0] * len(labels)
+    for r in cond_rows:
+        cond[idx[r["lab"]]][r["bucket"]] = r["cnt"]
+        totals[idx[r["lab"]]] += r["cnt"]
+    log_cond = [
+        [
+            math.log((cond[i][b] + alpha) / (totals[i] + alpha * n_buckets))
+            for b in range(n_buckets)
+        ]
+        for i in range(len(labels))
+    ]
+    return {
+        "labels": labels,
+        "log_prior": log_prior,
+        "log_cond": log_cond,
+        "n_buckets": n_buckets,
+        "alpha": alpha,
+        "lowercase": lowercase,
+    }
+
+
+def nb_predict(
+    df: DataFrame,
+    model: dict,
+    text_col: str = "text",
+    pred_col: str = "nb_pred",
+    score_col: str | None = "nb_score",
+    method: str = "literal",
+) -> DataFrame:
+    """Adds the argmax class (`pred_col`) and its log joint score
+    (`score_col`, skipped when None). Zero-shuffle projection; ties
+    break to the first label in sorted order (first-max position — the
+    same rule the SQL oracle's (score DESC, label ASC) window applies).
+    NULL text -> NULL prediction.
+
+    Score composition is prior + (0.0-seeded sequential fold) in every
+    engine, so the doubles are bit-identical across Spark, the python
+    mirror, and DuckDB."""
+    labels = model["labels"]
+    n_buckets = model["n_buckets"]
+    if method == "arrow":
+        out = _score_arrow(
+            df,
+            text_col,
+            "_nb_scores",
+            model["log_cond"],
+            model["log_prior"],
+            n_buckets,
+            model["lowercase"],
+        )
+    elif method == "literal":
+        b = _with_buckets(df, text_col, n_buckets, model["lowercase"])
+        flat: list[float] = []
+        for v in model["log_cond"]:
+            flat.extend(v)
+        scores = F.array(
+            *[
+                F.lit(model["log_prior"][i])
+                + _fold_literal(F.col(_BUCKETS), flat, offset=i * n_buckets)
+                for i in range(len(labels))
+            ]
+        )
+        out = b.withColumn("_nb_scores", scores).drop(_BUCKETS)
+    else:
+        raise ValueError(f"unknown method {method!r}")
+    lab_arr = F.array(*[F.lit(x) for x in labels])
+    best = F.array_max("_nb_scores")
+    out = out.withColumn(
+        pred_col,
+        F.when(
+            F.col("_nb_scores").isNotNull(),
+            F.get(lab_arr, F.array_position("_nb_scores", best).cast("int") - 1),
+        ),
+    )
+    if score_col is not None:
+        out = out.withColumn(score_col, best)
+    return out.drop("_nb_scores")
+
+
+# ---------------------------------------------------------------------------
+# python mirrors (pytest goldens + the Arrow path share these)
+# ---------------------------------------------------------------------------
+
+
+def py_bucket(feature: str, n_buckets: int) -> int:
+    import hashlib
+
+    h = hashlib.md5(feature.encode("utf-8")).hexdigest()
+    return int(h[:13], 16) % n_buckets
+
+
+def py_features(text: str, lowercase: bool = True) -> list[str]:
+    from ..semantics import tokenize
+
+    toks = tokenize(text.lower() if lowercase else text)
+    return toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+
+
+def py_dsir_weight(
+    text: str | None, log_ratio: Sequence[float], lowercase: bool = True
+) -> float | None:
+    if text is None:
+        return None
+    acc = 0.0
+    for f in py_features(text, lowercase):
+        acc = acc + log_ratio[py_bucket(f, len(log_ratio))]
+    return acc
+
+
+def py_nb_predict(text: str | None, model: dict):
+    """(label, score) mirror of nb_predict — first-max tie rule."""
+    if text is None:
+        return None, None
+    bs = [
+        py_bucket(f, model["n_buckets"])
+        for f in py_features(text, model["lowercase"])
+    ]
+    best_i, best_s = 0, None
+    for i in range(len(model["labels"])):
+        acc = 0.0
+        v = model["log_cond"][i]
+        for b in bs:
+            acc = acc + v[b]
+        s = model["log_prior"][i] + acc
+        if best_s is None or s > best_s:
+            best_i, best_s = i, s
+    return model["labels"][best_i], best_s
