@@ -1693,6 +1693,22 @@ def q_nb_lang_classifier(spark, sf):
     )
 
 
+def q_gumbel_sample(spark, sf):
+    """Gumbel-top-k weighted sampling WITHOUT replacement (DSIR's
+    resampling step; Kool et al. 2019): 50 docs drawn proportional to
+    exp(ln(n_chars+1)) under the deterministic md5-uniform, plan
+    lowering to TakeOrderedAndProject (per-partition top-k, no global
+    sort). Oracle = the same perturbed-key ORDER BY ... LIMIT in SQL;
+    keys rounded to 6 (JVM Math.log vs libm differ by <= 1 ulp — far
+    below both the rounding grain and the inter-key gaps)."""
+    from dataqualitykit_spark.operators import sampling
+
+    d = _t(spark, sf, "documents")
+    w = d.select("doc_id", F.log(F.col("n_chars") + 1).alias("w"))
+    out = sampling.gumbel_weighted_sample(w, 50, "w", key_col="gk")
+    return out.select("doc_id", F.round("gk", 6).alias("gumbel_key"))
+
+
 def q_token_budget(spark, sf):
     # per-language corpus budget: docs + REAL BPE tokens + ws tokens —
     # the training-mix planning aggregate
@@ -1824,6 +1840,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "score_buckets": q_score_buckets,
         "dsir_weights": q_dsir_weights,
         "nb_lang_classifier": q_nb_lang_classifier,
+        "gumbel_sample": q_gumbel_sample,
         # -- two green rounds (r03+r04 / r02+r04) — one confirming record --
         "minhash_lsh_dups": q_minhash_lsh_dups,
         "simhash": q_simhash,
@@ -3650,6 +3667,19 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT dd.doc_id, r.lab AS pred_lang, round(r.s, 6) AS nb_logp
         FROM documents dd LEFT JOIN r ON r.doc_id = dd.doc_id AND r.rn = 1"""
+
+    d["gumbel_sample"] = """
+        WITH u AS (
+          SELECT doc_id, ln(n_chars + 1) AS w,
+                 (CAST(('0x' || substr(md5('gumbel' || CAST(doc_id AS VARCHAR)),
+                                       1, 13)) AS BIGINT) + 0.5)
+                 / 4503599627370496.0 AS uu
+          FROM documents
+        )
+        SELECT doc_id, round(w / 1.0 - ln(-ln(uu)), 6) AS gumbel_key
+        FROM u WHERE w IS NOT NULL
+        ORDER BY w / 1.0 - ln(-ln(uu)) DESC, doc_id ASC
+        LIMIT 50"""
     return d
 
 

@@ -412,3 +412,62 @@ def score_buckets(
     else:
         out = labeled_whole
     return out.drop("_g", "_key", "_bin", "_jbin", "_null_s")
+
+
+def gumbel_weighted_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    temperature: float = 1.0,
+    salt: str = "gumbel",
+    key_col: str | None = None,
+) -> DataFrame:
+    """Sample exactly k rows WITHOUT replacement with probability
+    proportional to exp(weight / temperature) — the Gumbel-top-k trick
+    (Vieira 2014; Kool et al. 2019), and the sampling step of DSIR (Xie
+    et al. 2023) that importance-RESAMPLES rather than top-k-truncates.
+    No reference analog (QualityControl.py:2104-2130 samples uniformly
+    via df.sample).
+
+    Deterministic and engine-portable: the per-row uniform is
+    u = (first 13 md5 hex chars of salt||id + 0.5) / 2^52 — the
+    hash_split trick, +0.5 keeping u strictly inside (0, 1) while
+    staying double-exact — and the perturbed key is
+    weight/temperature - ln(-ln(u)). Same (salt, id, weight) always
+    draws the same sample, across runs, machines, and the DuckDB
+    oracle; rotating `salt` redraws.
+
+    100 TB shape: one zero-shuffle projection computes the key, then
+    global top-k lowers to TakeOrderedAndProject — each partition keeps
+    its local top k and only k rows per partition reach the driver-side
+    merge; no full sort, no exchange of the corpus. k is assumed
+    driver-sized (a sample, not a partition of the corpus — use
+    top_fraction_by_score for constant-fraction cuts).
+
+    NULL weights are excluded (a NULL perturbed key cannot be ranked);
+    ties (2^-52 events) break by id for a total order. Set `key_col`
+    to also keep the perturbed key."""
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    key = F.md5(
+        F.encode(
+            F.concat(F.lit(salt), F.col(id_col).cast("string")), "UTF-8"
+        )
+    )
+    u = (
+        F.conv(F.substring(key, 1, 13), 16, 10).cast("double") + F.lit(0.5)
+    ) / F.lit(float(16**13))
+    gumbel = -F.log(-F.log(u))
+    perturbed = F.col(weight_col).cast("double") / F.lit(
+        float(temperature)
+    ) + gumbel
+    out = (
+        df.filter(F.col(weight_col).isNotNull())
+        .withColumn("_gk", perturbed)
+        .orderBy(F.col("_gk").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+    if key_col is not None:
+        return out.withColumnRenamed("_gk", key_col)
+    return out.drop("_gk")

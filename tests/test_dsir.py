@@ -182,3 +182,91 @@ class TestNaiveBayes:
             .toString()
         )
         assert "Exchange" not in plan
+
+
+class TestGumbelSample:
+    """gumbel_weighted_sample lives in sampling.py but belongs to the
+    DSIR family (the paper's resampling step)."""
+
+    @pytest.fixture(scope="class")
+    def wdf(self, spark):
+        rows = [(i, float(i % 7)) for i in range(200)] + [(200, None)]
+        return spark.createDataFrame(rows, "doc_id long, w double")
+
+    def test_deterministic_and_exact_k(self, wdf):
+        from dataqualitykit_spark.operators.sampling import (
+            gumbel_weighted_sample,
+        )
+
+        a = [r["doc_id"] for r in gumbel_weighted_sample(wdf, 25, "w").collect()]
+        b = [r["doc_id"] for r in gumbel_weighted_sample(wdf, 25, "w").collect()]
+        assert a == b and len(a) == 25
+        assert 200 not in a  # NULL weight excluded
+
+    def test_matches_python_mirror(self, wdf):
+        import hashlib
+
+        from dataqualitykit_spark.operators.sampling import (
+            gumbel_weighted_sample,
+        )
+
+        got = [
+            (r["doc_id"], r["gk"])
+            for r in gumbel_weighted_sample(wdf, 30, "w", key_col="gk").collect()
+        ]
+
+        def key(i, w):
+            h = hashlib.md5(f"gumbel{i}".encode()).hexdigest()
+            u = (int(h[:13], 16) + 0.5) / float(16**13)
+            return w / 1.0 - math.log(-math.log(u))
+
+        want = sorted(
+            ((i, key(i, float(i % 7))) for i in range(200)),
+            key=lambda x: (-x[1], x[0]),
+        )[:30]
+        assert [g[0] for g in got] == [w[0] for w in want]
+        for (gi, gk), (wi, wk) in zip(got, want):
+            # JVM Math.log differs from libm by <= 1 ulp
+            assert gk == pytest.approx(wk, rel=1e-12)
+
+    def test_salt_and_temperature_change_draw(self, wdf):
+        from dataqualitykit_spark.operators.sampling import (
+            gumbel_weighted_sample,
+        )
+
+        base = [r["doc_id"] for r in gumbel_weighted_sample(wdf, 25, "w").collect()]
+        other = [
+            r["doc_id"]
+            for r in gumbel_weighted_sample(wdf, 25, "w", salt="s2").collect()
+        ]
+        cold = [
+            r["doc_id"]
+            for r in gumbel_weighted_sample(
+                wdf, 25, "w", temperature=0.05
+            ).collect()
+        ]
+        assert base != other
+        # near-zero temperature degenerates to (weighted) top-k: only the
+        # max-weight class (w=6.0) survives
+        assert all(i % 7 == 6 for i in cold)
+
+    def test_plan_is_take_ordered(self, wdf):
+        from dataqualitykit_spark.operators.sampling import (
+            gumbel_weighted_sample,
+        )
+
+        plan = (
+            gumbel_weighted_sample(wdf, 10, "w")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "TakeOrderedAndProject" in plan
+
+    def test_bad_k_raises(self, wdf):
+        from dataqualitykit_spark.operators.sampling import (
+            gumbel_weighted_sample,
+        )
+
+        with pytest.raises(ValueError):
+            gumbel_weighted_sample(wdf, 0, "w")
