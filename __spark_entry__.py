@@ -1693,6 +1693,42 @@ def q_nb_lang_classifier(spark, sf):
     )
 
 
+# planted code-switch paragraph: 12 strongly-German profile words — any
+# non-'de' doc gaining it must report >= 1 mismatched paragraph
+_CODE_SWITCH_PARA = (
+    "\nder hund und die katze sind im wald und der wald ist gross"
+)
+
+
+def q_lang_consistency(spark, sf):
+    """Code-switch detection: every doc_id%4==0 doc gets a planted
+    German paragraph; lang_consistency's one-Arrow-pass per-paragraph
+    langid must count it as a mismatch against the doc-level language
+    (unless the doc itself resolves to 'de'). The oracle unnests
+    paragraphs and runs the SAME generated langid CASE (script ranges ->
+    profile hits) per paragraph and per doc."""
+    from dataqualitykit_spark.operators import paragraph_quality as _pq
+
+    d = _t(spark, sf, "documents")
+    planted = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(F.col("text"), F.lit(_CODE_SWITCH_PARA)),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    out = _pq.lang_consistency(planted)
+    return out.select(
+        F.col("id").alias("doc_id"),
+        "doc_lang",
+        "n_paras_scored",
+        "n_mismatch",
+        F.round("mismatch_frac", 6).alias("mismatch_frac"),
+    )
+
+
 def q_gumbel_sample(spark, sf):
     """Gumbel-top-k weighted sampling WITHOUT replacement (DSIR's
     resampling step; Kool et al. 2019): 50 docs drawn proportional to
@@ -1841,6 +1877,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_weights": q_dsir_weights,
         "nb_lang_classifier": q_nb_lang_classifier,
         "gumbel_sample": q_gumbel_sample,
+        "lang_consistency": q_lang_consistency,
         # -- two green rounds (r03+r04 / r02+r04) — one confirming record --
         "minhash_lsh_dups": q_minhash_lsh_dups,
         "simhash": q_simhash,
@@ -3680,6 +3717,54 @@ def oracle_sql() -> dict[str, str]:
         FROM u WHERE w IS NOT NULL
         ORDER BY w / 1.0 - ln(-ln(uu)) DESC, doc_id ASC
         LIMIT 50"""
+
+    lc_cols, lc_case, _lc_conf = _langid_cols("toks", "text")
+    d["lang_consistency"] = f"""
+        WITH p AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 4 = 0
+                      THEN text || {_sql_lit(_CODE_SWITCH_PARA)}
+                      ELSE text END AS text
+          FROM documents
+        ), dtok AS (
+          SELECT doc_id, text, {_sql_tokens('text')} AS toks FROM p
+        ), dhits AS (
+          SELECT doc_id, len(toks) AS nw, {lc_cols} FROM dtok
+        ), dlang AS (
+          SELECT doc_id, {lc_case} AS doc_lang FROM dhits
+        ), paras AS (
+          SELECT doc_id, unnest(string_split(text, chr(10))) AS para FROM p
+        ), ptok AS (
+          SELECT doc_id, para AS text, {_sql_tokens('para')} AS toks
+          FROM paras WHERE trim(para, ' ') <> ''
+        ), phits AS (
+          SELECT doc_id, len(toks) AS nw, {lc_cols} FROM ptok
+        ), plang AS (
+          SELECT doc_id, nw, {lc_case} AS p_lang FROM phits
+        ), agg AS (
+          SELECT pl.doc_id,
+                 CAST(sum(CASE WHEN pl.nw >= 3 AND pl.p_lang <> 'und'
+                               THEN 1 ELSE 0 END) AS INT) AS n_scored,
+                 CAST(sum(CASE WHEN pl.nw >= 3 AND pl.p_lang <> 'und'
+                               AND pl.p_lang <> dl.doc_lang
+                               THEN 1 ELSE 0 END) AS INT) AS n_mismatch
+          FROM plang pl JOIN dlang dl USING (doc_id)
+          GROUP BY pl.doc_id
+        )
+        SELECT p.doc_id,
+               CASE WHEN p.text IS NULL THEN NULL ELSE dl.doc_lang END
+                 AS doc_lang,
+               CASE WHEN p.text IS NULL THEN NULL
+                    ELSE coalesce(a.n_scored, 0) END AS n_paras_scored,
+               CASE WHEN p.text IS NULL THEN NULL
+                    ELSE coalesce(a.n_mismatch, 0) END AS n_mismatch,
+               CASE WHEN p.text IS NULL THEN NULL
+                    WHEN coalesce(a.n_scored, 0) = 0 THEN 0.0
+                    ELSE round(CAST(a.n_mismatch AS DOUBLE) / a.n_scored, 6)
+               END AS mismatch_frac
+        FROM p
+        LEFT JOIN dlang dl USING (doc_id)
+        LEFT JOIN agg a USING (doc_id)"""
     return d
 
 

@@ -79,3 +79,91 @@ def paragraph_ppl_scrub(
         F.col("_r.n_paras").alias("n_paras"),
         F.col("_r.n_dropped").alias("n_dropped"),
     )
+
+
+_LANG_SCHEMA = (
+    "struct<doc_lang: string, n_paras_scored: int, n_mismatch: int,"
+    " mismatch_frac: double>"
+)
+
+
+def py_lang_consistency(text, min_words=3):
+    """Python mirror of lang_consistency for one doc — pytest goldens and
+    the Arrow batch share it. Returns (doc_lang, n_scored, n_mismatch,
+    frac) or None for NULL text."""
+    from ..semantics import langid, tokenize
+
+    if text is None:
+        return None
+    doc_lang = langid(text)[0]
+    scored = mismatch = 0
+    for p in text.split("\n"):
+        if p.strip(" ") == "" or len(tokenize(p)) < min_words:
+            continue
+        p_lang = langid(p)[0]
+        if p_lang == "und":
+            continue
+        scored += 1
+        if p_lang != doc_lang:
+            mismatch += 1
+    frac = (mismatch / scored) if scored else 0.0
+    return doc_lang, scored, mismatch, frac
+
+
+def lang_consistency(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 3,
+) -> DataFrame:
+    """Code-switch / language-consistency report: the fraction of a
+    doc's paragraphs whose language disagrees with the doc-level
+    prediction — mixed-language pages (translated boilerplate, embedded
+    foreign quotes, SEO spam stitching corpora) are a standard webtext
+    quality signal CCNet/Gopher-class pipelines act on. No reference
+    analog; same langid (script ranges -> stopword profiles) the
+    pipeline's scorer uses, applied per paragraph.
+
+    A paragraph is SCORED when non-blank (the repo's strip-spaces
+    convention), has >= min_words whitespace tokens, and langid does not
+    return 'und' — under-evidence paragraphs carry no signal and count
+    toward neither side. mismatch_frac = n_mismatch / n_paras_scored
+    (0.0 when nothing scored). NULL text -> NULL row values.
+
+    100 TB shape: exactly paragraph_ppl_scrub's — the decision is
+    paragraph-local given the doc, so ONE Arrow pass handles split,
+    per-paragraph langid, and the aggregate; no explode, no exchange,
+    text crosses the Arrow boundary once."""
+
+    def batch(texts):
+        langs, scored_l, mism_l, frac_l = [], [], [], []
+        for t in texts:
+            r = py_lang_consistency(t, min_words)
+            if r is None:
+                langs.append(None)
+                scored_l.append(None)
+                mism_l.append(None)
+                frac_l.append(None)
+            else:
+                langs.append(r[0])
+                scored_l.append(r[1])
+                mism_l.append(r[2])
+                frac_l.append(r[3])
+        return pd.DataFrame(
+            {
+                "doc_lang": langs,
+                "n_paras_scored": pd.array(scored_l, dtype="Int32"),
+                "n_mismatch": pd.array(mism_l, dtype="Int32"),
+                "mismatch_frac": pd.array(frac_l, dtype="Float64"),
+            }
+        )
+
+    udf = F.pandas_udf(batch, returnType=_LANG_SCHEMA)
+    out = df.select(F.col(id_col).alias("id"), udf(F.col(text_col)).alias("_r"))
+    return out.select(
+        "id",
+        F.col("_r.doc_lang").alias("doc_lang"),
+        F.col("_r.n_paras_scored").alias("n_paras_scored"),
+        F.col("_r.n_mismatch").alias("n_mismatch"),
+        F.col("_r.mismatch_frac").alias("mismatch_frac"),
+    )

@@ -255,3 +255,81 @@ class TestScoreBuckets:
     def test_single_bin_forces_window_path(self, spark):
         rows = [(i, "en", float(i % 7)) for i in range(50)]
         self._check(spark, rows, lo=0.0, hi=7.0, bins=1)
+
+
+# ---------------------------------------------------------------------------
+# language consistency (code-switch detection) — r5 session 3
+# ---------------------------------------------------------------------------
+
+
+class TestLangConsistency:
+    DOCS = [
+        (0, "the cat and the dog were in the house and it was a good day "
+            "for all of them\n"
+            "they went to the park and the sun was out over the hills and "
+            "the trees\n"
+            "der hund und die katze sind im wald"),
+        (1, "the cat sat on the mat with the dog and the sun was shining"),
+        (2, None),
+        (3, "the cat sat on the mat\n\n   \nok go\n"  # blank + short skipped
+            "the dog ran in the park with the children"),
+        (4, "zzz qqq vvv kkk www yyy"),  # no profile hits -> doc 'und'
+    ]
+
+    def _mirror(self, t):
+        from dataqualitykit_spark.operators.paragraph_quality import (
+            py_lang_consistency,
+        )
+
+        return py_lang_consistency(t)
+
+    def test_spark_matches_python_mirror(self, spark):
+        from dataqualitykit_spark.operators.paragraph_quality import (
+            lang_consistency,
+        )
+
+        df = spark.createDataFrame(self.DOCS, "doc_id long, text string")
+        got = {
+            r["id"]: (
+                r["doc_lang"],
+                r["n_paras_scored"],
+                r["n_mismatch"],
+                r["mismatch_frac"],
+            )
+            for r in lang_consistency(df).collect()
+        }
+        for i, t in self.DOCS:
+            want = self._mirror(t)
+            if want is None:
+                assert got[i] == (None, None, None, None)
+            else:
+                assert got[i] == want, (i, got[i], want)
+
+    def test_code_switch_detected(self, spark):
+        from dataqualitykit_spark.operators.paragraph_quality import (
+            lang_consistency,
+        )
+
+        df = spark.createDataFrame(self.DOCS, "doc_id long, text string")
+        got = {r["id"]: r for r in lang_consistency(df).collect()}
+        # doc 0: two en paragraphs + one de paragraph -> en doc, 1 mismatch
+        assert got[0]["doc_lang"] == "en"
+        assert got[0]["n_paras_scored"] == 3
+        assert got[0]["n_mismatch"] == 1
+        assert got[0]["mismatch_frac"] == pytest.approx(1 / 3)
+        # doc 1: monolingual -> zero mismatch
+        assert got[1]["n_mismatch"] == 0 and got[1]["mismatch_frac"] == 0.0
+        # doc 3: blank and <3-word paragraphs are not scored
+        assert got[3]["n_paras_scored"] == 2
+
+    def test_und_paragraphs_carry_no_signal(self, spark):
+        from dataqualitykit_spark.operators.paragraph_quality import (
+            lang_consistency,
+        )
+
+        rows = [(0, "the cat sat on the mat with the dog\nzzz qqq vvv kkk")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        r = lang_consistency(df).collect()[0]
+        # the und paragraph is neither scored nor mismatched
+        assert r["n_paras_scored"] == 1
+        assert r["n_mismatch"] == 0
