@@ -1729,6 +1729,19 @@ def q_lang_consistency(spark, sf):
     )
 
 
+def q_top_ngrams(spark, sf):
+    """Exact corpus-wide top-25 word trigrams via the hash-compressed
+    two-job shape (count by 52-bit md5 hash — the exchange carries only
+    bigint pairs — then recover winner strings in a k-row second pass).
+    The oracle groups by the SAME hash, so even a 52-bit collision would
+    merge counts identically on both engines; boundary ties break by
+    (cnt DESC, hash ASC) in both."""
+    from dataqualitykit_spark.operators import corpus_stats
+
+    d = _t(spark, sf, "documents")
+    return corpus_stats.top_ngrams(d, n=3, k=25)
+
+
 def q_gumbel_sample(spark, sf):
     """Gumbel-top-k weighted sampling WITHOUT replacement (DSIR's
     resampling step; Kool et al. 2019): 50 docs drawn proportional to
@@ -1878,6 +1891,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nb_lang_classifier": q_nb_lang_classifier,
         "gumbel_sample": q_gumbel_sample,
         "lang_consistency": q_lang_consistency,
+        "top_ngrams": q_top_ngrams,
         # -- two green rounds (r03+r04 / r02+r04) — one confirming record --
         "minhash_lsh_dups": q_minhash_lsh_dups,
         "simhash": q_simhash,
@@ -3765,6 +3779,25 @@ def oracle_sql() -> dict[str, str]:
         FROM p
         LEFT JOIN dlang dl USING (doc_id)
         LEFT JOIN agg a USING (doc_id)"""
+
+    d["top_ngrams"] = f"""
+        WITH tok AS (
+          SELECT {_sql_tokens('lower(text)')} AS toks FROM documents
+        ), ng AS (
+          SELECT CASE WHEN len(toks) >= 3
+                 THEN [concat_ws(' ', toks[i], toks[i+1], toks[i+2])
+                       for i in generate_series(1, len(toks) - 2)]
+                 ELSE [] END AS gs
+          FROM tok
+        ), ex AS (
+          SELECT unnest(gs) AS g FROM ng
+        ), h AS (
+          SELECT g, CAST(('0x' || substr(md5(g), 1, 13)) AS BIGINT) AS hs
+          FROM ex
+        ), c AS (
+          SELECT hs, count(*) AS cnt, min(g) AS ngram FROM h GROUP BY hs
+        )
+        SELECT ngram, cnt FROM c ORDER BY cnt DESC, hs ASC LIMIT 25"""
     return d
 
 

@@ -333,3 +333,90 @@ class TestLangConsistency:
         # the und paragraph is neither scored nor mismatched
         assert r["n_paras_scored"] == 1
         assert r["n_mismatch"] == 0
+
+
+# ---------------------------------------------------------------------------
+# corpus top-k n-grams — r5 session 3
+# ---------------------------------------------------------------------------
+
+
+class TestTopNgrams:
+    ROWS = [
+        (0, "the cat sat on the mat the cat sat"),
+        (1, "the cat sat down"),
+        (2, None),
+        (3, "a b"),  # < n tokens -> contributes nothing
+        (4, "The Cat Sat on it"),  # case folds into the same trigrams
+    ]
+
+    def test_matches_python_counter(self, spark):
+        import hashlib
+        from collections import Counter
+
+        from dataqualitykit_spark.operators import corpus_stats
+
+        df = spark.createDataFrame(self.ROWS, "doc_id long, text string")
+        got = sorted(
+            ((r["ngram"], r["cnt"]) for r in
+             corpus_stats.top_ngrams(df, n=3, k=5).collect()),
+            key=lambda x: (-x[1], x[0]),
+        )
+        want = Counter()
+        for _, t in self.ROWS:
+            if t is None:
+                continue
+            toks = t.lower().split()
+            for i in range(len(toks) - 2):
+                want[" ".join(toks[i : i + 3])] += 1
+
+        def h(g):
+            return int(hashlib.md5(g.encode()).hexdigest()[:13], 16)
+
+        top = sorted(want.items(), key=lambda x: (-x[1], h(x[0])))[:5]
+        assert got == sorted(top, key=lambda x: (-x[1], x[0]))
+        assert got[0] == ("the cat sat", 4)
+
+    def test_deterministic_at_tie_boundary(self, spark):
+        from dataqualitykit_spark.operators import corpus_stats
+
+        # every trigram appears exactly once -> k cut is all ties; the
+        # (cnt, hash) order must give the same rows every run
+        df = spark.createDataFrame(
+            [(0, "q w e r t y u i o p a s d f g h j k l")],
+            "doc_id long, text string",
+        )
+        a = sorted(r["ngram"] for r in corpus_stats.top_ngrams(df, 3, 7).collect())
+        b = sorted(r["ngram"] for r in corpus_stats.top_ngrams(df, 3, 7).collect())
+        assert a == b and len(a) == 7
+
+    def test_empty_corpus_and_bad_k(self, spark):
+        import pytest as _pt
+
+        from dataqualitykit_spark.operators import corpus_stats
+
+        df = spark.createDataFrame([(0, None)], "doc_id long, text string")
+        assert corpus_stats.top_ngrams(df, 3, 5).count() == 0
+        with _pt.raises(ValueError):
+            corpus_stats.top_ngrams(df, 3, 0)
+
+    def test_count_exchange_carries_only_hashes(self, spark):
+        from dataqualitykit_spark.operators import corpus_stats
+        from dataqualitykit_spark.operators.corpus_stats import (
+            _ngram_hash,
+            _with_ngrams,
+        )
+
+        df = spark.createDataFrame(self.ROWS, "doc_id long, text string")
+        ng = _with_ngrams(df, "text", 3, True).select(F.explode("_ng").alias("_g"))
+        counts = (
+            ng.select(_ngram_hash(F.col("_g")).alias("_h"))
+            .groupBy("_h")
+            .count()
+        )
+        plan = counts._jdf.queryExecution().executedPlan().toString()
+        # the shuffle is keyed on the 52-bit hash, and the exchange's own
+        # row (not its subtree) carries no n-gram string column — the
+        # shuffled rows are the partial-agg (hash, count) pairs
+        ex_line = next(l for l in plan.splitlines() if "Exchange" in l)
+        assert "hashpartitioning(_h" in ex_line
+        assert "_g#" not in ex_line
