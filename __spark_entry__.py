@@ -1742,6 +1742,58 @@ def q_top_ngrams(spark, sf):
     return corpus_stats.top_ngrams(d, n=3, k=25)
 
 
+def q_link_density(spark, sf):
+    """jusText-style link-density boilerplate signal over raw HTML: each
+    doc is wrapped in a deterministic page whose nav carries doc_id % 6
+    menu anchors, one 'Read <b>more</b>' anchor with nested markup
+    (stripped before counting), and — every 7th doc — an unclosed
+    trailing <a> that must contribute nothing. Spark runs the shared
+    regex pair (functions.text.ANCHOR_INNER_REGEX / TAG_STRIP_REGEX);
+    the oracle builds the identical html and runs the SAME pattern text
+    in RE2 ((?is)/lazy semantics agree across engines — prototyped
+    parity-exact over sf0.001 before wiring)."""
+    d = _t(spark, sf, "documents")
+    html = F.concat(
+        F.lit('<html><head><title>DQX</title></head><body><div class="nav">'),
+        F.repeat(
+            F.lit('<a href="/x">menu item</a>'),
+            (F.col("doc_id") % 6).cast("int"),
+        ),
+        F.lit("</div><p>"),
+        F.col("text"),
+        F.lit('</p><a href="/more">Read <b>more</b></a>'),
+        F.when(
+            F.col("doc_id") % 7 == 0, F.lit('<a href="/broken">unclosed')
+        ).otherwise(F.lit("")),
+        F.lit("</body></html>"),
+    )
+    h = d.select("doc_id", html.alias("html"))
+    return h.select(
+        "doc_id",
+        T.anchor_char_count(F.col("html")).alias("anchor_chars"),
+        T.visible_char_count(F.col("html")).cast("long").alias("visible_chars"),
+        F.round(T.link_density(F.col("html")), 6).alias("link_density"),
+    )
+
+
+def q_token_entropy(spark, sf):
+    """Per-doc token Shannon entropy (gibberish / small-vocabulary
+    detector): ONE Arrow pass computing H = ln(n) - sum(c ln c)/n with
+    math.log (bit-identical to DuckDB ln on this host — the DSIR
+    measurement); the oracle recomputes per-token counts via
+    unnest+groupBy. Summation order differs between Counter iteration
+    and the SQL aggregate, so H is rounded to 6 on both sides like every
+    float metric in the contract; n_tokens/n_distinct are exact
+    bigints."""
+    from dataqualitykit_spark.operators import entropy as _ent
+
+    d = _t(spark, sf, "documents")
+    out = _ent.token_entropy(d)
+    return out.select(
+        F.col("id").alias("doc_id"), "n_tokens", "n_distinct", "entropy"
+    )
+
+
 def q_gumbel_sample(spark, sf):
     """Gumbel-top-k weighted sampling WITHOUT replacement (DSIR's
     resampling step; Kool et al. 2019): 50 docs drawn proportional to
@@ -1892,6 +1944,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gumbel_sample": q_gumbel_sample,
         "lang_consistency": q_lang_consistency,
         "top_ngrams": q_top_ngrams,
+        # -- round-5 fourth-session webtext ops: never recorded ------------
+        "link_density": q_link_density,
+        "token_entropy": q_token_entropy,
         # -- two green rounds (r03+r04 / r02+r04) — one confirming record --
         "minhash_lsh_dups": q_minhash_lsh_dups,
         "simhash": q_simhash,
@@ -3798,6 +3853,55 @@ def oracle_sql() -> dict[str, str]:
           SELECT hs, count(*) AS cnt, min(g) AS ngram FROM h GROUP BY hs
         )
         SELECT ngram, cnt FROM c ORDER BY cnt DESC, hs ASC LIMIT 25"""
+    _ap, _tp = _sql_lit(T.ANCHOR_INNER_REGEX), _sql_lit(T.TAG_STRIP_REGEX)
+    _anchor = (
+        f"CAST(coalesce(list_sum(list_transform("
+        f"regexp_extract_all(html, {_ap}, 2), "
+        f"m -> length(regexp_replace(m, {_tp}, '', 'g')))), 0) AS BIGINT)"
+    )
+    _vis = f"length(regexp_replace(html, {_tp}, '', 'g'))"
+    d["link_density"] = f"""
+        WITH h AS (
+          SELECT doc_id,
+            '<html><head><title>DQX</title></head><body><div class="nav">'
+            || repeat('<a href="/x">menu item</a>',
+                      CAST(doc_id % 6 AS INTEGER))
+            || '</div><p>' || text
+            || '</p><a href="/more">Read <b>more</b></a>'
+            || CASE WHEN doc_id % 7 = 0
+                    THEN '<a href="/broken">unclosed' ELSE '' END
+            || '</body></html>' AS html
+          FROM documents
+        )
+        SELECT doc_id,
+               CASE WHEN html IS NULL THEN NULL ELSE {_anchor} END
+                 AS anchor_chars,
+               CAST({_vis} AS BIGINT) AS visible_chars,
+               CASE WHEN {_vis} > 0
+                    THEN round(CAST({_anchor} AS DOUBLE) / {_vis}, 6)
+               END AS link_density
+        FROM h"""
+    d["token_entropy"] = f"""
+        WITH tok AS (
+          SELECT doc_id, {_sql_tokens('text')} AS toks FROM documents
+        ), ex AS (
+          SELECT doc_id, unnest(toks) AS t FROM tok
+        ), cnt AS (
+          SELECT doc_id, t, CAST(count(*) AS BIGINT) AS c
+          FROM ex GROUP BY doc_id, t
+        ), agg AS (
+          SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+                 CAST(count(*) AS BIGINT) AS n_distinct,
+                 sum(c * ln(c)) AS s
+          FROM cnt GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               coalesce(a.n_tokens, CAST(0 AS BIGINT)) AS n_tokens,
+               coalesce(a.n_distinct, CAST(0 AS BIGINT)) AS n_distinct,
+               CASE WHEN a.n_tokens > 0
+                    THEN round(ln(a.n_tokens) - a.s / a.n_tokens, 6)
+               END AS entropy
+        FROM documents d LEFT JOIN agg a USING (doc_id)"""
     return d
 
 

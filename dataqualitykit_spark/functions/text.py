@@ -222,6 +222,61 @@ def token_count_bpe(col: Column) -> Column:
 # --------------------------------------------------------------------------
 
 
+# --------------------------------------------------------------------------
+# Link density (jusText / boilerplate heuristic, Pomikálek 2011): the
+# fraction of a page's visible characters that sit inside <a> anchors.
+# Navigation / link-farm pages score near 1.0, prose near 0.0 — a standard
+# extraction-time keep/drop signal. Like has_noindex this runs over the RAW
+# html BEFORE html_to_text drops the markup (the pipeline's labeled input
+# (url, text, lang) no longer carries the anchors).
+# --------------------------------------------------------------------------
+
+# group 2 = anchor inner html. (?is): case-insensitive + dot-matches-newline
+# — both flags carry identical semantics in Java regex and RE2, so the
+# DuckDB oracle runs the SAME pattern text. `(\s[^>]*)?` (not `[^>]*`)
+# so <a> with no attributes matches without eating its closing '>'. Lazy
+# (.*?) stops at the FIRST </a> in both engines; an unclosed <a> therefore
+# contributes nothing on either side.
+ANCHOR_INNER_REGEX = r"(?is)<a(\s[^>]*)?>(.*?)</a>"
+# tag stripper shared by both legs; '(?s)' so multi-line tags still strip
+TAG_STRIP_REGEX = r"(?s)<[^>]*>"
+
+
+def visible_char_count(html: Column) -> Column:
+    """Characters left after stripping every <...> tag (whitespace kept —
+    identical convention on both sides of the oracle)."""
+    return F.length(F.regexp_replace(html, TAG_STRIP_REGEX, ""))
+
+
+def anchor_char_count(html: Column) -> Column:
+    """Total characters of anchor inner text (nested tags stripped) across
+    every closed <a>...</a> on the page; 0 when anchor-free."""
+    inner = F.regexp_extract_all(html, F.lit(ANCHOR_INNER_REGEX), F.lit(2))
+    return F.aggregate(
+        F.transform(
+            inner, lambda m: F.length(F.regexp_replace(m, TAG_STRIP_REGEX, ""))
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def link_density(html: Column) -> Column:
+    """anchor-text chars / visible chars over raw html; NULL when the page
+    has no visible characters (or NULL html — rlike/regexp null-propagate).
+
+    100 TB shape: a pure projection (two regex passes over the page
+    bytes), zero shuffle, whole-stage codegen. The anchor array is the
+    transform's INPUT (evaluated once), not an outer-scope reference
+    inside the lambda — so the measured HOF re-evaluation trap
+    (PLANS.md round 5) does not apply here."""
+    anchor_chars = anchor_char_count(html)
+    visible = visible_char_count(html)
+    return F.when(
+        visible > 0, anchor_chars.cast("double") / visible.cast("double")
+    ).otherwise(F.lit(None).cast("double"))
+
+
 def normalize_url(col: Column) -> Column:
     """Column twin of semantics.normalize_url (same pattern constants,
     Java $-backreference dialect)."""
