@@ -1045,6 +1045,45 @@ def q_pipeline_line_shape(spark, sf):
     return run_pipeline(pages, cfg).select("url", "keep", "drop_reason")
 
 
+# low-entropy doc planted by the pipeline_entropy query: a 6-word
+# sentence looped 30 times (H ~= 1.59) + a unique closing token so
+# content dedup cannot collapse the plants. Passes every EARLIER gate:
+# 695+ chars, 181 words, mean word len 2.84, zero symbols, ONE line (no
+# repeated_lines), repetition/line_shape gates off in this cfg.
+_ENT_SENTENCE = "the cat sat on the mat "
+_ENT_REPEATS = 30
+_ENT_MIN = 2.2  # natural docs with >= 20 tokens measured H in [2.44, 3.35]
+
+
+def q_pipeline_entropy(spark, sf):
+    """Flagship pipeline with the token-entropy floor ON
+    (min_token_entropy=2.2): every 4th doc becomes small-vocabulary spam
+    (one sentence looped — the keyword-stuffing shape the verbatim
+    repetition gates miss when no LINE or 5-gram repeats verbatim...
+    here it is single-line and the repetition gates are off) planted to
+    pass all earlier gates so drop_reason='low_entropy' is the
+    demonstrable first failure. 3-way parity like pipeline_line_shape
+    (python doc_reasons / Spark fused-scorer extras field / SQL
+    distinct-token fold in the decide CTE)."""
+    from dataqualitykit_spark.config import PipelineConfig
+
+    cfg = PipelineConfig(min_token_entropy=_ENT_MIN)
+    docs = _t(spark, sf, "documents")
+    spam = F.concat(
+        F.lit(_ENT_SENTENCE * _ENT_REPEATS + "d"),
+        F.col("doc_id").cast("string"),
+    )
+    planted = F.when(F.col("doc_id") % 4 == 0, spam).otherwise(F.col("text"))
+    pages = docs.select(
+        F.concat(
+            F.lit("doc://"), F.col("source"), F.lit("/"), F.col("doc_id")
+        ).alias("url"),
+        planted.alias("text"),
+        "lang",
+    )
+    return run_pipeline(pages, cfg).select("url", "keep", "drop_reason")
+
+
 # gibberish paragraph planted by the paragraph_ppl query — uniform-ish
 # rare-bigram letters score ppl ~22-27 vs ~8-14 for English prose
 _PPQ_GIBBERISH = "zxq qvk jxw zzv qqk xjz vqz kxq jzz wvx qkz zzq"
@@ -1911,6 +1950,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_blocklist": q_pipeline_blocklist,  # NEW r5
         "pipeline_token_budget": q_pipeline_token_budget,  # NEW r5
         "pipeline_line_shape": q_pipeline_line_shape,  # NEW r5
+        "pipeline_entropy": q_pipeline_entropy,  # NEW r5 s4
         # -- one green round (r04) — need a second ---------------------------
         "pipeline_paragraph_scrub": q_pipeline_paragraph_scrub,
         "pipeline_c4": q_pipeline_c4,
@@ -2187,6 +2227,7 @@ def _pipeline_sql(
     blocklist: tuple[str, ...] | None = None,
     token_budget: int | None = None,
     line_shape: tuple[float, float, float] | None = None,
+    entropy: tuple[float, int] | None = None,
 ) -> str:
     """Full-pipeline oracle: content dedup -> [near-dup dedup via
     md5-MinHash-LSH pairs + recursive-CTE connected components] -> scrub
@@ -2389,6 +2430,24 @@ def _pipeline_sql(
             f" CAST(nw AS DOUBLE) ELSE 0.0 END) < {mn_alpha})"
             f" THEN 'line_shape'\n           "
         )
+    entropy_when = ""
+    if entropy is not None:
+        # tok_entropy mirrors semantics.token_entropy_of: H = ln(n) -
+        # sum(c ln c)/n over first-occurrence-ordered distinct tokens
+        # (list_distinct preserves order like Counter insertion order —
+        # and the decide thresholds sit far from any ulp boundary anyway)
+        mn_h, mn_w = entropy
+        cnt = "len(list_filter(toks, x -> x = w))"
+        extra_met2 += f""",
+         CASE WHEN len(toks) = 0 THEN 0.0
+              ELSE ln(len(toks))
+                   - list_sum(list_transform(list_distinct(toks),
+                       w -> {cnt} * ln({cnt})))
+                     / len(toks) END AS tok_entropy"""
+        entropy_when = (
+            f"WHEN nw >= {mn_w} AND tok_entropy < {mn_h}"
+            f" THEN 'low_entropy'\n           "
+        )
     if c4_lines:
         from dataqualitykit_spark.operators import c4_filter as C4
 
@@ -2466,7 +2525,7 @@ WITH RECURSIVE {base_ctes}, ded AS (
            WHEN n_lines >= {C.min_lines_for_ratio}
                 AND n_distinct_lines / CAST(n_lines AS DOUBLE)
                     < {C.min_distinct_line_ratio} THEN 'repeated_lines'
-           {rep_when}{line_when}WHEN bp_hits >= {C.max_boilerplate_hits} THEN 'boilerplate'
+           {rep_when}{line_when}{entropy_when}WHEN bp_hits >= {C.max_boilerplate_hits} THEN 'boilerplate'
            {policy_when}WHEN nw > 0 AND (sw_hits < {C.min_stopword_hits}
                 OR sw_hits / CAST(greatest(nw, 1) AS DOUBLE)
                    < {C.min_stopword_density}) THEN 'stopword_density'
@@ -2761,6 +2820,8 @@ def _noindex_sql() -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    from dataqualitykit_spark.config import DEFAULT_CONFIG as _DC
+
     m_text = _sql_missing("text")
     sw = _stopword_sql_list()
     d = {
@@ -3342,6 +3403,14 @@ def oracle_sql() -> dict[str, str]:
             _Rr.MAX_ELLIPSIS_LINE_FRAC,
             _Rr.MIN_ALPHA_WORD_FRAC,
         ),
+    )
+    d["pipeline_entropy"] = _pipeline_sql(
+        text_expr=(
+            f"CASE WHEN doc_id % 4 = 0 THEN "
+            f"concat({_sql_lit(_ENT_SENTENCE * _ENT_REPEATS + 'd')}, "
+            f"CAST(doc_id AS VARCHAR)) ELSE text END"
+        ),
+        entropy=(_ENT_MIN, _DC.entropy_min_words),
     )
     d["pipeline_paragraph_scrub"] = _pipeline_sql(
         para_scrub=True,

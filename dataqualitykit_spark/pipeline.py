@@ -80,6 +80,24 @@ def _line_shape_on(cfg: PipelineConfig) -> bool:
     )
 
 
+def _entropy_flag(cfg: PipelineConfig) -> list[tuple[str, Column]]:
+    """Opt-in token-entropy floor — reads the token_entropy column the
+    fused scorer emits when the gate is on (the distinct-within-array JVM
+    HOF form pays the measured interpreted-expression tax; the Arrow pass
+    rides the tokenize it already does). Docs under entropy_min_words
+    carry no signal and pass."""
+    if cfg.min_token_entropy is None:
+        return []
+    return [
+        (
+            "low_entropy",
+            ~F.col("_missing")
+            & (F.col("n_words") >= F.lit(cfg.entropy_min_words))
+            & (F.col("token_entropy") < F.lit(cfg.min_token_entropy)),
+        )
+    ]
+
+
 def _line_shape_flag(cfg: PipelineConfig) -> list[tuple[str, Column]]:
     """Opt-in Gopher line-shape gate (Rae 2021 A1.1.1) — reads the
     bullet/ellipsis/alpha fraction columns with_metrics guarantees when
@@ -136,6 +154,7 @@ def _quality_flags(cfg: PipelineConfig) -> list[tuple[str, Column]]:
         ),
         *_repetition_flag(cfg),
         *_line_shape_flag(cfg),
+        *_entropy_flag(cfg),
         (
             "boilerplate",
             ~c("_missing") & (c("boilerplate_hits") >= cfg.max_boilerplate_hits),
@@ -181,11 +200,13 @@ def with_metrics(df: DataFrame, cfg: PipelineConfig = DEFAULT_CONFIG) -> DataFra
             or cfg.max_dup_5gram_frac is not None
         )
         line_on = _line_shape_on(cfg)
+        ent_on = cfg.min_token_entropy is not None
         fused = fused_scrub_score_udf(
             cfg.lang_model_loader,
             cfg.ppl_model_loader,
             repetition=rep_on,
             line_shape=line_on,
+            entropy=ent_on,
         )
         m = F.col("_score")
         rep_cols = (
@@ -202,6 +223,8 @@ def with_metrics(df: DataFrame, cfg: PipelineConfig = DEFAULT_CONFIG) -> DataFra
                 m["ellipsis_line_frac"].alias("ellipsis_line_frac"),
                 m["alpha_word_frac"].alias("alpha_word_frac"),
             ]
+        if ent_on:
+            rep_cols += [m["token_entropy"].alias("token_entropy")]
         df = df.withColumn("_score", fused(F.col("text")))
         return df.select(
             "*",
@@ -264,6 +287,13 @@ def with_metrics(df: DataFrame, cfg: PipelineConfig = DEFAULT_CONFIG) -> DataFra
                     _rep.alpha_word_frac_col(s)
                 ),
             )
+        )
+    if cfg.min_token_entropy is not None:
+        from .operators.entropy import token_entropy_col
+
+        df = df.withColumn(
+            "token_entropy",
+            F.when(s.isNull(), F.lit(0.0)).otherwise(token_entropy_col(s)),
         )
     # model seam: real fastText/KenLM loaders (cfg) replace the embedded
     # stand-ins' lang/ppl outputs; everything else is unchanged

@@ -304,6 +304,29 @@ def dup_5gram_frac(text: str) -> float:
     return (len(grams) - len(set(grams))) / len(grams)
 
 
+def token_entropy_of(tokens: list[str]) -> float | None:
+    """Shannon entropy of the token distribution, H = ln(n) - sum(c ln c)/n
+    — the regrouping that keeps every ln on an INTEGER argument, so both
+    engines hand ln the exact same double (math.log is bit-identical to
+    DuckDB ln on this host — the DSIR measurement; summation order still
+    differs, so consumers round before cross-engine comparison). None for
+    an empty token list."""
+    if not tokens:
+        return None
+    from collections import Counter
+
+    n = len(tokens)
+    s = sum(c * math.log(c) for c in Counter(tokens).values())
+    return math.log(n) - s / n
+
+
+def token_entropy_stats(text: str | None) -> tuple[int, int, float | None]:
+    """(n_tokens, n_distinct, entropy) over the shared tokenizer —
+    mirror of operators/entropy.token_entropy's Arrow pass."""
+    toks = tokenize(text) if text is not None else []
+    return len(toks), len(set(toks)), token_entropy_of(toks)
+
+
 def line_shape_fracs(text: str) -> tuple[float, float, float]:
     """Mirror of operators/repetition.gopher_line_metrics' three
     fractions (Rae et al. 2021 A1.1.1), over one text: (bullet_line_frac,
@@ -689,6 +712,12 @@ def doc_reasons(text: str | None, cfg: PipelineConfig) -> tuple[list[str], str]:
             )
         ):
             reasons.append("line_shape")
+    if (
+        cfg.min_token_entropy is not None
+        and n_words >= cfg.entropy_min_words
+        and token_entropy_of(words) < cfg.min_token_entropy
+    ):
+        reasons.append("low_entropy")
     if boilerplate_hits(scrubbed) >= cfg.max_boilerplate_hits:
         reasons.append("boilerplate")
     if cfg.c4_lines and c4_doc_banned(scrubbed):

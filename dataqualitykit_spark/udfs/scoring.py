@@ -84,12 +84,24 @@ _LINE_FIELDS = [
     ("alpha_word_frac", DoubleType()),
 ]
 
+# token-entropy gate field (round 5) — same opt-in pattern; 0.0 for
+# token-less text (the gate's entropy_min_words floor makes the
+# degenerate value unreachable by the decide clause)
+_ENTROPY_FIELDS = [
+    ("token_entropy", DoubleType()),
+]
 
-def _extras_spec(repetition: bool, line_shape: bool):
+
+def _extras_spec(repetition: bool, line_shape: bool, entropy: bool = False):
     """(extra fields, per-text extras fn, null extras tuple) for the
     enabled opt-in gate families — the fused schema and batch fn compose
     from this so every gate combination shares one code path."""
-    from ..semantics import dup_5gram_frac, dup_line_char_frac, line_shape_fracs
+    from ..semantics import (
+        dup_5gram_frac,
+        dup_line_char_frac,
+        line_shape_fracs,
+        token_entropy_stats,
+    )
 
     fields: list = []
     fns = []
@@ -99,6 +111,11 @@ def _extras_spec(repetition: bool, line_shape: bool):
     if line_shape:
         fields += _LINE_FIELDS
         fns.append(line_shape_fracs)
+    if entropy:
+        fields += _ENTROPY_FIELDS
+        fns.append(
+            lambda t: ((lambda h: 0.0 if h is None else h)(token_entropy_stats(t)[2]),)
+        )
     null_extras = tuple(0.0 for _ in fields)
 
     def extras(t):
@@ -229,16 +246,17 @@ def fused_scrub_score_udf(
     ppl_model_loader=None,
     repetition: bool = False,
     line_shape: bool = False,
+    entropy: bool = False,
 ):
     """raw text -> struct(scrubbed_text, <all SCORE_SCHEMA metrics>[,
     dup_line_char_frac, dup_5gram_frac when repetition][,
     bullet_line_frac, ellipsis_line_frac, alpha_word_frac when
-    line_shape])."""
+    line_shape][, token_entropy when entropy])."""
     from .scrubbing import _scrub_batch
 
     keys = (_loader_key(lang_model_loader), _loader_key(ppl_model_loader))
-    if repetition or line_shape:
-        fields, extras, null_extras = _extras_spec(repetition, line_shape)
+    if repetition or line_shape or entropy:
+        fields, extras, null_extras = _extras_spec(repetition, line_shape, entropy)
         cols = _COLS + [n for n, _ in fields]
         null_row = _NULL_SCORE + null_extras
         schema = StructType(

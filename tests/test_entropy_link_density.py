@@ -98,6 +98,86 @@ def test_link_density_goldens(spark):
     assert got[9] == (2, 2, 1.0)
 
 
+def test_pipeline_entropy_gate_matches_python_oracle(spark):
+    """cfg.min_token_entropy flows through run_pipeline (fused Arrow
+    scorer extras field) and the pure-python oracle identically; a
+    planted one-sentence-looped spam doc fires drop_reason='low_entropy'
+    as the FIRST failing rule, and a short low-entropy doc under the
+    entropy_min_words floor does NOT."""
+    from datetime import datetime
+
+    from dataqualitykit_spark.config import PipelineConfig
+    from dataqualitykit_spark.fixtures import PAGES_SCHEMA
+    from dataqualitykit_spark.fixtures.pages import generate_pages
+    from dataqualitykit_spark.oracle import run_oracle
+    from dataqualitykit_spark.pipeline import run_pipeline
+
+    ts = datetime(2024, 6, 1)
+    spam = "the cat sat on the mat " * 30 + "unique closer"
+    short_spam = "the cat sat on the mat the cat sat"  # 8 words < floor
+    planted = [
+        {"url": "https://ent-spam.example/p", "warc_ts": ts, "html": None,
+         "text": spam, "lang": "en"},
+        {"url": "https://ent-short.example/p", "warc_ts": ts, "html": None,
+         "text": short_spam, "lang": "en"},
+    ]
+    cfg = PipelineConfig(min_token_entropy=2.2)
+    rows = generate_pages(300) + planted
+    df = spark.createDataFrame(rows, schema=PAGES_SCHEMA)
+    got = {
+        (r["url"], r["warc_ts"]): (r["keep"], r["drop_reason"], r["scrubbed_text"])
+        for r in run_pipeline(df, cfg)
+        .select("url", "warc_ts", "keep", "drop_reason", "scrubbed_text")
+        .collect()
+    }
+    mism = []
+    for g in run_oracle(rows, cfg):
+        k, dr, st = got[(g.url, g.warc_ts)]
+        if (k, dr) != (g.keep, g.drop_reason) or (k and st != g.scrubbed_text):
+            mism.append((g.url, g.drop_reason, dr))
+    assert not mism, (len(mism), mism[:10])
+    assert got[("https://ent-spam.example/p", ts)][1] == "low_entropy"
+    # under the words floor the gate carries no signal — the doc drops
+    # for the earlier length rule (34 chars < min_chars), NOT low_entropy
+    assert got[("https://ent-short.example/p", ts)][1] == "too_short"
+
+    # engine parity: the 'columns' path (interpreted HOF twin) produces
+    # identical labels despite JVM-vs-libm log ulp differences
+    cols_cfg = PipelineConfig(min_token_entropy=2.2, metrics_engine="columns")
+    cols = {
+        (r["url"], r["warc_ts"]): (r["keep"], r["drop_reason"])
+        for r in run_pipeline(df, cols_cfg)
+        .select("url", "warc_ts", "keep", "drop_reason")
+        .collect()
+    }
+    assert cols == {k: v[:2] for k, v in got.items()}
+
+
+def test_token_entropy_col_matches_python_mirror(spark):
+    """JVM HOF twin vs the python mirror: equal to within log-ulp noise,
+    0.0 for token-less text (the scorer's null-extras convention)."""
+    from dataqualitykit_spark.operators.entropy import token_entropy_col
+    from dataqualitykit_spark.semantics import token_entropy_stats
+
+    texts = ["a a b b", "x", "the cat sat on the mat " * 5, "", "  ", None]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "i long, t string"
+    )
+    got = {
+        r["i"]: r["h"]
+        for r in df.select(
+            "i",
+            F.when(F.col("t").isNull(), F.lit(0.0))
+            .otherwise(token_entropy_col(F.col("t")))
+            .alias("h"),
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        h = token_entropy_stats(t)[2]
+        expect = 0.0 if h is None else h
+        assert abs(got[i] - expect) < 1e-9, (i, got[i], expect)
+
+
 def test_link_density_everything_linked_page(spark):
     # a pure nav page: all visible text inside anchors -> exactly 1.0
     nav = "".join(f'<li><a href="/{i}">item {i}</a></li>' for i in range(10))
