@@ -1390,6 +1390,41 @@ def q_pipeline_blocklist(spark, sf):
     return run_pipeline(pages, cfg).select("url", "keep", "drop_reason")
 
 
+# planted url keyword lexicon for the pipeline_url_keywords query — one
+# strict word blocks alone, two soft words must co-occur; doc_id%7
+# plants: 0 -> strict hit, 1 -> two soft hits (0.5+0.5 >= 1.0), 2 -> ONE
+# soft hit (0.5 < 1.0 — must SURVIVE the gate), rest -> clean urls
+_KW_WEIGHTS = (("casino", 1.0), ("betting", 0.5), ("pills", 0.5))
+
+
+def q_pipeline_url_keywords(spark, sf):
+    """Flagship pipeline with the RefinedWeb-style soft URL keyword gate
+    (cfg.url_keyword_weights) right after the hard blocklist slot: urls
+    planted with strict/soft/sub-threshold keyword paths show the
+    weighted score blocking at >= 1.0 and sparing the single soft hit;
+    flagged rows are ineligible for the content window and never scored.
+    The oracle mirrors the weighted contains-fold, eligibility and the
+    'url_keywords' decide clause."""
+    from dataqualitykit_spark.config import PipelineConfig
+
+    cfg = PipelineConfig(url_keyword_weights=_KW_WEIGHTS)
+    docs = _t(spark, sf, "documents")
+    path = (
+        F.when(F.col("doc_id") % 7 == 0, F.lit("/casino-night/"))
+        .when(F.col("doc_id") % 7 == 1, F.lit("/betting-pills/"))
+        .when(F.col("doc_id") % 7 == 2, F.lit("/betting-tips/"))
+        .otherwise(F.lit("/"))
+    )
+    pages = docs.select(
+        F.concat(
+            F.lit("doc://"), F.col("source"), path, F.col("doc_id")
+        ).alias("url"),
+        "text",
+        "lang",
+    )
+    return run_pipeline(pages, cfg).select("url", "keep", "drop_reason")
+
+
 # per-lang scrubbed-token budget for the pipeline_token_budget query —
 # sized so the cut fires for the big language groups at sf0.001 AND
 # sf0.01 while small groups stay under budget (both paths exercised)
@@ -1951,6 +1986,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_token_budget": q_pipeline_token_budget,  # NEW r5
         "pipeline_line_shape": q_pipeline_line_shape,  # NEW r5
         "pipeline_entropy": q_pipeline_entropy,  # NEW r5 s4
+        "pipeline_url_keywords": q_pipeline_url_keywords,  # NEW r5 s4
         # -- one green round (r04) — need a second ---------------------------
         "pipeline_paragraph_scrub": q_pipeline_paragraph_scrub,
         "pipeline_c4": q_pipeline_c4,
@@ -2228,6 +2264,8 @@ def _pipeline_sql(
     token_budget: int | None = None,
     line_shape: tuple[float, float, float] | None = None,
     entropy: tuple[float, int] | None = None,
+    url_keywords: tuple[tuple[str, float], ...] | None = None,
+    url_keyword_threshold: float = 1.0,
 ) -> str:
     """Full-pipeline oracle: content dedup -> [near-dup dedup via
     md5-MinHash-LSH pairs + recursive-CTE connected components] -> scrub
@@ -2272,7 +2310,8 @@ def _pipeline_sql(
         slots = ", ".join(f"sig[4*b+{r + 1}]" for r in range(4))
         near_ctes = f""" surv AS (
   SELECT url, text FROM ded
-  WHERE NOT missing_raw AND NOT blocked AND NOT dup_content
+  WHERE NOT missing_raw AND NOT blocked AND NOT kw_blocked
+        AND NOT dup_content
 ), ndtok AS (
   SELECT url, {_sql_tokens('lower(text)')} AS toks FROM surv
 ), ndsh AS (
@@ -2372,9 +2411,22 @@ def _pipeline_sql(
         )
     else:
         blocked_sql = "FALSE"
+    if url_keywords:
+        # mirrors operators/url_filter.url_keyword_score_col: weighted
+        # contains-fold over the lowercased url (fold order irrelevant at
+        # the threshold compare — weights are small exact binary floats)
+        kw_score = " + ".join(
+            f"(CASE WHEN contains(lower(url), {_sql_lit(w.lower())})"
+            f" THEN CAST({float(wt)!r} AS DOUBLE) ELSE 0.0 END)"
+            for w, wt in url_keywords
+        )
+        kw_sql = f"({kw_score}) >= {float(url_keyword_threshold)!r}"
+    else:
+        kw_sql = "FALSE"
     base_ctes += f""", base AS (
   SELECT url, text, {m_raw} AS missing_raw,
          ({blocked_sql}) AS blocked,
+         ({kw_sql}) AS kw_blocked,
          md5(coalesce(text, '')) AS chash
   FROM {cur}
 )"""
@@ -2458,23 +2510,26 @@ def _pipeline_sql(
         policy_when = "WHEN policy_ban THEN 'policy_phrase'\n           "
     return f"""
 WITH RECURSIVE {base_ctes}, ded AS (
-  SELECT url, text, missing_raw, blocked,
-         (NOT missing_raw AND NOT blocked) AND row_number() OVER (
+  SELECT url, text, missing_raw, blocked, kw_blocked,
+         (NOT missing_raw AND NOT blocked AND NOT kw_blocked)
+           AND row_number() OVER (
             PARTITION BY chash
-            ORDER BY (NOT missing_raw AND NOT blocked) DESC, url ASC) > 1
+            ORDER BY (NOT missing_raw AND NOT blocked AND NOT kw_blocked)
+                     DESC, url ASC) > 1
            AS dup_content
   FROM base
 ),{near_ctes} ded2 AS (
-  SELECT ded.url, ded.text, ded.missing_raw, ded.blocked, ded.dup_content,
+  SELECT ded.url, ded.text, ded.missing_raw, ded.blocked, ded.kw_blocked,
+         ded.dup_content,
          {dup_near_col}
 ), scr AS (
-  SELECT url, missing_raw, blocked, dup_content, dup_near,
-         CASE WHEN NOT missing_raw AND NOT blocked
+  SELECT url, missing_raw, blocked, kw_blocked, dup_content, dup_near,
+         CASE WHEN NOT missing_raw AND NOT blocked AND NOT kw_blocked
                    AND NOT dup_content AND NOT dup_near
               THEN {scrub} END AS s
   FROM ded2
 ), met AS (
-  SELECT url, missing_raw, blocked, dup_content, dup_near, s,
+  SELECT url, missing_raw, blocked, kw_blocked, dup_content, dup_near, s,
          {m_s} AS s_missing,
          length(s) AS n_chars,
          {_sql_tokens('s')} AS toks,
@@ -2488,7 +2543,8 @@ WITH RECURSIVE {base_ctes}, ded AS (
                              {_SQL_WS}, ' ', 'g'), ' ') AS seq
   FROM scr
 ), met2 AS (
-  SELECT url, missing_raw, blocked, dup_content, dup_near, s_missing, n_chars,
+  SELECT url, missing_raw, blocked, kw_blocked, dup_content, dup_near,
+         s_missing, n_chars,
          symbol_count, bp_hits, seq,
          len(toks) AS nw,
          CASE WHEN len(toks) = 0 THEN 0.0
@@ -2510,6 +2566,7 @@ WITH RECURSIVE {base_ctes}, ded AS (
   SELECT url,{' nw,' if token_budget is not None else ''}
          CASE
            WHEN blocked THEN 'blocked_domain'
+           WHEN kw_blocked THEN 'url_keywords'
            WHEN missing_raw THEN 'missing_text'
            WHEN dup_content THEN 'dup_content'
            WHEN dup_near THEN 'dup_near'
@@ -3403,6 +3460,16 @@ def oracle_sql() -> dict[str, str]:
             _Rr.MAX_ELLIPSIS_LINE_FRAC,
             _Rr.MIN_ALPHA_WORD_FRAC,
         ),
+    )
+    d["pipeline_url_keywords"] = _pipeline_sql(
+        url_expr=(
+            "concat('doc://', source, "
+            "CASE WHEN doc_id % 7 = 0 THEN '/casino-night/' "
+            "WHEN doc_id % 7 = 1 THEN '/betting-pills/' "
+            "WHEN doc_id % 7 = 2 THEN '/betting-tips/' "
+            "ELSE '/' END, doc_id)"
+        ),
+        url_keywords=_KW_WEIGHTS,
     )
     d["pipeline_entropy"] = _pipeline_sql(
         text_expr=(

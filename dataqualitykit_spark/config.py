@@ -132,6 +132,19 @@ class PipelineConfig:
     # directly with a broadcast DataFrame before run_pipeline.
     blocklist: tuple[str, ...] | None = None
 
+    # RefinedWeb-style soft URL keyword gate (Penedo et al. 2023 §G.1),
+    # the companion to the hard domain blocklist: weighted banned words
+    # matched as substrings anywhere in the url; block when the weight
+    # sum reaches url_keyword_threshold (one strict 1.0-weight word, or
+    # several soft ones). None = gate off. Like the blocklist it is a
+    # plan-literal zero-shuffle projection, runs BEFORE any content
+    # stage, and flagged rows are ineligible for the content window and
+    # never scored (drop_reason='url_keywords', right after
+    # 'blocked_domain'). Config lexica are small by construction;
+    # 10^5+-entry UT1 lists belong in a broadcast-join form.
+    url_keyword_weights: tuple[tuple[str, float], ...] | None = None
+    url_keyword_threshold: float = 1.0
+
     # deterministic per-group token budget applied AFTER the quality
     # decision (the curriculum/mixture step): among keep=true rows, each
     # budget_by group keeps the deterministic (md5(url), url)-ordered
@@ -196,6 +209,7 @@ class PipelineConfig:
 # and scoring every mirror of it.
 DROP_REASON_ORDER: tuple[str, ...] = (
     "blocked_domain",  # opt-in blocklist gate (cfg.blocklist) — FIRST
+    "url_keywords",  # opt-in soft URL keyword gate (cfg.url_keyword_weights)
     "missing_text",
     "dup_url",
     "dup_content",

@@ -146,3 +146,44 @@ def flag_low_reputation_domains(
         .withColumn("low_rep_domain", F.coalesce(F.col("_low"), F.lit(False)))
         .drop("_dom", "domain", "_low")
     )
+
+
+# ---------------------------------------------------------------------------
+# URL keyword scoring (RefinedWeb §G.1 "URL filtering", Penedo et al.
+# 2023): beyond the hard domain blocklist, a SOFT score over weighted
+# banned words appearing anywhere in the url — one strict word is enough
+# to block, softer words must co-occur. No reference analog; public
+# crawl-pipeline family (UT1-style category lexica).
+# ---------------------------------------------------------------------------
+
+# neutral demo lexicon (gambling/pharma-spam shaped): strict words weight
+# 1.0, soft words 0.5 — block at score >= 1.0 (one strict hit, or two
+# soft). Production pipelines swap in their full UT1-derived list.
+URL_KEYWORD_WEIGHTS: tuple[tuple[str, float], ...] = (
+    ("casino", 1.0),
+    ("freebet", 1.0),
+    ("viagra", 1.0),
+    ("betting", 0.5),
+    ("poker", 0.5),
+    ("pills", 0.5),
+    ("adult", 0.5),
+)
+
+
+def url_keyword_score_col(
+    url, weights: tuple[tuple[str, float], ...] = URL_KEYWORD_WEIGHTS
+):
+    """Double column: sum of weights of lexicon words contained (plain
+    substring, case-insensitive) in the url. Plan-literal contains-fold —
+    zero shuffle, zero join, whole-stage codegen; O(|lexicon|) contains
+    ops per row, which is the right trade for config-sized lexica
+    (10^5+-entry UT1 lists belong in a broadcast-join or Aho-Corasick
+    Arrow pass instead — same note as blocked_domain_col). NULL url
+    scores 0.0."""
+    lu = F.lower(url)
+    score = F.lit(0.0)
+    for w, wt in weights:
+        score = score + F.when(lu.contains(w.lower()), F.lit(float(wt))).otherwise(
+            F.lit(0.0)
+        )
+    return F.coalesce(score, F.lit(0.0))

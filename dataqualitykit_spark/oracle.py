@@ -106,6 +106,19 @@ def run_oracle(
             sfx = {".".join(labels[j:]) for j in range(len(labels))}
             blocked[i] = bool(entries & sfx)
 
+    # soft URL keyword gate right after the blocklist (mirrors
+    # cfg.url_keyword_weights): weighted banned-word substring score over
+    # the url; flagged rows share the blocklist's fate below
+    kw_blocked = [False] * len(out)
+    if cfg.url_keyword_weights:
+        from .semantics import url_keyword_score
+
+        kw_blocked = [
+            url_keyword_score(r.url, cfg.url_keyword_weights)
+            >= cfg.url_keyword_threshold
+            for r in out
+        ]
+
     # url keep-most-recent — gate on KEY PRESENCE (schema), exactly like
     # the pipeline gates on column presence; an all-NULL warc_ts column
     # must still dedup (NULLs order last, matching Spark desc NULLS LAST)
@@ -134,7 +147,10 @@ def run_oracle(
         eligible = [
             i
             for i in range(len(out))
-            if not missing[i] and not dup_url[i] and not blocked[i]
+            if not missing[i]
+            and not dup_url[i]
+            and not blocked[i]
+            and not kw_blocked[i]
         ]
         eligible.sort(key=lambda i: (out[i].url, (out[i].warc_ts or _EPOCH)))
         seen: set[str] = set()
@@ -157,6 +173,7 @@ def run_oracle(
             if not missing[i]
             and not dup_url[i]
             and not blocked[i]
+            and not kw_blocked[i]
             and not dup_content[i]
         ]
         by_url = {out[i].url: i for i in surv}
@@ -189,6 +206,8 @@ def run_oracle(
     for i, r in enumerate(out):
         if blocked[i]:
             r.reasons = ["blocked_domain"]
+        elif kw_blocked[i]:
+            r.reasons = ["url_keywords"]
         elif missing[i]:
             r.reasons = ["missing_text"]
         elif dup_url[i]:

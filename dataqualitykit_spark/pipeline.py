@@ -381,6 +381,21 @@ def run_pipeline(df: DataFrame, cfg: PipelineConfig = DEFAULT_CONFIG) -> DataFra
     else:
         base = base.withColumn("_blocked", F.lit(False))
 
+    # soft URL keyword gate right after the hard blocklist (opt-in):
+    # weighted banned-word score over the url, plan-literal contains
+    # fold — zero shuffle; flagged rows share the blocklist's fate
+    # (ineligible for the content window, never scored)
+    if cfg.url_keyword_weights:
+        from .operators.url_filter import url_keyword_score_col
+
+        base = base.withColumn(
+            "_kw_blocked",
+            url_keyword_score_col(F.col("url"), cfg.url_keyword_weights)
+            >= F.lit(cfg.url_keyword_threshold),
+        )
+    else:
+        base = base.withColumn("_kw_blocked", F.lit(False))
+
     # C4-style line cleaning FIRST (opt-in, extraction-time semantics):
     # only terminal-punctuation lines with enough words and no ban phrase
     # survive; every later stage (missing check, hashes, models, the
@@ -422,7 +437,12 @@ def run_pipeline(df: DataFrame, cfg: PipelineConfig = DEFAULT_CONFIG) -> DataFra
     # content keep-one among eligible rows, keyed by raw-text md5
     # (blocked rows are ineligible: a blocked mirror must not win the
     # window and shadow a keepable copy of the same content)
-    eligible = ~F.col("_missing_raw") & ~F.col("_dup_url") & ~F.col("_blocked")
+    eligible = (
+        ~F.col("_missing_raw")
+        & ~F.col("_dup_url")
+        & ~F.col("_blocked")
+        & ~F.col("_kw_blocked")
+    )
     if cfg.dedup_content:
         base = base.withColumn("_eligible", eligible)
         order = [F.col("_eligible").desc(), F.col("url").asc()]
@@ -497,6 +517,7 @@ def run_pipeline(df: DataFrame, cfg: PipelineConfig = DEFAULT_CONFIG) -> DataFra
         scored.withColumn(
             "drop_reason",
             F.when(F.col("_blocked"), F.lit("blocked_domain"))
+            .when(F.col("_kw_blocked"), F.lit("url_keywords"))
             .when(F.col("_missing_raw"), F.lit("missing_text"))
             .when(F.col("_dup_url"), F.lit("dup_url"))
             .when(F.col("_dup_content"), F.lit("dup_content"))
@@ -572,6 +593,7 @@ def run_pipeline(df: DataFrame, cfg: PipelineConfig = DEFAULT_CONFIG) -> DataFra
     return labeled.drop(
         "_missing_raw", "_dup_url", "_dup_content", "_dup_near", "_eligible",
         "_survivor", "_missing", "_orig_text", "text", "_blocked",
+        "_kw_blocked",
     )
 
 

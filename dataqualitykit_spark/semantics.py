@@ -951,3 +951,20 @@ def content_hash(text: str) -> str:
 def sha256_hex(text: str) -> str:
     """sha256 hex — matches Spark F.sha2(col, 256) and DuckDB sha256()."""
     return hashlib.sha256(text.encode("utf-8")).hexdigest()
+
+
+def url_keyword_score(
+    url: str | None, weights: tuple[tuple[str, float], ...]
+) -> float:
+    """Pure-python mirror of operators/url_filter.url_keyword_score_col
+    (same fold order — float addition is order-sensitive in the last
+    ulp): sum of weights of lexicon words contained, case-insensitive,
+    anywhere in the url; 0.0 for NULL."""
+    if url is None:
+        return 0.0
+    lu = url.lower()
+    score = 0.0
+    for w, wt in weights:
+        if w.lower() in lu:
+            score += float(wt)
+    return score

@@ -199,3 +199,58 @@ def test_flag_low_reputation_domains(spark):
     }
     assert all(out[u] for u, _k in rows if u.startswith("https://spam"))
     assert not any(out[u] for u, _k in rows if not u.startswith("https://spam"))
+
+
+def test_url_keyword_gate_parity_and_threshold(spark):
+    """cfg.url_keyword_weights (RefinedWeb-style soft URL score): one
+    strict word blocks alone, two soft words co-occurring block, a single
+    soft word survives; Spark and the pure-python oracle agree row for
+    row, and flagged rows never shadow a keepable copy."""
+    weights = (("casino", 1.0), ("betting", 0.5), ("pills", 0.5))
+    cfg = PipelineConfig(url_keyword_weights=weights)
+    rows = generate_pages(N_PAGES)
+    for i, r in enumerate(rows):
+        if i % 9 == 0:
+            r["url"] = r["url"].replace("/page", "/CASINO-night/page", 1)
+        elif i % 9 == 1:
+            r["url"] = r["url"].replace("/page", "/betting-pills/page", 1)
+        elif i % 9 == 2:
+            r["url"] = r["url"].replace("/page", "/betting-tips/page", 1)
+    golden = _parity(spark, rows, cfg)
+    flagged = [g for g in golden if g.drop_reason == "url_keywords"]
+    assert flagged, "url keyword gate never fired"
+    # case-insensitive strict hit and the two-soft-word path both fire
+    assert any("CASINO" in g.url for g in flagged)
+    assert any("betting-pills" in g.url for g in flagged)
+    # the single soft hit (0.5 < 1.0) never fires this reason
+    assert all("betting-tips" not in g.url for g in flagged)
+    assert all(g.reasons == ["url_keywords"] for g in flagged)
+
+
+def test_url_keyword_score_col_matches_python_mirror(spark):
+    from pyspark.sql import functions as F
+
+    from dataqualitykit_spark.operators.url_filter import (
+        URL_KEYWORD_WEIGHTS,
+        url_keyword_score_col,
+    )
+    from dataqualitykit_spark.semantics import url_keyword_score
+
+    urls = [
+        "https://x.example/casino",
+        "https://x.example/poker-and-betting",
+        "https://PILLS.example/ADULT",
+        "https://clean.example/news",
+        None,
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, u in enumerate(urls)], "i long, url string"
+    )
+    got = {
+        r["i"]: r["s"]
+        for r in df.select(
+            "i", url_keyword_score_col(F.col("url")).alias("s")
+        ).collect()
+    }
+    for i, u in enumerate(urls):
+        assert got[i] == url_keyword_score(u, URL_KEYWORD_WEIGHTS), (i, u)

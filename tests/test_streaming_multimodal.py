@@ -254,3 +254,47 @@ def test_streaming_quality_filter_blocklist(spark, tmp_path):
     assert blocked.filter(F.col("scrubbed_text").isNotNull()).count() == 0
     # non-blocked rows still flow through the quality stages
     assert out.filter(F.col("keep")).count() > 0
+
+
+def test_streaming_quality_filter_entropy_gate(spark, tmp_path):
+    """cfg.min_token_entropy composes over readStream for free: the
+    fused scorer's extras field flows through with_metrics/decide_quality
+    unchanged, and a planted one-sentence-looped spam doc drops with
+    drop_reason='low_entropy'."""
+    from datetime import datetime
+
+    from dataqualitykit_spark.config import PipelineConfig
+    from dataqualitykit_spark.fixtures import generate_pages
+    from dataqualitykit_spark.fixtures.pages import PAGES_SCHEMA
+    from dataqualitykit_spark.streaming import streaming_quality_filter
+
+    rows = generate_pages(120) + [
+        {
+            "url": "https://ent-stream.example/p",
+            "warc_ts": datetime(2024, 6, 1),
+            "html": None,
+            "text": "the cat sat on the mat " * 30 + "unique stream closer",
+            "lang": "en",
+        }
+    ]
+    src = str(tmp_path / "src_ent")
+    spark.createDataFrame(rows, PAGES_SCHEMA).write.parquet(src)
+
+    cfg = PipelineConfig(min_token_entropy=2.2)
+    stream = spark.readStream.schema(PAGES_SCHEMA).parquet(src)
+    labeled = streaming_quality_filter(stream, cfg)
+    assert labeled.isStreaming
+
+    q = (
+        labeled.select("url", "keep", "drop_reason", "token_entropy")
+        .writeStream.format("memory")
+        .queryName("labeled_ent_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql("select * from labeled_ent_stream")
+    spam = out.filter(F.col("url") == "https://ent-stream.example/p").collect()
+    assert len(spam) == 1 and spam[0]["drop_reason"] == "low_entropy"
+    assert spam[0]["token_entropy"] < 2.2
+    assert out.filter(F.col("keep")).count() > 0
