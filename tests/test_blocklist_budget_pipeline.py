@@ -254,3 +254,31 @@ def test_url_keyword_score_col_matches_python_mirror(spark):
     }
     for i, u in enumerate(urls):
         assert got[i] == url_keyword_score(u, URL_KEYWORD_WEIGHTS), (i, u)
+
+
+def test_url_keyword_and_entropy_gates_add_no_exchanges(spark):
+    """The soft URL keyword gate is a plan-literal contains-fold and the
+    entropy gate rides the existing fused Arrow pass: turning either (or
+    both) on must add ZERO Exchange nodes and ZERO extra ArrowEvalPython
+    stages to the pipeline plan (the 100 TB contract)."""
+    from dataqualitykit_spark.fixtures import pages_dataframe
+
+    df = pages_dataframe(spark, 50)
+
+    def plan_counts(cfg):
+        plan = (
+            run_pipeline(df, cfg)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        return plan.count("Exchange"), plan.count("ArrowEvalPython")
+
+    base = plan_counts(PipelineConfig())
+    both = plan_counts(
+        PipelineConfig(
+            url_keyword_weights=(("casino", 1.0),),
+            min_token_entropy=2.2,
+        )
+    )
+    assert both == base, (base, both)
