@@ -1868,6 +1868,48 @@ def q_token_entropy(spark, sf):
     )
 
 
+def q_domain_cap(spark, sf):
+    """FineWeb-style per-group output cap: at most 15 docs per source
+    (the fixture has 20 sources x 25 docs, so the cut demonstrably fires
+    in EVERY group: 300/500 kept),
+    selected in the deterministic (md5(doc_id), doc_id) order every
+    sampler here uses. Spark runs cap_per_group (the token-budget
+    distributed prefix-sum cut with per-row cost 1 — never a whole-group
+    window); the oracle is the one-window row_number form it is
+    row-identical to."""
+    from dataqualitykit_spark.operators import sampling
+
+    d = _t(spark, sf, "documents")
+    out = sampling.cap_per_group(
+        d.select("doc_id", "source"), 15, by="source", id_col="doc_id"
+    )
+    return out.select("doc_id", "source")
+
+
+def q_crawl_delta(spark, sf):
+    """Re-crawl corpus diff: the 'new' crawl drops every 7th url
+    (removed), rewrites every 5th doc's text (changed), and adds a /v2
+    url for every 11th doc (new); everything else is byte-identical
+    (unchanged). Spark full-outer joins the two (url, md5) fingerprint
+    frames — text never shuffles; the oracle runs the identical join
+    over identically constructed sides."""
+    from dataqualitykit_spark.operators.crawl import crawl_delta
+
+    d = _t(spark, sf, "documents")
+    url = F.concat(F.lit("doc://"), F.col("source"), F.lit("/"), F.col("doc_id"))
+    old = d.select(url.alias("url"), "text")
+    changed = F.when(
+        F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(" updated"))
+    ).otherwise(F.col("text"))
+    new = d.filter(F.col("doc_id") % 7 != 0).select(
+        url.alias("url"), changed.alias("text")
+    )
+    added = d.filter(F.col("doc_id") % 11 == 0).select(
+        F.concat(url, F.lit("/v2")).alias("url"), "text"
+    )
+    return crawl_delta(old, new.unionByName(added))
+
+
 def q_gumbel_sample(spark, sf):
     """Gumbel-top-k weighted sampling WITHOUT replacement (DSIR's
     resampling step; Kool et al. 2019): 50 docs drawn proportional to
@@ -2023,6 +2065,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- round-5 fourth-session webtext ops: never recorded ------------
         "link_density": q_link_density,
         "token_entropy": q_token_entropy,
+        "domain_cap": q_domain_cap,
+        "crawl_delta": q_crawl_delta,
         # -- two green rounds (r03+r04 / r02+r04) — one confirming record --
         "minhash_lsh_dups": q_minhash_lsh_dups,
         "simhash": q_simhash,
@@ -4017,6 +4061,36 @@ def oracle_sql() -> dict[str, str]:
                     THEN round(CAST({_anchor} AS DOUBLE) / {_vis}, 6)
                END AS link_density
         FROM h"""
+    d["domain_cap"] = """
+        WITH r AS (
+          SELECT doc_id, source, row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+          FROM documents
+        )
+        SELECT doc_id, source FROM r WHERE rn <= 15"""
+    d["crawl_delta"] = """
+        WITH old AS (
+          SELECT concat('doc://', source, '/', doc_id) AS url,
+                 md5(coalesce(text, '')) AS ho
+          FROM documents
+        ), newc AS (
+          SELECT concat('doc://', source, '/', doc_id) AS url,
+                 md5(coalesce(CASE WHEN doc_id % 5 = 0
+                                   THEN text || ' updated'
+                                   ELSE text END, '')) AS hn
+          FROM documents WHERE doc_id % 7 <> 0
+          UNION ALL
+          SELECT concat('doc://', source, '/', doc_id, '/v2') AS url,
+                 md5(coalesce(text, '')) AS hn
+          FROM documents WHERE doc_id % 11 = 0
+        )
+        SELECT coalesce(old.url, newc.url) AS url,
+               CASE WHEN old.url IS NULL THEN 'new'
+                    WHEN newc.url IS NULL THEN 'removed'
+                    WHEN ho = hn THEN 'unchanged'
+                    ELSE 'changed' END AS status
+        FROM old FULL OUTER JOIN newc ON old.url = newc.url"""
     d["token_entropy"] = f"""
         WITH tok AS (
           SELECT doc_id, {_sql_tokens('text')} AS toks FROM documents

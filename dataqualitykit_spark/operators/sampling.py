@@ -471,3 +471,30 @@ def gumbel_weighted_sample(
     if key_col is not None:
         return out.withColumnRenamed("_gk", key_col)
     return out.drop("_gk")
+
+
+def cap_per_group(
+    df: DataFrame,
+    max_rows: int,
+    by: str = "domain",
+    id_col: str = "url",
+) -> DataFrame:
+    """Keep at most `max_rows` rows per `by` group, deterministically —
+    the FineWeb-style per-domain output cap (no single host may dominate
+    the corpus regardless of how many of its pages pass quality).
+
+    Row selection order is (md5(id), id) — the same stable pseudo-random
+    order every sampler in this module uses, so the kept subset is
+    reproducible across runs and engines. NULL group values form their
+    own capped group.
+
+    100 TB shape: a thin wrapper over sample_to_token_budget with a
+    constant per-row cost of 1 — budget == row count — inheriting its
+    distributed prefix-sum cut: per-(group, 256-bucket) partial counts,
+    a tiny driver prefix, and a row_number window over ONLY the cutoff
+    bucket (~1/256 of one group). The naive row_number-per-group window
+    would funnel every hot domain through one task; this never windows
+    more than the boundary bucket."""
+    return sample_to_token_budget(
+        df, max_rows, id_col=id_col, by=by, token_expr=F.lit(1)
+    ).drop("n_tokens")
