@@ -44,6 +44,17 @@ def main() -> None:
                    help="text file, one bare domain per line; urls whose "
                         "host equals or is a subdomain of an entry drop "
                         "FIRST (drop_reason='blocked_domain')")
+    p.add_argument("--url-keywords-file", default=None,
+                   help="text file, one 'word<TAB or space>weight' per "
+                        "line (weight optional, default 1.0); urls whose "
+                        "weight sum reaches --url-keyword-threshold drop "
+                        "right after the blocklist "
+                        "(drop_reason='url_keywords')")
+    p.add_argument("--url-keyword-threshold", type=float, default=1.0)
+    p.add_argument("--min-token-entropy", type=float, default=None,
+                   help="token-entropy floor over the scrubbed text "
+                        "(drop_reason='low_entropy'; docs under "
+                        "entropy_min_words=20 tokens pass)")
     p.add_argument("--token-budget", type=int, default=None,
                    help="GLOBAL per-group token budget applied as a "
                         "post-compaction pass over the labeled keeps "
@@ -81,12 +92,27 @@ def main() -> None:
             blocklist = tuple(
                 ln.strip().lower() for ln in f if ln.strip()
             )
+    url_keywords = None
+    if args.url_keywords_file:
+        pairs = []
+        with open(args.url_keywords_file) as f:
+            for ln in f:
+                parts = ln.split()
+                if not parts:
+                    continue
+                w = parts[0].lower()
+                wt = float(parts[1]) if len(parts) > 1 else 1.0
+                pairs.append((w, wt))
+        url_keywords = tuple(pairs)
     cfg = PipelineConfig(
         salt_partitions=args.salt_partitions,
         dedup_near=args.near_dedup,
         near_dup_threshold=args.near_dup_threshold,
         normalize_urls=args.normalize_urls,
         blocklist=blocklist,
+        url_keyword_weights=url_keywords,
+        url_keyword_threshold=args.url_keyword_threshold,
+        min_token_entropy=args.min_token_entropy,
     )
     manifest = run_resumable(
         spark, source, args.output, n_buckets=args.buckets, cfg=cfg
