@@ -31,35 +31,50 @@ def streaming_quality_filter(
     drop_reason, scrubbed_text, metric columns). Stateless: safe under any
     trigger, no watermark needed.
 
-    cfg.blocklist composes for free (round 5): the plan-literal suffix
-    check is a projection, blocked rows take drop_reason='blocked_domain'
-    FIRST and their text is masked BEFORE the Arrow scorer (the batch
-    pipeline's exact semantics — blocked docs are never scored, their
-    metric columns stay NULL)."""
-    if cfg.blocklist:
-        from ..operators.url_filter import blocked_domain_col
+    cfg.blocklist and cfg.url_keyword_weights compose for free
+    (round 5): both URL gates are plan-literal projections; flagged rows
+    take drop_reason='blocked_domain' / 'url_keywords' FIRST (blocklist
+    wins, matching the batch decide order) and their text is masked
+    BEFORE the Arrow scorer (the batch pipeline's exact semantics —
+    URL-gated docs are never scored, their metric columns stay NULL)."""
+    url_reason = None
+    if cfg.blocklist or cfg.url_keyword_weights:
+        flag = F.lit(False)
+        url_reason = F.lit(None).cast("string")
+        if cfg.url_keyword_weights:
+            from ..operators.url_filter import url_keyword_score_col
 
-        stream = stream.withColumn(
-            "_blocked", blocked_domain_col(F.col("url"), cfg.blocklist)
-        ).withColumn("text", F.when(~F.col("_blocked"), F.col("text")))
+            kw = url_keyword_score_col(
+                F.col("url"), cfg.url_keyword_weights
+            ) >= F.lit(cfg.url_keyword_threshold)
+            flag = flag | kw
+            url_reason = F.when(kw, F.lit("url_keywords"))
+        if cfg.blocklist:
+            from ..operators.url_filter import blocked_domain_col
+
+            bl = blocked_domain_col(F.col("url"), cfg.blocklist)
+            flag = flag | bl
+            url_reason = F.when(bl, F.lit("blocked_domain")).otherwise(
+                url_reason
+            )
+        stream = stream.withColumn("_url_gated", flag).withColumn(
+            "text", F.when(~F.col("_url_gated"), F.col("text"))
+        )
     out = decide_quality(with_metrics(stream, cfg), cfg)
-    if cfg.blocklist:
+    if url_reason is not None:
         from ..pipeline import _METRIC_COLS
 
         out = out.withColumn(
-            "drop_reason",
-            F.when(F.col("_blocked"), F.lit("blocked_domain")).otherwise(
-                F.col("drop_reason")
-            ),
+            "drop_reason", F.coalesce(url_reason, F.col("drop_reason"))
         ).withColumn("keep", F.col("drop_reason").isNull())
-        # metric columns are NULL for blocked rows (same post-hoc masking
-        # the batch pipeline applies to non-survivors — the Arrow scorer
-        # emits typed defaults for masked text, not NULLs)
+        # metric columns are NULL for URL-gated rows (same post-hoc
+        # masking the batch pipeline applies to non-survivors — the Arrow
+        # scorer emits typed defaults for masked text, not NULLs)
         for col, typ in _METRIC_COLS.items():
             out = out.withColumn(
-                col, F.when(~F.col("_blocked"), F.col(col)).cast(typ)
+                col, F.when(~F.col("_url_gated"), F.col(col)).cast(typ)
             )
-        out = out.drop("_blocked")
+        out = out.drop("_url_gated")
     return out
 
 

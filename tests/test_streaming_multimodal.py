@@ -256,6 +256,54 @@ def test_streaming_quality_filter_blocklist(spark, tmp_path):
     assert out.filter(F.col("keep")).count() > 0
 
 
+def test_streaming_quality_filter_url_keyword_gate(spark, tmp_path):
+    """cfg.url_keyword_weights in the STREAMING filter: flagged urls take
+    drop_reason='url_keywords' first and are never scored; when the
+    blocklist is ALSO on, a url matching both takes 'blocked_domain'
+    (the batch decide order)."""
+    from dataqualitykit_spark.config import PipelineConfig
+    from dataqualitykit_spark.fixtures import generate_pages
+    from dataqualitykit_spark.fixtures.pages import PAGES_SCHEMA
+    from dataqualitykit_spark.streaming import streaming_quality_filter
+
+    rows = generate_pages(150)
+    for i, r in enumerate(rows):
+        if i % 11 == 0:
+            r["url"] = r["url"].replace("/page", "/casino/page", 1)
+    src = str(tmp_path / "src_kw")
+    spark.createDataFrame(rows, PAGES_SCHEMA).write.parquet(src)
+
+    cfg = PipelineConfig(
+        url_keyword_weights=(("casino", 1.0),),
+        blocklist=("hot-domain.example",),
+    )
+    stream = spark.readStream.schema(PAGES_SCHEMA).parquet(src)
+    labeled = streaming_quality_filter(stream, cfg)
+    q = (
+        labeled.select("url", "drop_reason", "ppl")
+        .writeStream.format("memory")
+        .queryName("labeled_kw_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql("select * from labeled_kw_stream")
+    kw = out.filter(F.col("drop_reason") == "url_keywords")
+    n = kw.count()
+    assert n > 0
+    assert kw.filter(~F.col("url").contains("casino")).count() == 0
+    # url-gated rows never reach the scorer
+    assert kw.filter(F.col("ppl").isNotNull()).count() == 0
+    # a url matching BOTH gates takes blocked_domain (batch decide order)
+    both = out.filter(
+        F.col("url").contains("hot-domain") & F.col("url").contains("casino")
+    )
+    if both.count():
+        assert (
+            both.filter(F.col("drop_reason") != "blocked_domain").count() == 0
+        )
+
+
 def test_streaming_quality_filter_entropy_gate(spark, tmp_path):
     """cfg.min_token_entropy composes over readStream for free: the
     fused scorer's extras field flows through with_metrics/decide_quality
