@@ -1868,6 +1868,60 @@ def q_token_entropy(spark, sf):
     )
 
 
+def q_ivfpq_cosine_topk(spark, sf):
+    """Invariant certification of IVF-PQ/ADC ANN (same planted-copy
+    scheme as ivf_cosine_topk — the learned coarse quantizer and PQ
+    codebooks have no SQL mirror): 3 exact copies of every query vector
+    are planted; an exact copy achieves the GLOBAL MINIMUM possible ADC
+    distance (its code is the per-subspace argmin), always lands in the
+    query's own probed cell, and re-ranks to cosine exactly 1.0 — so all
+    3 must appear in the IVFPQ top-5 AND the brute-force top-5.
+    missing_* count absent planted pairs — must be 0."""
+    emb = _t(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    planted = queries.select(
+        F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("_j"),
+        "vec_id",
+        "embedding",
+    ).select(
+        (F.lit(100000) + F.col("vec_id") * 10 + F.col("_j")).alias("vec_id"),
+        "embedding",
+    )
+    corpus = emb.select("vec_id", "embedding").unionByName(planted)
+    pq = similarity.ivfpq_topk(corpus, queries, "vec_id", "embedding", k=5)
+    brute = similarity.cosine_topk(corpus, queries, "vec_id", "embedding", k=5)
+    expected = queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("_j"),
+    ).select(
+        "query_id",
+        (F.lit(100000) + F.col("query_id") * 10 + F.col("_j")).alias(
+            "neighbor_id"
+        ),
+    )
+    n_q = queries.agg(F.count(F.lit(1)).cast("long").alias("n_queries"))
+    n_p = expected.agg(F.count(F.lit(1)).cast("long").alias("n_planted"))
+    miss_pq = expected.join(
+        pq.select("query_id", "neighbor_id"),
+        ["query_id", "neighbor_id"],
+        "left_anti",
+    ).agg(F.count(F.lit(1)).cast("long").alias("missing_ivfpq"))
+    miss_brute = expected.join(
+        brute.select("query_id", "neighbor_id"),
+        ["query_id", "neighbor_id"],
+        "left_anti",
+    ).agg(F.count(F.lit(1)).cast("long").alias("missing_brute"))
+    return (
+        n_q.crossJoin(F.broadcast(n_p))
+        .crossJoin(F.broadcast(miss_pq))
+        .crossJoin(F.broadcast(miss_brute))
+        .select(
+            "n_queries", F.lit(5).alias("k"), "n_planted",
+            "missing_ivfpq", "missing_brute",
+        )
+    )
+
+
 def q_domain_cap(spark, sf):
     """FineWeb-style per-group output cap: at most 15 docs per source
     (the fixture has 20 sources x 25 docs, so the cut demonstrably fires
@@ -2067,6 +2121,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_entropy": q_token_entropy,
         "domain_cap": q_domain_cap,
         "crawl_delta": q_crawl_delta,
+        "ivfpq_cosine_topk": q_ivfpq_cosine_topk,
         # -- two green rounds (r03+r04 / r02+r04) — one confirming record --
         "minhash_lsh_dups": q_minhash_lsh_dups,
         "simhash": q_simhash,
@@ -3719,6 +3774,13 @@ def oracle_sql() -> dict[str, str]:
                5 AS k,
                CAST(3 * count(*) AS BIGINT) AS n_planted,
                CAST(0 AS BIGINT) AS missing_ivf,
+               CAST(0 AS BIGINT) AS missing_brute
+        FROM embeddings WHERE vec_id < 10"""
+    d["ivfpq_cosine_topk"] = """
+        SELECT CAST(count(*) AS BIGINT) AS n_queries,
+               5 AS k,
+               CAST(3 * count(*) AS BIGINT) AS n_planted,
+               CAST(0 AS BIGINT) AS missing_ivfpq,
                CAST(0 AS BIGINT) AS missing_brute
         FROM embeddings WHERE vec_id < 10"""
     d["semantic_dedup"] = """
