@@ -1922,6 +1922,40 @@ def q_ivfpq_cosine_topk(spark, sf):
     )
 
 
+def q_chunk_documents(spark, sf):
+    """Long-doc chunking for training prep: every doc explodes into
+    consecutive <= 32-token chunks (chunk text = space-join of its
+    tokens — whitespace normalizes, the token sequence is preserved).
+    Pure projection + explode, zero corpus exchange; the token array
+    materializes in its own projection so the chunk-builder HOF reads a
+    bound attribute, never re-running the tokenizer per chunk. The
+    oracle rebuilds identical chunks via DuckDB 1-based-inclusive list
+    slices in a struct comprehension."""
+    from dataqualitykit_spark.operators import packing
+
+    d = _t(spark, sf, "documents")
+    return packing.chunk_documents(d, 32).select(
+        F.col("id").alias("doc_id"), "chunk_id", "chunk_text", "n_tokens"
+    )
+
+
+def q_pack_offsets(spark, sf):
+    """GPT-style sequence-packing bookkeeping: each doc's exclusive
+    running token offset within its lang stream (deterministic
+    (md5(id), id) order), seq_id = offset // 256 and seq_pos. Spark runs
+    the distributed prefix-sum (per-(group, md5-bucket) partials +
+    driver base offsets + parallel per-bucket cumsums — never one
+    corpus-wide window partition); the oracle is the one-window cumsum
+    it is row-identical to."""
+    from dataqualitykit_spark.operators import packing
+
+    d = _t(spark, sf, "documents")
+    out = packing.pack_offsets(d, 256, by="lang")
+    return out.select(
+        "doc_id", "lang", "n_tokens", "offset", "seq_id", "seq_pos"
+    )
+
+
 def q_domain_cap(spark, sf):
     """FineWeb-style per-group output cap: at most 15 docs per source
     (the fixture has 20 sources x 25 docs, so the cut demonstrably fires
@@ -2122,6 +2156,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_cap": q_domain_cap,
         "crawl_delta": q_crawl_delta,
         "ivfpq_cosine_topk": q_ivfpq_cosine_topk,
+        "chunk_documents": q_chunk_documents,
+        "pack_offsets": q_pack_offsets,
         # -- two green rounds (r03+r04 / r02+r04) — one confirming record --
         "minhash_lsh_dups": q_minhash_lsh_dups,
         "simhash": q_simhash,
@@ -4123,6 +4159,36 @@ def oracle_sql() -> dict[str, str]:
                     THEN round(CAST({_anchor} AS DOUBLE) / {_vis}, 6)
                END AS link_density
         FROM h"""
+    d["chunk_documents"] = f"""
+        WITH tok AS (
+          SELECT doc_id, {_sql_tokens('text')} AS toks FROM documents
+        )
+        SELECT doc_id, u.i AS chunk_id, u.t AS chunk_text,
+               CAST(least(32, len(toks) - u.i * 32) AS BIGINT) AS n_tokens
+        FROM (
+          SELECT doc_id, toks,
+                 unnest([{{'i': i, 't': array_to_string(
+                            toks[i*32+1 : least((i+1)*32, len(toks))], ' ')}}
+                         for i in generate_series(
+                            0, CAST(ceil(len(toks)/32.0) AS INT) - 1)]) AS u
+          FROM tok WHERE len(toks) > 0)"""
+    d["pack_offsets"] = f"""
+        WITH t AS (
+          SELECT doc_id, lang,
+                 md5(CAST(doc_id AS VARCHAR)) AS key,
+                 CAST(coalesce(len(regexp_extract_all(text,
+                   {_sql_lit(T.BPE_TOKEN_REGEX)})), 0) AS BIGINT) AS n
+          FROM documents
+        ), c AS (
+          SELECT *, sum(n) OVER (
+            PARTITION BY lang ORDER BY key, doc_id) - n AS off
+          FROM t
+        )
+        SELECT doc_id, lang, n AS n_tokens,
+               CAST(off AS BIGINT) AS "offset",
+               CAST(off // 256 AS BIGINT) AS seq_id,
+               CAST(off % 256 AS BIGINT) AS seq_pos
+        FROM c"""
     d["domain_cap"] = """
         WITH r AS (
           SELECT doc_id, source, row_number() OVER (
