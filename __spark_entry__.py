@@ -1922,6 +1922,23 @@ def q_ivfpq_cosine_topk(spark, sf):
     )
 
 
+def q_semantic_decontamination(spark, sf):
+    """Embedding-level benchmark decontamination: the first 10 vectors
+    play the eval set; every corpus row reports its max cosine to any of
+    them (rounded 6 — both engines compare the ROUNDED value against the
+    0.8 threshold, so sum-order ulp drift cannot flip the flag). The 10
+    self-rows sit at exactly 1.0; the near-orthogonal rest stays far
+    below threshold. Oracle = the exact cross-join max in SQL."""
+    emb = _t(spark, sf, "embeddings")
+    bench = emb.filter(F.col("vec_id") < 10)
+    out = similarity.semantic_decontamination(
+        emb, bench, "vec_id", "embedding", threshold=0.8
+    )
+    return out.select(
+        F.col("id").alias("vec_id"), "max_bench_cosine", "contaminated"
+    )
+
+
 def q_chunk_documents(spark, sf):
     """Long-doc chunking for training prep: every doc explodes into
     consecutive <= 32-token chunks (chunk text = space-join of its
@@ -2158,6 +2175,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivfpq_cosine_topk": q_ivfpq_cosine_topk,
         "chunk_documents": q_chunk_documents,
         "pack_offsets": q_pack_offsets,
+        "semantic_decontamination": q_semantic_decontamination,
         # -- two green rounds (r03+r04 / r02+r04) — one confirming record --
         "minhash_lsh_dups": q_minhash_lsh_dups,
         "simhash": q_simhash,
@@ -4159,6 +4177,22 @@ def oracle_sql() -> dict[str, str]:
                     THEN round(CAST({_anchor} AS DOUBLE) / {_vis}, 6)
                END AS link_density
         FROM h"""
+    d["semantic_decontamination"] = """
+        WITH b AS (
+          SELECT CAST(embedding AS DOUBLE[]) AS bv
+          FROM embeddings WHERE vec_id < 10
+        ), s AS (
+          SELECT e.vec_id,
+                 max(list_dot_product(CAST(e.embedding AS DOUBLE[]), b.bv)
+                     / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                              CAST(e.embedding AS DOUBLE[])))
+                        * sqrt(list_dot_product(b.bv, b.bv)))) AS ms
+          FROM embeddings e CROSS JOIN b
+          GROUP BY e.vec_id
+        )
+        SELECT vec_id, round(ms, 6) AS max_bench_cosine,
+               round(ms, 6) >= 0.8 AS contaminated
+        FROM s"""
     d["chunk_documents"] = f"""
         WITH tok AS (
           SELECT doc_id, {_sql_tokens('text')} AS toks FROM documents

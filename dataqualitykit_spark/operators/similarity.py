@@ -923,3 +923,68 @@ def ivfpq_topk(
             "rank",
         )
     )
+
+
+def semantic_decontamination(
+    corpus: DataFrame,
+    bench: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Embedding-level benchmark decontamination: flag every corpus row
+    whose cosine to ANY benchmark vector reaches `threshold` — the
+    semantic companion to dedup.contamination_flags' exact 13-gram rule
+    (catches paraphrased/translated eval leakage n-grams miss). Returns
+    (id, max_bench_cosine rounded 6, contaminated); NULL vectors carry
+    NULL/False.
+
+    100 TB shape: the benchmark set is SMALL by contract (eval suites —
+    same bounded contract as ANN query batches); its normalized matrix
+    ships in the Arrow closure and each corpus batch scores a single
+    numpy matmul — ZERO corpus exchange, no join, no window. The flag
+    compares the ROUNDED value on both engines so the oracle's
+    sequential-sum cosine and numpy's pairwise-summed matmul can never
+    disagree at the threshold boundary (ulp drift << the rounding
+    grain)."""
+    import numpy as np
+    import pandas as pd
+
+    b_rows = bench.select(
+        F.col(vec_col).cast("array<double>").alias("v")
+    ).collect()
+    B = np.array([r["v"] for r in b_rows], dtype=np.float64)
+    if B.size:
+        norms = np.sqrt((B * B).sum(axis=1))
+        norms[norms == 0.0] = 1.0
+        Bn = B / norms[:, None]
+    else:
+        Bn = B
+
+    def score(vecs):  # no type hints: pandas_udf infers eval type from them
+        out = []
+        for v in vecs:
+            if v is None or not Bn.size:
+                out.append(None)
+                continue
+            x = np.asarray(v, dtype=np.float64)
+            nx = np.sqrt((x * x).sum())
+            if nx == 0.0:
+                out.append(0.0)
+                continue
+            out.append(float((Bn @ (x / nx)).max()))
+        return pd.Series(out, dtype="float64")
+
+    udf = F.pandas_udf(score, returnType="double")
+    out = corpus.select(
+        F.col(id_col).alias("id"),
+        F.round(
+            udf(F.col(vec_col).cast("array<double>")), 6
+        ).alias("max_bench_cosine"),
+    )
+    return out.withColumn(
+        "contaminated",
+        F.coalesce(
+            F.col("max_bench_cosine") >= F.lit(threshold), F.lit(False)
+        ),
+    )

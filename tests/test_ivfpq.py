@@ -84,3 +84,42 @@ def test_pq_lloyd_fit_no_rng():
     # an exact training row's nearest center reconstructs it closely
     d = ((mat[:, None, :] - a[None, :, :]) ** 2).sum(axis=2)
     assert float(d.min(axis=1).mean()) < float(((mat - mat.mean(0)) ** 2).sum(1).mean())
+
+
+def test_semantic_decontamination(spark):
+    from dataqualitykit_spark.operators.similarity import (
+        semantic_decontamination,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    bench = emb.filter(F.col("vec_id") < 5)
+    corpus = emb.select("vec_id", "embedding").unionByName(
+        # a NULL-vector row must carry NULL/False, not crash the matmul
+        spark.createDataFrame(
+            [(999999, None)], "vec_id long, embedding array<float>"
+        )
+    )
+    out = {
+        r["id"]: (r["max_bench_cosine"], r["contaminated"])
+        for r in semantic_decontamination(
+            corpus, bench, threshold=0.8
+        ).collect()
+    }
+    # bench members match themselves at exactly 1.0 after rounding
+    for q in range(5):
+        assert out[q] == (1.0, True)
+    assert out[999999] == (None, False)
+    # the near-orthogonal rest stays uncontaminated
+    flagged = [i for i, (_, c) in out.items() if c]
+    assert sorted(flagged) == [0, 1, 2, 3, 4]
+
+
+def test_semantic_decontamination_empty_bench(spark):
+    from dataqualitykit_spark.operators.similarity import (
+        semantic_decontamination,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    bench = emb.filter(F.col("vec_id") < 0)  # empty
+    out = semantic_decontamination(emb.limit(5), bench).collect()
+    assert all(r["max_bench_cosine"] is None and not r["contaminated"] for r in out)
