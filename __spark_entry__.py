@@ -1922,6 +1922,23 @@ def q_ivfpq_cosine_topk(spark, sf):
     )
 
 
+def q_mixture_sample(spark, sf):
+    """Mixture-weights corpus composition (50% en / 25% de / 25% fr by
+    BPE-pretoken mass): T = the largest feasible total — de is the
+    binding group at BOTH sf levels (taken whole) while en and fr
+    demonstrably cut; es/zh drop entirely (absent from the target mix).
+    Binary-exact fractions so the oracle's avail/frac -> min -> frac*T
+    -> floor chain is the identical IEEE sequence. Oracle = the same
+    quota computation in SQL + the one-window cumsum cut."""
+    from dataqualitykit_spark.operators import sampling
+
+    d = _t(spark, sf, "documents")
+    out = sampling.sample_to_mixture(
+        d, {"en": 0.5, "de": 0.25, "fr": 0.25}, by="lang", id_col="doc_id"
+    )
+    return out.select("doc_id", "lang", "n_tokens")
+
+
 def q_semantic_decontamination(spark, sf):
     """Embedding-level benchmark decontamination: the first 10 vectors
     play the eval set; every corpus row reports its max cosine to any of
@@ -2176,6 +2193,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": q_chunk_documents,
         "pack_offsets": q_pack_offsets,
         "semantic_decontamination": q_semantic_decontamination,
+        "mixture_sample": q_mixture_sample,
         # -- two green rounds (r03+r04 / r02+r04) — one confirming record --
         "minhash_lsh_dups": q_minhash_lsh_dups,
         "simhash": q_simhash,
@@ -4177,6 +4195,30 @@ def oracle_sql() -> dict[str, str]:
                     THEN round(CAST({_anchor} AS DOUBLE) / {_vis}, 6)
                END AS link_density
         FROM h"""
+    d["mixture_sample"] = f"""
+        WITH t AS (
+          SELECT doc_id, lang,
+                 md5(CAST(doc_id AS VARCHAR)) AS key,
+                 CAST(coalesce(len(regexp_extract_all(text,
+                   {_sql_lit(T.BPE_TOKEN_REGEX)})), 0) AS BIGINT) AS n
+          FROM documents WHERE lang IN ('en', 'de', 'fr')
+        ), fr AS (
+          SELECT * FROM (VALUES ('en', 0.5), ('de', 0.25), ('fr', 0.25))
+            AS f(lang, frac)
+        ), av AS (
+          SELECT lang, CAST(sum(n) AS BIGINT) AS a FROM t GROUP BY lang
+        ), tt AS (
+          SELECT min(av.a / fr.frac) AS total FROM av JOIN fr USING (lang)
+        ), q AS (
+          SELECT fr.lang,
+                 CAST(floor(fr.frac * tt.total) AS BIGINT) AS quota
+          FROM fr CROSS JOIN tt
+        ), c AS (
+          SELECT t.*, q.quota, sum(n) OVER (
+            PARTITION BY t.lang ORDER BY key, doc_id) AS cum
+          FROM t JOIN q ON q.lang = t.lang
+        )
+        SELECT doc_id, lang, n AS n_tokens FROM c WHERE cum <= quota"""
     d["semantic_decontamination"] = """
         WITH b AS (
           SELECT CAST(embedding AS DOUBLE[]) AS bv

@@ -36,13 +36,18 @@ from ..functions import text as T
 
 def sample_to_token_budget(
     df: DataFrame,
-    budget_tokens: int,
+    budget_tokens,
     text_col: str = "text",
     id_col: str = "doc_id",
     by: str = "lang",
     token_expr=None,
 ) -> DataFrame:
     """Keep a deterministic ~budget_tokens prefix per `by` group.
+
+    `budget_tokens` is one int for every group, or a dict mapping group
+    VALUES (None allowed for the NULL group) to per-group budgets — the
+    mixture form sample_to_mixture builds on; groups absent from the
+    dict are dropped entirely (budget 0).
 
     Returns the input rows (all columns) plus `n_tokens`. `id_col` must
     be unique per row (it seeds the order key). Rows with a NULL `by`
@@ -71,19 +76,30 @@ def sample_to_token_budget(
     )
     spark = df.sparkSession
 
+    if isinstance(budget_tokens, dict):
+        # sentinel-keyed view of the caller's raw-group-value budgets
+        bmap = {
+            ("\x00null" if g is None else f"v:{g}"): int(q)
+            for g, q in budget_tokens.items()
+        }
+        budget_of = lambda g: bmap.get(g, 0)  # noqa: E731
+    else:
+        budget_of = lambda g: budget_tokens  # noqa: E731
+
     sums = base.groupBy("_g", "_bkt").agg(F.sum("n_tokens").alias("_s")).collect()
     per_group: dict = {}
     for r in sums:
         per_group.setdefault(r["_g"], []).append((r["_bkt"], r["_s"]))
     full_rows, cut_rows = [], []
     for g, buckets in per_group.items():
+        budget = budget_of(g)
         running = 0
         for b, s in sorted(buckets):
-            if running + s <= budget_tokens:
+            if running + s <= budget:
                 full_rows.append((g, b))
                 running += s
             else:
-                cut_rows.append((g, b, budget_tokens - running))
+                cut_rows.append((g, b, budget - running))
                 break  # later buckets start past the budget
 
     full = spark.createDataFrame(full_rows, "_g string, _bkt string")
@@ -498,3 +514,71 @@ def cap_per_group(
     return sample_to_token_budget(
         df, max_rows, id_col=id_col, by=by, token_expr=F.lit(1)
     ).drop("n_tokens")
+
+
+def sample_to_mixture(
+    df: DataFrame,
+    proportions: dict,
+    by: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    token_expr=None,
+    total_tokens: int | None = None,
+) -> DataFrame:
+    """Compose a corpus matching target per-group TOKEN proportions —
+    the mixture-weights step of training-set assembly ("50% en, 25% de,
+    25% fr"): per-group quotas quota_g = floor(frac_g * T), each applied
+    as the deterministic (md5(id), id)-ordered prefix cut.
+
+    T = `total_tokens` when given; otherwise the LARGEST feasible total,
+    T = min over target groups of available_g / frac_g — the binding
+    group is taken whole, every other group downsamples to proportion.
+    Groups absent from `proportions` are dropped. Returns the kept rows
+    plus n_tokens.
+
+    Cross-engine note (same as hash_split): use binary-exact fractions
+    (0.5, 0.25, 0.125) so the SQL mirror's division/floor arithmetic is
+    the identical IEEE sequence — avail/frac, min, frac*T, floor are all
+    single double ops with no accumulation-order freedom.
+
+    100 TB shape: ONE partial-aggregated per-group token sum (driver
+    summary = |groups| rows) to size the quotas, then the sampler's
+    histogram-prefix cut per group — never a whole-group window."""
+    import math
+
+    toks = (
+        token_expr
+        if token_expr is not None
+        else T.token_count_pretokens(F.col(text_col))
+    )
+    in_groups = [g for g in proportions if g is not None]
+    member = F.col(by).isin(*in_groups) if in_groups else F.lit(False)
+    if None in proportions:
+        member = member | F.col(by).isNull()
+    filtered = df.filter(member)
+    if total_tokens is None:
+        avail_rows = (
+            filtered.groupBy(by)
+            .agg(F.sum(F.coalesce(toks.cast("long"), F.lit(0))).alias("_a"))
+            .collect()
+        )
+        avail = {r[by]: r["_a"] for r in avail_rows}
+        feasible = [
+            avail[g] / frac
+            for g, frac in proportions.items()
+            if frac > 0 and g in avail
+        ]
+        t_total = min(feasible) if feasible else 0.0
+    else:
+        t_total = float(total_tokens)
+    quotas = {
+        g: int(math.floor(frac * t_total)) for g, frac in proportions.items()
+    }
+    return sample_to_token_budget(
+        filtered,
+        quotas,
+        text_col=text_col,
+        id_col=id_col,
+        by=by,
+        token_expr=token_expr,
+    )

@@ -81,3 +81,66 @@ def test_cap_per_group_no_whole_group_window(spark):
         for r in out.groupBy("grp").count().collect()
     }
     assert counts == {"0": 100, "1": 100, "2": 100}
+
+
+def test_sample_to_mixture_proportions(spark):
+    """Mixture quotas: the binding group is taken whole, the others cut
+    to proportion; groups absent from the target mix drop entirely; kept
+    token mass per group never exceeds quota and the next doc in order
+    would cross it."""
+    import hashlib
+    import math
+
+    from dataqualitykit_spark.operators.sampling import sample_to_mixture
+
+    rows = []
+    for i in range(300):
+        g = ["en", "de", "fr", "es"][i % 4]
+        rows.append((i, g, "tok " * (i % 9 + 1)))
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    props = {"en": 0.5, "de": 0.25, "fr": 0.25}
+    out = sample_to_mixture(df, props, by="lang", id_col="doc_id").collect()
+    assert all(r["lang"] in props for r in out)
+
+    # python mirror of the quota math + prefix cut
+    from dataqualitykit_spark.semantics import tokenize
+
+    n_of = {i: len(tokenize(t)) for i, g, t in rows}
+    avail = {}
+    for i, g, _ in rows:
+        if g in props:
+            avail[g] = avail.get(g, 0) + n_of[i]
+    t_total = min(avail[g] / f for g, f in props.items())
+    quotas = {g: int(math.floor(f * t_total)) for g, f in props.items()}
+    expect = set()
+    for g in props:
+        ids = [i for i, gg, _ in rows if gg == g]
+        ids.sort(key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))
+        run = 0
+        for i in ids:
+            run += n_of[i]
+            if run > quotas[g]:
+                break
+            expect.add(i)
+    assert {r["doc_id"] for r in out} == expect
+    # the binding group is kept whole
+    binding = min(props, key=lambda g: avail[g] / props[g])
+    kept_binding = sum(1 for r in out if r["lang"] == binding)
+    assert kept_binding == sum(1 for i, g, _ in rows if g == binding)
+
+
+def test_sample_to_token_budget_dict_budgets(spark):
+    from dataqualitykit_spark.operators.sampling import sample_to_token_budget
+
+    df = spark.createDataFrame(
+        [(i, ["a", "b", None][i % 3], "t t t") for i in range(90)],
+        "doc_id long, g string, text string",
+    )
+    out = sample_to_token_budget(
+        df, {"a": 9, None: 3}, by="g", id_col="doc_id"
+    ).collect()
+    by_g: dict = {}
+    for r in out:
+        by_g[r["g"]] = by_g.get(r["g"], 0) + r["n_tokens"]
+    # 'a' capped at 9 tokens (3 docs), NULL group at 3, 'b' absent -> dropped
+    assert by_g == {"a": 9, None: 3}
