@@ -789,22 +789,25 @@ def pq_encode(
     m, k_codes, sub = cb.shape
 
     def encode(vecs):  # no type hints: pandas_udf infers eval type from them
-        out = []
-        for v in vecs:
-            if v is None:
-                out.append(None)
-                continue
-            x = np.asarray(v, dtype=np.float64)
-            code = [
-                int(
-                    (
-                        ((x[j * sub : (j + 1) * sub] - cb[j]) ** 2).sum(axis=1)
-                    ).argmin()
+        vals = list(vecs)
+        present = [v for v in vals if v is not None]
+        out = [None] * len(vals)
+        if present:
+            V = np.array([np.asarray(v, dtype=np.float64) for v in present])
+            codes = np.empty((len(present), m), dtype=np.int64)
+            for j in range(m):
+                Vj = V[:, j * sub : (j + 1) * sub]  # (n, sub)
+                # ||v - c||^2 = ||v||^2 - 2 v.c + ||c||^2 ; one gemm per
+                # subspace instead of a python loop per row
+                d2 = (
+                    (Vj * Vj).sum(axis=1)[:, None]
+                    - 2.0 * (Vj @ cb[j].T)
+                    + (cb[j] * cb[j]).sum(axis=1)[None, :]
                 )
-                for j in range(m)
-            ]
-            out.append(code)
-        return pd.Series(out)
+                codes[:, j] = d2.argmin(axis=1)
+            it = iter(codes)
+            out = [None if v is None else next(it).tolist() for v in vals]
+        return pd.Series(out, index=vecs.index, dtype=object)
 
     udf = F.pandas_udf(encode, returnType="array<int>")
     return df.withColumn(code_col, udf(F.col(vec_col)))
