@@ -1922,6 +1922,54 @@ def q_ivfpq_cosine_topk(spark, sf):
     )
 
 
+def q_phash_dedup(spark, sf):
+    """A/B invariant certification of perceptual-hash media dedup (the
+    dHash pipeline over the stubbed decoder has no SQL mirror — same
+    scheme as the minhash/simhash fast twins): every 4th fixture payload
+    is planted again under media_id+200000, and the INDEPENDENT twin is
+    byte equality (a one-line md5(payload) self-join — different code
+    path from dHash + banded hamming join). With the stub decoder,
+    identical bytes are the ONLY perceptual duplicates, so the two pair
+    sets must agree EXACTLY: 121 pairs both sides (the fixture's natural
+    WAV/PNG/MP4 payload collisions — group sizes 15/3/3/3 + seven 2s —
+    plus the planted copies), zero symmetric difference, zero pairs at
+    nonzero hamming. Oracle = those fixture constants."""
+    from dataqualitykit_spark.operators import multimodal
+
+    fx = multimodal.media_fixture(spark, 60).select("media_id", "payload")
+    planted = fx.filter(F.col("media_id") % 4 == 0).select(
+        (F.col("media_id") + 200000).alias("media_id"), "payload"
+    )
+    corpus = fx.unionByName(planted)
+    pairs = multimodal.phash_dup_pairs(corpus, max_hamming=8).select(
+        "id_a", "id_b", "hamming"
+    )
+    keyed = corpus.select(
+        F.col("media_id").alias("id"), F.md5(F.col("payload")).alias("_k")
+    )
+    eq_pairs = (
+        keyed.alias("a")
+        .join(keyed.alias("b"), "_k")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+    )
+    n_media = corpus.agg(F.count(F.lit(1)).cast("long").alias("n_media"))
+    n_eq = eq_pairs.agg(F.count(F.lit(1)).cast("long").alias("n_equal_pairs"))
+    n_ph = pairs.agg(F.count(F.lit(1)).cast("long").alias("n_phash_pairs"))
+    miss = eq_pairs.join(
+        pairs.select("id_a", "id_b"), ["id_a", "id_b"], "left_anti"
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_missing"))
+    extra_or_nonzero = pairs.filter(F.col("hamming") != 0).agg(
+        F.count(F.lit(1)).cast("long").alias("n_nonzero_hamming")
+    )
+    return (
+        n_media.crossJoin(F.broadcast(n_eq))
+        .crossJoin(F.broadcast(n_ph))
+        .crossJoin(F.broadcast(miss))
+        .crossJoin(F.broadcast(extra_or_nonzero))
+    )
+
+
 def q_mixture_sample(spark, sf):
     """Mixture-weights corpus composition (50% en / 25% de / 25% fr by
     BPE-pretoken mass): T = the largest feasible total — de is the
@@ -2194,6 +2242,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_offsets": q_pack_offsets,
         "semantic_decontamination": q_semantic_decontamination,
         "mixture_sample": q_mixture_sample,
+        "phash_dedup": q_phash_dedup,
         # -- two green rounds (r03+r04 / r02+r04) — one confirming record --
         "minhash_lsh_dups": q_minhash_lsh_dups,
         "simhash": q_simhash,
@@ -4195,6 +4244,12 @@ def oracle_sql() -> dict[str, str]:
                     THEN round(CAST({_anchor} AS DOUBLE) / {_vis}, 6)
                END AS link_density
         FROM h"""
+    d["phash_dedup"] = """
+        SELECT CAST(75 AS BIGINT) AS n_media,
+               CAST(121 AS BIGINT) AS n_equal_pairs,
+               CAST(121 AS BIGINT) AS n_phash_pairs,
+               CAST(0 AS BIGINT) AS n_missing,
+               CAST(0 AS BIGINT) AS n_nonzero_hamming"""
     d["mixture_sample"] = f"""
         WITH t AS (
           SELECT doc_id, lang,

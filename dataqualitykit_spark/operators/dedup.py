@@ -1267,3 +1267,67 @@ def contamination_flags(
             (F.coalesce("n_hits", F.lit(0)) >= min_hits).alias("contaminated"),
         )
     )
+
+
+def hamming_dup_pairs(
+    df: DataFrame,
+    hash_col: str = "simhash",
+    id_col: str = "id",
+    max_hamming: int = 8,
+) -> DataFrame:
+    """Near-dup pairs among 64-bit codes at hamming distance <=
+    max_hamming — the generic banded join behind simhash/perceptual-hash
+    dedup. Pigeonhole guarantee: the code splits into (max_hamming + 1)
+    contiguous bit bands, so any pair within max_hamming differs in at
+    most max_hamming bands and MUST agree exactly on at least one —
+    candidate generation is a hash equi-join per band (ids + one long
+    each; no nested-loop, no O(n^2)), then F.bit_count(a XOR b) verifies
+    the exact distance. Returns (id_a, id_b, hamming), id_a < id_b.
+
+    100 TB shape: the exchange carries (band, band-bits, id, code) — 28
+    B/row x bands; a degenerate band value (e.g. all-zero high bits
+    across the corpus) concentrates ITS band's join, which AQE skew
+    handles; the verify filter runs inside the join's codegen stage."""
+    n_bands = max_hamming + 1
+    width = 64 // n_bands
+    # band b = bits [b*width, (b+1)*width) — the LAST band keeps the
+    # remainder bits so every bit belongs to exactly one band
+    def band_bits(col, b: int):
+        lo = b * width
+        take = 64 - lo if b == n_bands - 1 else width
+        mask = F.lit(-1 if take == 64 else (1 << take) - 1).cast("long")
+        return F.shiftright(col, lo).bitwiseAND(mask)
+
+    h = F.col(hash_col)
+    banded = df.select(
+        F.col(id_col).alias("id"), h.cast("long").alias("_h")
+    ).select(
+        "id",
+        "_h",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        band_bits(F.col("_h"), b).alias("bits"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "_h", "bk.band", "bk.bits")
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(b, on=["band", "bits"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.bit_count(
+                F.col("a._h").bitwiseXOR(F.col("b._h"))
+            ).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+    return pairs

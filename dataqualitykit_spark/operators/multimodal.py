@@ -17,6 +17,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 MEDIA_SCHEMA = (
     "media_id bigint, kind string, payload binary, mime string, "
@@ -403,3 +404,76 @@ def media_fixture_expected(spark, n: int = 64) -> DataFrame:
             exp = ("mp4", None, None, None, None, dur, True)
         rows.append(base + exp)
     return spark.createDataFrame(rows, EXPECTED_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Perceptual-hash near-dup (dHash; the image analog of SimHash): 64-bit
+# gradient hash per payload, then dedup.hamming_dup_pairs bands the codes
+# for the candidate join. With a REAL decoder the fake-pixel step below
+# is the only line that changes — everything downstream (banding, XOR
+# verify, components) is decoder-agnostic plumbing, which is what this
+# container can actually test (pixel decode stubbed per the task brief;
+# identical payload bytes hash identically, near-identical IMAGES only
+# hash nearby once a real decoder supplies real pixels).
+# ---------------------------------------------------------------------------
+
+
+def _fake_pixel_stream(payload: bytes, n: int) -> bytes:
+    """sha256-chained deterministic byte stream standing in for decoded
+    grayscale pixels (same stand-in policy as _fake_decode)."""
+    out = b""
+    h = hashlib.sha256(payload).digest()
+    while len(out) < n:
+        out += h
+        h = hashlib.sha256(h).digest()
+    return out[:n]
+
+
+def phash64_bytes(payload: bytes | None) -> int | None:
+    """64-bit dHash: an 8x9 grayscale grid, bit (r, c) set when
+    pixel(r, c) > pixel(r, c+1) — horizontal gradient signs, the
+    classic dHash. Returned as a SIGNED 64-bit int (Spark LongType;
+    bit 63 maps to the sign bit — the repo's 1<<63 ANSI-overflow
+    lesson). None for NULL payloads."""
+    if payload is None:
+        return None
+    px = _fake_pixel_stream(payload, 72)  # 8 rows x 9 cols
+    bits = 0
+    for r in range(8):
+        for c in range(8):
+            if px[r * 9 + c] > px[r * 9 + c + 1]:
+                bits |= 1 << (r * 8 + c)
+    return bits - (1 << 64) if bits >= 1 << 63 else bits
+
+
+def perceptual_hashes(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Adds `phash`: the 64-bit dHash of each payload. One Arrow pass,
+    zero shuffle (per-payload-local)."""
+
+    def batch(payloads):  # no type hints (pandas_udf eval-type inference)
+        return pd.Series(
+            [phash64_bytes(p) for p in payloads], dtype="object"
+        )
+
+    udf = F.pandas_udf(batch, returnType="long")
+    return df.withColumn("phash", udf(F.col(payload_col)))
+
+
+def phash_dup_pairs(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    max_hamming: int = 8,
+) -> DataFrame:
+    """(id_a, id_b, hamming) pairs of perceptually-near media — dHash +
+    the generic banded hamming join (dedup.hamming_dup_pairs: candidate
+    generation is a per-band hash equi-join over (band-bits, id, code),
+    never a nested loop; payload bytes never shuffle)."""
+    from .dedup import hamming_dup_pairs
+
+    hashed = perceptual_hashes(
+        df.select(id_col, payload_col), payload_col
+    ).select(F.col(id_col).alias("id"), "phash")
+    return hamming_dup_pairs(
+        hashed.filter(F.col("phash").isNotNull()), "phash", "id", max_hamming
+    )
