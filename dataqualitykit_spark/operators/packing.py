@@ -123,7 +123,9 @@ def pack_offsets(
             "offset",
             F.col("_base") + F.sum("n_tokens").over(w) - F.col("n_tokens"),
         )
-        .withColumn("seq_id", (F.col("offset") / seq_len).cast("long"))
+        # `div` = exact LONG division (a double-division round trip loses
+        # exactness past 2^53 — reachable offsets at 10^12-doc scale)
+        .withColumn("seq_id", F.expr(f"offset div {int(seq_len)}"))
         .withColumn("seq_pos", F.col("offset") % seq_len)
         .drop("_key", "_bkt", "_g", "_base")
     )
