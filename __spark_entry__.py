@@ -1922,6 +1922,31 @@ def q_ivfpq_cosine_topk(spark, sf):
     )
 
 
+def q_simhash_dup_pairs(spark, sf):
+    """FULL value-hash oracle for the banded hamming join (upgrading the
+    machinery past phash_dedup's invariant form): every 6th doc gets a
+    near-copy planted at doc_id+100000 (its text plus one tail shingle —
+    a handful of flipped simhash bits), codes come from the md5-portable
+    60-bit simhash BOTH engines compute bit-identically (the green
+    `simhash` oracle), and the pair set within hamming 12 must match the
+    oracle's exact O(n^2) bit_count(xor) join pair-for-pair, hamming
+    values included. Spark runs the pigeonhole banded join — 13 bands,
+    never a nested loop."""
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    near = d.filter(F.col("doc_id") % 6 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" tail marker zzz")).alias("text"),
+    )
+    corpus = d.unionByName(near)
+    codes = dedup.simhash_portable(corpus, "text", "doc_id").filter(
+        F.col("simhash").isNotNull()
+    )
+    pairs = dedup.hamming_dup_pairs(codes, "simhash", "id", max_hamming=12)
+    return pairs.select(
+        "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
+    )
+
+
 def q_phash_dedup(spark, sf):
     """A/B invariant certification of perceptual-hash media dedup (the
     dHash pipeline over the stubbed decoder has no SQL mirror — same
@@ -2243,6 +2268,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_decontamination": q_semantic_decontamination,
         "mixture_sample": q_mixture_sample,
         "phash_dedup": q_phash_dedup,
+        "simhash_dup_pairs": q_simhash_dup_pairs,
         # -- two green rounds (r03+r04 / r02+r04) — one confirming record --
         "minhash_lsh_dups": q_minhash_lsh_dups,
         "simhash": q_simhash,
@@ -4244,6 +4270,32 @@ def oracle_sql() -> dict[str, str]:
                     THEN round(CAST({_anchor} AS DOUBLE) / {_vis}, 6)
                END AS link_density
         FROM h"""
+    _sh_powers = ", ".join(str(1 << b) for b in range(60))
+    d["simhash_dup_pairs"] = f"""
+        WITH corpus AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 100000, text || ' tail marker zzz'
+          FROM documents WHERE doc_id % 6 = 0
+        ), {_sql_shingle_cte(2, "corpus")},
+        h AS (
+          SELECT doc_id,
+                 list_transform(shingles,
+                    s -> CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT))
+                   AS hs
+          FROM sh
+        ), codes AS (
+          SELECT doc_id AS id,
+                 CAST(list_sum([CASE WHEN
+                        2 * len(list_filter(hs, x -> (x // p) % 2 = 1))
+                        > len(hs) THEN p ELSE 0 END
+                      for p in [{_sh_powers}]]) AS BIGINT) AS sh
+          FROM h WHERE hs IS NOT NULL
+        )
+        SELECT a.id AS id_a, b.id AS id_b,
+               CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+        FROM codes a JOIN codes b ON a.id < b.id
+        WHERE bit_count(xor(a.sh, b.sh)) <= 12"""
     d["phash_dedup"] = """
         SELECT CAST(75 AS BIGINT) AS n_media,
                CAST(121 AS BIGINT) AS n_equal_pairs,
