@@ -61,6 +61,10 @@ def main() -> None:
                         "(writes the <output>/budgeted table)")
     p.add_argument("--budget-by", default="lang",
                    help="grouping column for --token-budget")
+    p.add_argument("--max-per-domain", type=int, default=None,
+                   help="per-domain output cap applied as a "
+                        "post-compaction pass over the labeled keeps "
+                        "(writes the <output>/domain_capped table)")
     p.add_argument("--master", default=None)
     p.add_argument("--no-resume", action="store_true",
                    help="ignore an existing manifest and start over")
@@ -144,6 +148,28 @@ def main() -> None:
         print(
             f"budgeted: {args.token_budget} tokens per "
             f"{args.budget_by} group -> {args.output}/budgeted"
+        )
+
+    # per-domain output cap: another post-compaction pass over the
+    # labeled keeps (the FineWeb diversity cap — no host dominates the
+    # output regardless of how many of its pages pass quality)
+    if args.max_per_domain is not None:
+        from pyspark.sql import functions as F
+
+        from dataqualitykit_spark.functions.text import domain_of
+        from dataqualitykit_spark.operators.sampling import cap_per_group
+
+        labeled = spark.read.parquet(f"{args.output}/labeled")
+        kept = labeled.filter(F.col("keep")).withColumn(
+            "_domain", domain_of(F.col("url"))
+        )
+        capped = cap_per_group(
+            kept, args.max_per_domain, by="_domain", id_col="url"
+        ).drop("_domain")
+        capped.write.mode("overwrite").parquet(f"{args.output}/domain_capped")
+        print(
+            f"domain-capped: <= {args.max_per_domain} docs per domain "
+            f"-> {args.output}/domain_capped"
         )
     spark.stop()
 
