@@ -1922,6 +1922,42 @@ def q_ivfpq_cosine_topk(spark, sf):
     )
 
 
+# DECOMPOSED suffix planted by unicode_nfc (explicit escapes — an
+# editor-composed literal would silently defeat the fixture): e +
+# COMBINING ACUTE, A + COMBINING RING ABOVE
+_NFC_SUFFIX = " cafe\u0301 A\u030arhus"
+
+
+def q_unicode_nfc(spark, sf):
+    """Unicode NFC pre-hash normalization: every 3rd doc gains a
+    DECOMPOSED suffix (e + COMBINING ACUTE, A + RING) that must compose
+    to the same bytes — and therefore the same md5 dedup key — as the
+    composed form every other engine would write. Returns (doc_id,
+    changed, norm_md5); python unicodedata and DuckDB utf8proc implement
+    the same UAX#15 NFC (verified identical on composed/decomposed/
+    compatibility inputs before wiring)."""
+    from dataqualitykit_spark.operators.encoding import normalize_nfc
+
+    d = _t(spark, sf, "documents")
+    planted = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.col("text"), F.lit(_NFC_SUFFIX)),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    out = normalize_nfc(planted, "text", out_col="norm")
+    return out.select(
+        "doc_id",
+        (~F.col("norm").eqNullSafe(F.col("text"))).alias("changed"),
+        F.md5(F.encode(F.coalesce(F.col("norm"), F.lit("")), "UTF-8")).alias(
+            "norm_md5"
+        ),
+    )
+
+
 def q_simhash_dup_pairs(spark, sf):
     """FULL value-hash oracle for the banded hamming join (upgrading the
     machinery past phash_dedup's invariant form): every 6th doc gets a
@@ -2269,6 +2305,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample": q_mixture_sample,
         "phash_dedup": q_phash_dedup,
         "simhash_dup_pairs": q_simhash_dup_pairs,
+        "unicode_nfc": q_unicode_nfc,
         # -- two green rounds (r03+r04 / r02+r04) — one confirming record --
         "minhash_lsh_dups": q_minhash_lsh_dups,
         "simhash": q_simhash,
@@ -4270,6 +4307,23 @@ def oracle_sql() -> dict[str, str]:
                     THEN round(CAST({_anchor} AS DOUBLE) / {_vis}, 6)
                END AS link_density
         FROM h"""
+    d["unicode_nfc"] = f"""
+        WITH p AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 3 = 0
+                      THEN text || {_sql_lit(_NFC_SUFFIX)}
+                      ELSE text END AS text
+          FROM documents
+        ), n AS (
+          SELECT doc_id, text,
+                 CASE WHEN text IS NULL THEN NULL
+                      ELSE nfc_normalize(text) END AS norm
+          FROM p
+        )
+        SELECT doc_id,
+               NOT (norm IS NOT DISTINCT FROM text) AS changed,
+               md5(coalesce(norm, '')) AS norm_md5
+        FROM n"""
     _sh_powers = ", ".join(str(1 << b) for b in range(60))
     d["simhash_dup_pairs"] = f"""
         WITH corpus AS (

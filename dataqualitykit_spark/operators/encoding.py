@@ -71,3 +71,22 @@ def detect_encoding_profile(df: DataFrame, col: str) -> DataFrame:
             F.lit("utf-8")
         ),
     )
+
+
+def normalize_nfc(df, text_col: str = "text", out_col: str | None = None):
+    """Unicode NFC composition over a text column — apply BEFORE the
+    content-hash dedup key so byte-different renderings of the same
+    characters collapse (semantics.nfc_normalize is the shared mirror;
+    DuckDB's nfc_normalize is the oracle twin). One Arrow pass, zero
+    shuffle; Spark has no built-in NFC, and a per-row java UDF would be
+    the measured slow shape."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from ..semantics import nfc_normalize
+
+    def batch(texts):  # no type hints (pandas_udf eval-type inference)
+        return pd.Series([nfc_normalize(t) for t in texts], dtype="object")
+
+    udf = F.pandas_udf(batch, returnType="string")
+    return df.withColumn(out_col or text_col, udf(F.col(text_col)))

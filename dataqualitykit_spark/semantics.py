@@ -968,3 +968,19 @@ def url_keyword_score(
         if w.lower() in lu:
             score += float(wt)
     return score
+
+
+def nfc_normalize(text: str | None) -> str | None:
+    """Unicode NFC canonical composition — the standard pre-hash text
+    normalization (decomposed 'e'+COMBINING ACUTE and composed 'é' must
+    produce the SAME content hash or mirrors of one page miss the dedup
+    window). Python unicodedata and DuckDB's utf8proc implement the same
+    UAX#15 algorithm — verified identical over composed/decomposed/
+    compatibility inputs before wiring (compatibility forms like 'ﬁ' are
+    NOT folded: NFC, not NFKC — a deliberate conservative choice; NFKC
+    changes rendered text)."""
+    import unicodedata
+
+    if text is None:
+        return None
+    return unicodedata.normalize("NFC", text)

@@ -184,3 +184,26 @@ def test_link_density_everything_linked_page(spark):
     got = _ld_rows(spark, [(1, f"<ul>{nav}</ul>")])
     a, v, ld = got[1]
     assert a == v and ld == 1.0
+
+
+def test_nfc_normalize_goldens(spark):
+    """NFC composition: decomposed combining sequences compose, composed
+    text is untouched (idempotent), NFC never folds compatibility forms
+    (ligature survives), NULL passes through."""
+    import unicodedata
+
+    from dataqualitykit_spark.operators.encoding import normalize_nfc
+    from dataqualitykit_spark.semantics import nfc_normalize
+
+    decomposed = "café Århus"
+    composed = unicodedata.normalize("NFC", decomposed)
+    assert composed != decomposed and nfc_normalize(decomposed) == composed
+    assert nfc_normalize(composed) == composed
+    assert nfc_normalize("ﬁ") == "ﬁ"  # 'fi' ligature: NFC keeps it
+    assert nfc_normalize(None) is None
+
+    df = spark.createDataFrame(
+        [(1, decomposed), (2, composed), (3, None)], "id long, text string"
+    )
+    got = {r["id"]: r["text"] for r in normalize_nfc(df).collect()}
+    assert got == {1: composed, 2: composed, 3: None}
