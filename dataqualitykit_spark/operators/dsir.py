@@ -249,11 +249,20 @@ def dsir_select(
     alpha: float = 1.0,
     lowercase: bool = True,
     method: str = "literal",
+    max_features: int = 1000,
 ) -> DataFrame:
     """End-to-end DSIR: keep exactly ceil(frac * n) most-target-like raw
     docs. Two tiny counting jobs + a zero-shuffle scoring projection +
     the histogram-prefix top-fraction cut (the pipeline's only
-    row-bearing exchange)."""
+    row-bearing exchange).
+
+    `max_features` bounds the per-doc feature count (unigrams + bigrams
+    ~= 2 * tokens - 1) assumed when sizing the score histogram; docs
+    with more features than that clamp into the extreme bin — the
+    result stays exactly top-frac (clamping is monotone and the
+    threshold bin re-ranks by true score), but a corpus of much longer
+    docs degrades toward one big window. Raise it for long-doc corpora
+    (cost: histogram bins are a driver-side array, so it's free)."""
     from .sampling import top_fraction_by_score
 
     lr = dsir_log_ratio(
@@ -263,10 +272,18 @@ def dsir_select(
         alpha,
     )
     scored = dsir_score(raw, lr, text_col, "dsir_weight", lowercase, method)
-    lo = min(lr) * 1000.0  # conservative per-doc bound for the histogram
-    hi = max(lr) * 1000.0
+    # conservative per-doc score bound: every feature at the extreme
+    # per-bucket log-ratio, max_features features per doc
+    lo = min(lr) * float(max_features)
+    hi = max(lr) * float(max_features)
     if lo > hi:
         lo, hi = hi, lo
+    if not (hi > lo):
+        # degenerate corpus (all log-ratios equal, e.g. identical raw and
+        # target distributions): span 0 would make the bin expression
+        # NaN — any non-empty interval works, every doc lands in the
+        # threshold bin and the window orders by true score
+        lo, hi = lo - 1.0, hi + 1.0
     return top_fraction_by_score(
         scored, frac, score_col="dsir_weight", id_col=id_col, lo=lo, hi=hi
     ).drop("dsir_weight")

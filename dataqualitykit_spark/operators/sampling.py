@@ -34,6 +34,23 @@ from pyspark.sql import DataFrame, Window, functions as F
 from ..functions import text as T
 
 
+def _spark_str(g) -> str:
+    """Render a python group value the way Spark's CAST(col AS STRING)
+    renders it, so dict budget keys match the frame-side key. Booleans
+    are the known divergence (Spark 'true' vs python 'True'); str/int
+    agree; float str() matches Spark for plain doubles. Reject exotic
+    key types loudly rather than silently budgeting the group 0."""
+    if isinstance(g, bool):
+        return "true" if g else "false"
+    if not isinstance(g, (str, int, float)):
+        raise TypeError(
+            f"budget/proportions group key {g!r} has unsupported type "
+            f"{type(g).__name__}; use str/bool/int/float/None keys that "
+            "render identically to Spark's CAST(col AS STRING)"
+        )
+    return str(g)
+
+
 def sample_to_token_budget(
     df: DataFrame,
     budget_tokens,
@@ -77,9 +94,13 @@ def sample_to_token_budget(
     spark = df.sparkSession
 
     if isinstance(budget_tokens, dict):
-        # sentinel-keyed view of the caller's raw-group-value budgets
+        # sentinel-keyed view of the caller's raw-group-value budgets.
+        # The frame-side key is CAST(col AS STRING), so python keys must
+        # be rendered the way Spark renders them — notably booleans are
+        # lowercase ('true', not str(True)='True'); a mismatch would
+        # silently assign the group budget 0.
         bmap = {
-            ("\x00null" if g is None else f"v:{g}"): int(q)
+            ("\x00null" if g is None else f"v:{_spark_str(g)}"): int(q)
             for g, q in budget_tokens.items()
         }
         budget_of = lambda g: bmap.get(g, 0)  # noqa: E731
@@ -563,10 +584,23 @@ def sample_to_mixture(
             .collect()
         )
         avail = {r[by]: r["_a"] for r in avail_rows}
+        # a requested group with frac > 0 but NO rows makes the target
+        # proportions unsatisfiable (T = avail_g/frac_g = 0); raise
+        # rather than silently recomputing T from the remaining groups
+        # and emitting a corpus that violates the requested mixture
+        # (the usual cause is a typo'd group key)
+        empty = [
+            g for g, frac in proportions.items() if frac > 0 and g not in avail
+        ]
+        if empty:
+            raise ValueError(
+                f"proportions groups {empty!r} have no rows in the corpus "
+                f"(available groups: {sorted(map(repr, avail))}); the "
+                "requested mixture is unsatisfiable — fix the key or pass "
+                "an explicit total_tokens"
+            )
         feasible = [
-            avail[g] / frac
-            for g, frac in proportions.items()
-            if frac > 0 and g in avail
+            avail[g] / frac for g, frac in proportions.items() if frac > 0
         ]
         t_total = min(feasible) if feasible else 0.0
     else:

@@ -49,7 +49,13 @@ def blocked_domain_col(url, blocked: list[str] | tuple[str, ...]):
     are small by construction; 10^5+-entry lists belong in
     filter_blocked_domains' broadcast-join form instead."""
     bl = F.array(*[F.lit(d.lower()) for d in blocked])
-    return F.arrays_overlap(_suffixes(_host_of(url)), bl)
+    # NULL url => NULL host/suffixes => arrays_overlap NULL; coalesce to
+    # False so the flag matches url_keyword_score_col's NULL contract —
+    # a NULL here would poison run_pipeline's eligible/_survivor booleans
+    # and silently exclude the row from every downstream gate
+    return F.coalesce(
+        F.arrays_overlap(_suffixes(_host_of(url)), bl), F.lit(False)
+    )
 
 
 def filter_blocked_domains(

@@ -712,12 +712,13 @@ def doc_reasons(text: str | None, cfg: PipelineConfig) -> tuple[list[str], str]:
             )
         ):
             reasons.append("line_shape")
-    if (
-        cfg.min_token_entropy is not None
-        and n_words >= cfg.entropy_min_words
-        and token_entropy_of(words) < cfg.min_token_entropy
-    ):
-        reasons.append("low_entropy")
+    if cfg.min_token_entropy is not None and n_words >= cfg.entropy_min_words:
+        # token_entropy_of returns None for an empty token list (reachable
+        # when entropy_min_words <= 0); NULL-propagate to pass like the
+        # Spark gate instead of raising on None < float
+        h = token_entropy_of(words)
+        if h is not None and h < cfg.min_token_entropy:
+            reasons.append("low_entropy")
     if boilerplate_hits(scrubbed) >= cfg.max_boilerplate_hits:
         reasons.append("boilerplate")
     if cfg.c4_lines and c4_doc_banned(scrubbed):

@@ -282,3 +282,49 @@ def test_url_keyword_and_entropy_gates_add_no_exchanges(spark):
         )
     )
     assert both == base, (base, both)
+
+
+def test_blocked_domain_col_null_url_is_false(spark):
+    """NULL url must yield False, not NULL (ADVICE r5): a NULL _blocked
+    would poison run_pipeline's eligible/_survivor booleans and silently
+    exclude the row from every downstream gate. A NULL-url row must
+    behave identically with the blocklist on and off."""
+    from pyspark.sql import functions as F
+
+    from dataqualitykit_spark.fixtures import PAGES_SCHEMA, generate_pages
+    from dataqualitykit_spark.operators.url_filter import blocked_domain_col
+
+    flags = (
+        spark.createDataFrame(
+            [("https://hot-domain.example/a",), (None,)], "url string"
+        )
+        .select(blocked_domain_col(F.col("url"), ["hot-domain.example"]).alias("b"))
+        .collect()
+    )
+    assert [r["b"] for r in flags] == [True, False]
+
+    from datetime import datetime
+
+    ts = datetime(2024, 6, 1)
+    planted = [{
+        "url": None, "warc_ts": ts, "html": None,
+        "text": "a perfectly reasonable document body " * 8, "lang": "en",
+    }]
+    rows = generate_pages(120) + planted
+    df = spark.createDataFrame(rows, schema=PAGES_SCHEMA)
+    per_cfg = []
+    for cfg in (PipelineConfig(), PipelineConfig(blocklist=("hot-domain.example",))):
+        got = [
+            (r["keep"], r["drop_reason"])
+            for r in run_pipeline(df, cfg).filter("url is null").collect()
+        ]
+        assert len(got) == 1
+        keep, reason = got[0]
+        # whatever the engine decides for a NULL-url row, it must be an
+        # explicit labeled decision, never a fell-through-all-gates row
+        assert keep is True or reason is not None
+        if cfg.blocklist:
+            assert reason != "blocked_domain"
+        per_cfg.append(got[0])
+    # parity across the two configs (the planted row hits no blocked host)
+    assert per_cfg[0] == per_cfg[1]

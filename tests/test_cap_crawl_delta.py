@@ -144,3 +144,62 @@ def test_sample_to_token_budget_dict_budgets(spark):
         by_g[r["g"]] = by_g.get(r["g"], 0) + r["n_tokens"]
     # 'a' capped at 9 tokens (3 docs), NULL group at 3, 'b' absent -> dropped
     assert by_g == {"a": 9, None: 3}
+
+
+def test_sample_to_mixture_missing_group_raises(spark):
+    """A requested group with frac > 0 but no rows (typo'd key) must
+    raise, not silently recompute T from the remaining groups (ADVICE
+    round 5)."""
+    import pytest
+
+    from dataqualitykit_spark.operators.sampling import sample_to_mixture
+
+    df = spark.createDataFrame(
+        [(i, ["en", "de"][i % 2], "tok tok tok") for i in range(40)],
+        "doc_id long, lang string, text string",
+    )
+    with pytest.raises(ValueError, match="engl"):
+        sample_to_mixture(
+            df, {"en": 0.5, "engl": 0.5}, by="lang", id_col="doc_id"
+        )
+    # explicit total_tokens bypasses feasibility (quota just goes unfilled)
+    out = sample_to_mixture(
+        df,
+        {"en": 0.5, "engl": 0.5},
+        by="lang",
+        id_col="doc_id",
+        total_tokens=12,
+    ).collect()
+    assert {r["lang"] for r in out} == {"en"}
+    assert sum(r["n_tokens"] for r in out) <= 6
+
+
+def test_sample_to_token_budget_bool_group_keys(spark):
+    """Boolean dict keys must render Spark-style ('true') so the group
+    budget actually applies (ADVICE round 5: str(True)='True' used to
+    hash to a different sentinel and silently budget the group 0)."""
+    from dataqualitykit_spark.operators.sampling import sample_to_token_budget
+
+    df = spark.createDataFrame(
+        [(i, i % 2 == 0, "t t t") for i in range(60)],
+        "doc_id long, flag boolean, text string",
+    )
+    out = sample_to_token_budget(
+        df, {True: 9, False: 6}, by="flag", id_col="doc_id"
+    ).collect()
+    by_g: dict = {}
+    for r in out:
+        by_g[r["flag"]] = by_g.get(r["flag"], 0) + r["n_tokens"]
+    assert by_g == {True: 9, False: 6}
+
+
+def test_sample_to_token_budget_bad_key_type(spark):
+    import pytest
+
+    from dataqualitykit_spark.operators.sampling import sample_to_token_budget
+
+    df = spark.createDataFrame(
+        [(1, "a", "t")], "doc_id long, g string, text string"
+    )
+    with pytest.raises(TypeError, match="unsupported type"):
+        sample_to_token_budget(df, {("a",): 5}, by="g", id_col="doc_id")

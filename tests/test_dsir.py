@@ -131,6 +131,34 @@ class TestDsirScore:
         assert len(kept) == n_keep
         assert kept == want
 
+    def test_select_degenerate_span(self, spark):
+        """raw == target makes every smoothed log-ratio identical
+        (span 0); the single-bin fallback must still keep exactly
+        ceil(frac * n) rows instead of emitting NaN bins (ADVICE r5)."""
+        same = spark.createDataFrame(
+            [(i, "the cat sat on the mat") for i in range(8)],
+            "doc_id long, text string",
+        )
+        kept = dsir.dsir_select(same, same, 0.5).collect()
+        assert len(kept) == 4
+
+    def test_select_max_features_invariant(self, df):
+        """Shrinking max_features only widens the clamped extreme bin;
+        the kept set is invariant (clamping is monotone and the
+        threshold bin re-ranks by true score)."""
+        raw = df.filter("text is not null")
+        target = df.filter("lang = 'en'")
+        base = sorted(
+            r["doc_id"] for r in dsir.dsir_select(raw, target, 0.5).collect()
+        )
+        tight = sorted(
+            r["doc_id"]
+            for r in dsir.dsir_select(
+                raw, target, 0.5, max_features=2
+            ).collect()
+        )
+        assert base == tight
+
 
 class TestNaiveBayes:
     @pytest.fixture(scope="class")

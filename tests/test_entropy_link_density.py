@@ -207,3 +207,19 @@ def test_nfc_normalize_goldens(spark):
     )
     got = {r["id"]: r["text"] for r in normalize_nfc(df).collect()}
     assert got == {1: composed, 2: composed, 3: None}
+
+
+def test_doc_reasons_entropy_zero_words_floor():
+    """entropy_min_words <= 0 makes the empty-token case reachable;
+    token_entropy_of returns None there and the oracle must NULL-
+    propagate to pass like the Spark gate, not raise TypeError
+    (ADVICE r5)."""
+    from dataqualitykit_spark.config import PipelineConfig
+    from dataqualitykit_spark.semantics import doc_reasons
+
+    cfg = PipelineConfig(
+        min_token_entropy=2.2, entropy_min_words=0, min_chars=0
+    )
+    for text in ("", "   ", "\n\t"):
+        reasons, _ = doc_reasons(text, cfg)
+        assert "low_entropy" not in reasons
