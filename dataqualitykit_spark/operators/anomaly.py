@@ -249,3 +249,265 @@ def distribution_moments(
         F.kurtosis(c).alias("kurtosis_value"),
     ]
     return df.groupBy(*group_by).agg(*aggs) if group_by else df.agg(*aggs)
+
+
+def _ewma_block_rows(alpha: float) -> int:
+    """Largest block size keeping (1-alpha)^(-o) under ~1e120 so the
+    rebased partial sums can never overflow a double regardless of
+    partition length (the carry weight q = (1-alpha)^B is then <= 1e-120,
+    which also makes every >=2-blocks-back carry term provably below
+    double precision — see ewma_smooth)."""
+    import math
+
+    decay = 1.0 - alpha
+    if decay <= 0.0:
+        return 8
+    b = int(120.0 / -math.log10(decay)) if decay < 1.0 else 8192
+    return max(8, min(b, 8192))
+
+
+def ewma_smooth(
+    df: DataFrame,
+    col: str,
+    order_col,
+    alpha: float = 0.5,
+    partition_by: list[str] | None = None,
+    out_col: str | None = None,
+    block_rows: int | None = None,
+) -> DataFrame:
+    """Exponentially-weighted moving average, y_0 = x_0 and
+    y_t = alpha*x_t + (1-alpha)*y_{t-1} (pandas ewm(adjust=False)).
+
+    The reference *intends* this op but is broken there —
+    QualityControl.py:2888 passes F.expr('ewma'), a nonexistent SQL
+    function. Re-expressed as exact window algebra via the closed form
+    y_t = sum_{i<=t} g_i * (1-alpha)^(t-i), g_0 = x_0, g_i = alpha*x_i.
+
+    Scale design: the naive separable form u_i = g_i * (1-alpha)^(-i)
+    overflows doubles once a partition exceeds ~1e3-1e4 rows, so the
+    scan is SEGMENTED: rows are cut into blocks of B = block_rows
+    (auto-sized from alpha so (1-alpha)^(-B) <= ~1e120), exponents are
+    rebased per block, and the cross-block carry is a single term
+    q * U_{b-1} with q = (1-alpha)^B — every block >= 2 back carries
+    weight <= q <= 1e-120 relative and is provably below double
+    precision, so one carry term is EXACT to ulp. Two exchanges
+    (hash(partition) + hash(partition, block)), zero driver state,
+    unbounded partition length.
+
+    NULL inputs carry the previous smoothed value forward (the fold
+    skips them — pandas ignore_na=True); rows before the first non-null
+    emit NULL. partition_by is REQUIRED at scale (a global orderBy
+    collapses to one task); it defaults to None only for small fixtures.
+    """
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    out_col = out_col or f"ewma_{col}"
+    x = F.col(col)
+    if alpha >= 1.0:
+        return df.withColumn(out_col, x.cast("double"))
+    decay = 1.0 - alpha
+    B = int(block_rows) if block_rows else _ewma_block_rows(alpha)
+    order = order_col if isinstance(order_col, list) else [order_col]
+
+    w_pre = Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
+    if partition_by:
+        w_pre = (
+            Window.partitionBy(*partition_by)
+            .orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+    # idx = 0-based index among NON-NULL rows; a NULL row inherits the
+    # index of the last non-null before it, so the final scale emits the
+    # carried-forward smoothed value for free
+    idx = F.count(x).over(w_pre) - F.lit(1)
+    g = F.when(idx == 0, x).otherwise(F.lit(alpha) * x)  # NULL x => NULL g
+    stage1 = df.withColumn("_ewma_idx", idx).withColumn(
+        "_ewma_b", F.floor(F.col("_ewma_idx") / B)
+    )
+    o = F.col("_ewma_idx") - F.col("_ewma_b") * B
+    stage1 = stage1.withColumn(
+        "_ewma_u", g * F.pow(F.lit(decay), -o.cast("double"))
+    )
+
+    # within-block prefix sum (rebased exponents stay <= decay^-(B-1))
+    pk = list(partition_by) if partition_by else []
+    w_blk = (
+        Window.partitionBy(*pk, "_ewma_b")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    # prior blocks' full rebased sums U_{b-j} via RANGE frames on the
+    # block id, folded with weights q^j (q = decay^B). Dropping blocks
+    # >= J back leaves relative error ~ q^(J-1) * decay, so J is sized
+    # from q to keep that below double precision: at the auto block size
+    # q <= ~1e-120 and J is 1-2; a small explicit block_rows needs more
+    # terms (each is one extra window function over the SAME sort).
+    import math as _math
+
+    q = float(decay) ** B
+    neg_log10_q = -_math.log10(q) if q > 0.0 else 400.0
+    n_carry = 1 + _math.ceil(18.0 / max(neg_log10_q, 1e-9))
+    if n_carry > 32:
+        raise ValueError(
+            f"block_rows={B} is too small for alpha={alpha}: the carry "
+            f"would need {n_carry} terms; use block_rows >= "
+            f"{_ewma_block_rows(alpha)} (the auto size)"
+        )
+
+    def _prev_block_sum(j: int):
+        w_prev = (
+            Window.partitionBy(*pk)
+            .orderBy(F.col("_ewma_b"))
+            .rangeBetween(-j, -j)
+            if pk
+            else Window.orderBy(F.col("_ewma_b")).rangeBetween(-j, -j)
+        )
+        return F.coalesce(F.sum("_ewma_u").over(w_prev), F.lit(0.0))
+
+    ws = F.sum("_ewma_u").over(w_blk)
+    carry = None
+    for j in range(1, n_carry + 1):
+        term = F.lit(q**j) * _prev_block_sum(j)
+        carry = term if carry is None else carry + term
+    y = F.pow(F.lit(decay), o.cast("double")) * (ws + carry)
+    return (
+        stage1.withColumn(
+            out_col, F.when(F.col("_ewma_idx") >= 0, y)
+        )
+        .drop("_ewma_idx", "_ewma_b", "_ewma_u")
+    )
+
+
+def py_ewma(xs: list[float | None], alpha: float) -> list[float | None]:
+    """Pure-python mirror of ewma_smooth for goldens: exact recurrence,
+    NULLs carry the previous value, leading NULLs stay None."""
+    y = None
+    out = []
+    for x in xs:
+        if x is not None:
+            y = x if y is None else alpha * x + (1.0 - alpha) * y
+        out.append(y)
+    return out
+
+
+def linear_interpolate(
+    df: DataFrame,
+    col: str,
+    order_col,
+    partition_by: list[str] | None = None,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Linear interpolation of NULL runs between the nearest non-null
+    neighbours in row-position space (pandas interpolate(method='linear')
+    on interior NaNs): x = prev + (next - prev) * (pos - prev_pos) /
+    (next_pos - prev_pos). Leading and trailing NULL runs stay NULL
+    (no extrapolation — symmetric, unlike pandas' forward-fill tail).
+
+    The reference *intends* this op but is broken there —
+    QualityControl.py:2899 passes F.expr('linear_interpolate'), a
+    nonexistent SQL function. One exchange: four frame functions over a
+    single partitioned sort (last/first ignorenulls over the
+    unbounded-preceding / current-to-unbounded-following frames).
+    partition_by REQUIRED at scale."""
+    out_col = out_col or f"{col}_interp"
+    order = order_col if isinstance(order_col, list) else [order_col]
+    base = Window.orderBy(*order)
+    if partition_by:
+        base = Window.partitionBy(*partition_by).orderBy(*order)
+    w_pre = base.rowsBetween(Window.unboundedPreceding, 0)
+    w_post = base.rowsBetween(0, Window.unboundedFollowing)
+    x = F.col(col)
+    rn = F.row_number().over(base)
+    marked = F.when(x.isNotNull(), rn)
+    out = (
+        df.withColumn("_li_rn", rn)
+        .withColumn("_li_pv", F.last(x, ignorenulls=True).over(w_pre))
+        .withColumn("_li_pr", F.last(marked, ignorenulls=True).over(w_pre))
+        .withColumn("_li_nv", F.first(x, ignorenulls=True).over(w_post))
+        .withColumn("_li_nr", F.first(marked, ignorenulls=True).over(w_post))
+    )
+    frac = (F.col("_li_rn") - F.col("_li_pr")) / (
+        F.col("_li_nr") - F.col("_li_pr")
+    )
+    interp = F.when(x.isNotNull(), x.cast("double")).otherwise(
+        F.col("_li_pv") + (F.col("_li_nv") - F.col("_li_pv")) * frac
+    )
+    return out.withColumn(out_col, interp).drop(
+        "_li_rn", "_li_pv", "_li_pr", "_li_nv", "_li_nr"
+    )
+
+
+def py_linear_interpolate(
+    xs: list[float | None],
+) -> list[float | None]:
+    """Pure-python mirror of linear_interpolate for goldens."""
+    out: list[float | None] = list(xs)
+    known = [i for i, x in enumerate(xs) if x is not None]
+    for a, b in zip(known, known[1:]):
+        for i in range(a + 1, b):
+            out[i] = xs[a] + (xs[b] - xs[a]) * (i - a) / (b - a)
+    return out
+
+
+def kmeans_distance_outliers(
+    df: DataFrame,
+    cols: list[str],
+    k: int = 4,
+    threshold: float | None = None,
+    fit_df: DataFrame | None = None,
+    seed: int = 7,
+) -> DataFrame:
+    """Clustering-based outlier flag (reference QualityControl.py:3001-3012
+    silently substitutes BisectingKMeans for 'isolation_forest' and has no
+    DBSCAN): distance to the assigned KMeans centroid, flagged when it
+    exceeds `threshold` (absolute) or mean + 3*stddev of the distances
+    (adaptive default).
+
+    Fit on `fit_df` when given (the anomaly-detection shape: train on a
+    clean/reference corpus, score everything — also what makes planted
+    far-away outliers provably flaggable, since they cannot steal a
+    centroid), else on `df` itself. The model is k centroids broadcast
+    inside the transform — scoring is a zero-shuffle projection; the fit
+    is pyspark.ml's distributed Lloyd (tree-aggregated partial sums, no
+    driver-side data). Adds `centroid_dist` (double) and `is_outlier`.
+    Rows with a NULL feature get NULL dist / False flag."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.feature import VectorAssembler
+
+    asm = VectorAssembler(
+        inputCols=list(cols), outputCol="_km_features", handleInvalid="skip"
+    )
+    train = asm.transform((fit_df if fit_df is not None else df).na.drop(subset=cols))
+    model = KMeans(
+        k=k, seed=seed, featuresCol="_km_features", predictionCol="_km_cluster"
+    ).fit(train)
+    centers = [[float(v) for v in c] for c in model.clusterCenters()]
+
+    # score as pure column algebra over the broadcast literal centroids —
+    # no ml transform (which would row-at-a-time UDF the distance), no
+    # shuffle, codegen-friendly
+    def dist_to(center: list[float]):
+        s = None
+        for c, mu in zip(cols, center):
+            d = F.col(c).cast("double") - F.lit(mu)
+            term = d * d
+            s = term if s is None else s + term
+        return F.sqrt(s)
+
+    dist = F.least(*[dist_to(c) for c in centers]) if len(centers) > 1 else dist_to(centers[0])
+    out = df.withColumn("centroid_dist", dist)
+    if threshold is None:
+        stats = out.agg(
+            F.avg("centroid_dist").alias("_m"), F.stddev("centroid_dist").alias("_s")
+        )
+        out = out.crossJoin(F.broadcast(stats))
+        flag = F.col("centroid_dist") > F.col("_m") + F.lit(3.0) * F.coalesce(
+            F.col("_s"), F.lit(0.0)
+        )
+        return out.withColumn(
+            "is_outlier", F.coalesce(flag, F.lit(False))
+        ).drop("_m", "_s")
+    return out.withColumn(
+        "is_outlier",
+        F.coalesce(F.col("centroid_dist") > F.lit(float(threshold)), F.lit(False)),
+    )

@@ -1,0 +1,204 @@
+"""EWMA / linear-interpolation window smoothing + KMeans-distance outlier
+flag (round 6: the reference *intends* ewma/linear_interpolate at
+QualityControl.py:2888/2899 via nonexistent F.expr functions, and
+substitutes BisectingKMeans for isolation_forest at :3001-3012 — all three
+re-expressed as real Spark ops here)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from dataqualitykit_spark.operators import anomaly
+
+
+def _series_df(spark, xs, part="p"):
+    rows = [(part, i, x) for i, x in enumerate(xs)]
+    return spark.createDataFrame(rows, "grp string, pos long, x double")
+
+
+class TestEwma:
+    def test_py_mirror_goldens(self):
+        # hand-computed recurrence, alpha = 0.5
+        assert anomaly.py_ewma([2.0, 4.0, 8.0], 0.5) == [2.0, 3.0, 5.5]
+        # NULLs carry, leading NULL stays None
+        assert anomaly.py_ewma([None, 2.0, None, 4.0], 0.5) == [
+            None,
+            2.0,
+            2.0,
+            3.0,
+        ]
+
+    @pytest.mark.parametrize("alpha", [0.1, 0.5, 0.9])
+    def test_matches_exact_recurrence(self, spark, alpha):
+        xs = [float((i * 37) % 101) - 50.0 for i in range(120)]
+        xs[5] = None
+        xs[6] = None
+        xs[0] = None  # leading NULL
+        out = anomaly.ewma_smooth(
+            _series_df(spark, xs), "x", "pos", alpha, partition_by=["grp"]
+        )
+        got = {
+            r["pos"]: r["ewma_x"]
+            for r in out.select("pos", "ewma_x").collect()
+        }
+        want = anomaly.py_ewma(xs, alpha)
+        assert got[0] is None
+        for i, w in enumerate(want):
+            if w is None:
+                assert got[i] is None
+            else:
+                assert got[i] == pytest.approx(w, abs=1e-9), i
+
+    def test_multi_block_carry_exact(self, spark):
+        """block_rows=16 forces many blocks on a 500-row partition; the
+        single cross-block carry term must reproduce the exact recurrence
+        (the whole point of the segmented scan)."""
+        xs = [math.sin(i * 0.7) * 100.0 for i in range(500)]
+        out = anomaly.ewma_smooth(
+            _series_df(spark, xs),
+            "x",
+            "pos",
+            0.3,
+            partition_by=["grp"],
+            block_rows=16,
+        )
+        got = [
+            r["ewma_x"]
+            for r in out.select("pos", "ewma_x").orderBy("pos").collect()
+        ]
+        want = anomaly.py_ewma(xs, 0.3)
+        for i, (g, w) in enumerate(zip(got, want)):
+            assert g == pytest.approx(w, abs=1e-9), i
+
+    def test_default_block_sizing_overflow_free(self, spark):
+        """alpha=0.5 naive separable form overflows past ~1074 rows; the
+        auto block size must keep a 3000-row partition finite and exact."""
+        xs = [float((i * 13) % 97) for i in range(3000)]
+        out = anomaly.ewma_smooth(
+            _series_df(spark, xs), "x", "pos", 0.5, partition_by=["grp"]
+        )
+        got = [
+            r["ewma_x"]
+            for r in out.select("ewma_x").orderBy("pos").collect()
+        ]
+        want = anomaly.py_ewma(xs, 0.5)
+        assert all(math.isfinite(g) for g in got)
+        for i, (g, w) in enumerate(zip(got, want)):
+            assert g == pytest.approx(w, abs=1e-9), i
+
+    def test_partitions_independent(self, spark):
+        rows = [("a", 0, 10.0), ("a", 1, 20.0), ("b", 0, 100.0), ("b", 1, 0.0)]
+        df = spark.createDataFrame(rows, "grp string, pos long, x double")
+        got = {
+            (r["grp"], r["pos"]): r["ewma_x"]
+            for r in anomaly.ewma_smooth(
+                df, "x", "pos", 0.5, partition_by=["grp"]
+            ).collect()
+        }
+        assert got[("a", 0)] == 10.0 and got[("a", 1)] == 15.0
+        assert got[("b", 0)] == 100.0 and got[("b", 1)] == 50.0
+
+    def test_alpha_one_identity_and_validation(self, spark):
+        df = _series_df(spark, [1.0, 2.0])
+        out = anomaly.ewma_smooth(df, "x", "pos", 1.0, partition_by=["grp"])
+        assert [r["ewma_x"] for r in out.orderBy("pos").collect()] == [1.0, 2.0]
+        with pytest.raises(ValueError):
+            anomaly.ewma_smooth(df, "x", "pos", 0.0, partition_by=["grp"])
+
+    def test_single_exchange_family(self, spark):
+        """Plan shape: exactly the two designed exchanges — hash(grp) and
+        hash(grp, block) — and no cartesian/driver collect."""
+        df = _series_df(spark, [float(i) for i in range(10)])
+        plan = (
+            anomaly.ewma_smooth(df, "x", "pos", 0.5, partition_by=["grp"])
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert plan.count("Exchange hashpartitioning") <= 2, plan
+
+
+class TestLinearInterpolate:
+    def test_py_mirror_goldens(self):
+        assert anomaly.py_linear_interpolate([1.0, None, 3.0]) == [1.0, 2.0, 3.0]
+        assert anomaly.py_linear_interpolate([None, 1.0, None, None, 4.0, None]) == [
+            None,
+            1.0,
+            2.0,
+            3.0,
+            4.0,
+            None,
+        ]
+
+    def test_matches_python_mirror(self, spark):
+        xs = [None, None, 5.0, None, None, None, 9.0, 1.0, None, 2.0, None]
+        out = anomaly.linear_interpolate(
+            _series_df(spark, xs), "x", "pos", partition_by=["grp"]
+        )
+        got = [
+            r["x_interp"]
+            for r in out.select("pos", "x_interp").orderBy("pos").collect()
+        ]
+        want = anomaly.py_linear_interpolate(xs)
+        for i, (g, w) in enumerate(zip(got, want)):
+            if w is None:
+                assert g is None, i
+            else:
+                assert g == pytest.approx(w, abs=1e-12), i
+
+    def test_all_null_partition(self, spark):
+        out = anomaly.linear_interpolate(
+            _series_df(spark, [None, None]), "x", "pos", partition_by=["grp"]
+        )
+        assert [r["x_interp"] for r in out.collect()] == [None, None]
+
+    def test_partition_isolation(self, spark):
+        """A neighbour value in another partition must never leak in."""
+        rows = [("a", 0, 1.0), ("a", 1, None), ("b", 0, 100.0)]
+        df = spark.createDataFrame(rows, "grp string, pos long, x double")
+        got = {
+            (r["grp"], r["pos"]): r["x_interp"]
+            for r in anomaly.linear_interpolate(
+                df, "x", "pos", partition_by=["grp"]
+            ).collect()
+        }
+        assert got[("a", 1)] is None  # trailing NULL in its partition
+
+
+class TestKmeansOutliers:
+    def test_planted_outliers_flagged(self, spark):
+        natural = spark.range(400).select(
+            F.col("id").alias("row_id"),
+            (F.col("id") % 7 * 10.0 + (F.col("id") % 3)).alias("v"),
+        )
+        planted = spark.createDataFrame(
+            [(10_000 + i, 1.0e6 + i) for i in range(5)], "row_id long, v double"
+        )
+        out = anomaly.kmeans_distance_outliers(
+            natural.unionByName(planted),
+            ["v"],
+            k=3,
+            threshold=5000.0,
+            fit_df=natural,
+        )
+        flagged = {r["row_id"] for r in out.filter("is_outlier").collect()}
+        assert flagged == {10_000 + i for i in range(5)}
+        # natural rows keep finite small distances
+        mx = out.filter("row_id < 10000").agg(F.max("centroid_dist")).first()[0]
+        assert mx < 100.0
+
+    def test_adaptive_threshold_and_null_features(self, spark):
+        inliers = [(i, 1.0 + (i % 10) * 0.01) for i in range(100)]
+        df = spark.createDataFrame(
+            inliers + [(200, None), (201, 500.0)], "row_id long, v double"
+        )
+        out = anomaly.kmeans_distance_outliers(
+            df, ["v"], k=2, fit_df=df.filter("v < 100")
+        )
+        rows = {r["row_id"]: (r["centroid_dist"], r["is_outlier"]) for r in out.collect()}
+        assert rows[200] == (None, False)  # NULL feature: no dist, no flag
+        assert rows[201][1] is True
+        assert all(not rows[i][1] for i, _ in inliers)
