@@ -510,6 +510,101 @@ def q_segment_stats(spark, sf):
     )
 
 
+def q_impute_mean(spark, sf):
+    # A13 (ref :283-285): pyspark.ml Imputer mean over a synthesized
+    # nullable column (events.value is non-null; the <10 mask mirrors
+    # q_forward_fill's). Oracle: coalesce(nv, avg(nv) over all).
+    df = _t(spark, sf, "events").select(
+        "event_id",
+        F.when(F.col("value") < 10.0, F.lit(None))
+        .otherwise(F.col("value"))
+        .alias("nullable_value"),
+    )
+    out = anomaly.impute(df, ["nullable_value"], strategy="mean")
+    return out.select(
+        "event_id", F.round("nullable_value", 6).alias("imputed")
+    )
+
+
+def q_ewma_smooth(spark, sf):
+    # round-6 op: exact EWMA recurrence as segmented window algebra
+    # (reference intends it at QualityControl.py:2888 via a nonexistent
+    # F.expr('ewma')). alpha=0.5 ON PURPOSE: every scale factor is then an
+    # exact power of two in all three engines (verified pow(0.5, +-n)
+    # == 2^+-n bit-exact for JVM/libm/DuckDB, n < 120), so the oracle
+    # comparison is bit-stable — a non-dyadic alpha leaves 1-ulp pow
+    # divergence that can straddle the round(6) boundary (seen at sf0.01
+    # with alpha=0.3).
+    out = anomaly.ewma_smooth(
+        _t(spark, sf, "events"),
+        "value",
+        ["ts", "event_id"],
+        alpha=0.5,
+        partition_by=["user_id"],
+    )
+    # shared explicit tie rule instead of round(): dyadic alpha makes many
+    # smoothed values land EXACTLY on the 1e-6 rounding boundary (a dyadic
+    # double's decimal expansion ends in ...5), where Spark HALF_UP and
+    # DuckDB diverge; floor(x*1e6 + 0.5)/1e6 is the same fp op sequence in
+    # both engines, so ties break identically
+    return out.select(
+        "event_id",
+        (
+            F.floor(F.col("ewma_value") * F.lit(1000000.0) + F.lit(0.5))
+            / F.lit(1000000.0)
+        ).alias("ewma"),
+    )
+
+
+def q_linear_interpolate(spark, sf):
+    # round-6 op: interior-NULL linear interpolation (reference intends it
+    # at QualityControl.py:2899 via a nonexistent F.expr). Same <10 NULL
+    # mask as forward_fill/impute so there are real runs to fill.
+    df = _t(spark, sf, "events").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(F.col("value") < 10.0, F.lit(None))
+        .otherwise(F.col("value"))
+        .alias("nv"),
+    )
+    out = anomaly.linear_interpolate(
+        df, "nv", ["ts", "event_id"], partition_by=["user_id"]
+    )
+    return out.select("event_id", F.round("nv_interp", 6).alias("interp"))
+
+
+def q_kmeans_outliers(spark, sf):
+    # round-6 op (ref QualityControl.py:3001-3012 silently substitutes
+    # BisectingKMeans for 'isolation_forest'): KMeans distance-to-centroid
+    # flag with a PLANTED invariant oracle — fit on the natural events
+    # only, plant 8 points at value ~1e6; every centroid is a mean of
+    # natural values in [0, ~600], so natural distances are <= ~600 and
+    # planted distances are >= ~1e6 - 600: with threshold 5000 the flag
+    # set is provably exactly the planted rows, independent of centroid
+    # jitter. SQL-computable oracle: (count(*)+8, 8, 0).
+    natural = _t(spark, sf, "events").select("event_id", "value")
+    planted = spark.createDataFrame(
+        [(-(i + 1), 1.0e6 + i) for i in range(8)], "event_id long, value double"
+    )
+    out = anomaly.kmeans_distance_outliers(
+        natural.unionByName(planted),
+        ["value"],
+        k=4,
+        threshold=5000.0,
+        fit_df=natural,
+    )
+    return out.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(
+            F.when(F.col("is_outlier") & (F.col("event_id") < 0), 1).otherwise(0)
+        ).alias("n_planted_flagged"),
+        F.sum(
+            F.when(F.col("is_outlier") & (F.col("event_id") >= 0), 1).otherwise(0)
+        ).alias("n_natural_flagged"),
+    )
+
+
 def q_category_freq(spark, sf):
     out = categorical.category_frequencies(_t(spark, sf, "customer"), "c_mktsegment")
     return out.select("c_mktsegment", "frequency", F.round("share", 6).alias("share"))
@@ -2252,38 +2347,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # rounds of green driver history are rotated to the back (they remain
     # fully oracle-checked by scripts/check_correctness.py and pytest).
     return {
-        # -- flagship family + NEW round-5 pipeline compositions ------------
+        # -- flagship pipeline rows (pinned per round-5 VERDICT) ------------
         "pipeline_full": q_pipeline_full,
         "pipeline_near_dedup": q_pipeline_near_dedup,
-        "pipeline_blocklist": q_pipeline_blocklist,  # NEW r5
-        "pipeline_token_budget": q_pipeline_token_budget,  # NEW r5
-        "pipeline_line_shape": q_pipeline_line_shape,  # NEW r5
-        "pipeline_entropy": q_pipeline_entropy,  # NEW r5 s4
-        "pipeline_url_keywords": q_pipeline_url_keywords,  # NEW r5 s4
-        # -- one green round (r04) — need a second ---------------------------
-        "pipeline_paragraph_scrub": q_pipeline_paragraph_scrub,
-        "pipeline_c4": q_pipeline_c4,
-        "pipeline_repetition": q_pipeline_repetition,
-        "substring_scrub": q_substring_scrub,
-        "gopher_repetition": q_gopher_repetition,
-        "c4_line_filter": q_c4_line_filter,
-        "domain_blocklist": q_domain_blocklist,
-        "token_budget_sample": q_token_budget_sample,
-        "top_fraction_sample": q_top_fraction_sample,  # NEW r5
-        "hash_split": q_hash_split,  # NEW r5
-        "noindex_flag": q_noindex_flag,  # NEW r5
-        "gopher_line_rules": q_gopher_line_rules,  # NEW r5
-        "paragraph_ppl": q_paragraph_ppl,  # NEW r5
-        "domain_reputation": q_domain_reputation,  # NEW r5
-        # -- round 5 conversions: formerly rows-only (err=no_oracle in the
-        # -- driver record), now invariant/parity-oracled — zero green
-        # -- rounds under the new contract, so they head the window --------
+        # -- exactly one green (r05) — need the confirming second record ----
+        "pipeline_blocklist": q_pipeline_blocklist,
+        "pipeline_token_budget": q_pipeline_token_budget,
+        "pipeline_line_shape": q_pipeline_line_shape,
+        "pipeline_entropy": q_pipeline_entropy,
+        "pipeline_url_keywords": q_pipeline_url_keywords,
+        "top_fraction_sample": q_top_fraction_sample,
+        "hash_split": q_hash_split,
+        "noindex_flag": q_noindex_flag,
+        "gopher_line_rules": q_gopher_line_rules,
+        "paragraph_ppl": q_paragraph_ppl,
+        "domain_reputation": q_domain_reputation,
         "minhash_lsh_dups_fast": q_minhash_lsh_dups_fast,
         "simhash_fast": q_simhash_fast,
         "ivf_cosine_topk": q_ivf_cosine_topk,
         "semantic_dedup": q_semantic_dedup,
         "media_metadata": q_media_metadata,
-        # -- round-5 second-session webtext ops: never recorded ------------
         "mojibake_fix": q_mojibake_fix,
         "domain_boilerplate": q_domain_boilerplate,
         "dedup_keep_best": q_dedup_keep_best,
@@ -2293,7 +2376,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gumbel_sample": q_gumbel_sample,
         "lang_consistency": q_lang_consistency,
         "top_ngrams": q_top_ngrams,
-        # -- round-5 fourth-session webtext ops: never recorded ------------
         "link_density": q_link_density,
         "token_entropy": q_token_entropy,
         "domain_cap": q_domain_cap,
@@ -2306,7 +2388,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phash_dedup": q_phash_dedup,
         "simhash_dup_pairs": q_simhash_dup_pairs,
         "unicode_nfc": q_unicode_nfc,
-        # -- two green rounds (r03+r04 / r02+r04) — one confirming record --
+        # -- NEW round 6: zero recorded rounds ------------------------------
+        "impute_mean": q_impute_mean,
+        "ewma_smooth": q_ewma_smooth,
+        "linear_interpolate": q_linear_interpolate,
+        "kmeans_outliers": q_kmeans_outliers,
+        # -- stale two-green §2 classics (last green r02) — refresh ---------
+        "moving_avg": q_moving_avg,
+        "weighted_ma": q_weighted_ma,
+        "centered_ma": q_centered_ma,
+        "forward_fill": q_forward_fill,
+        "neighborhood_dev": q_neighborhood_dev,
+        "segment_stats": q_segment_stats,
+        "embed_cosine_topk": q_embed_cosine_topk,
+        # ------------------------------------------------------------------
+        # past the ~50-row recorded window from here down: rows rotated out
+        # with >= 2 green rounds, newest-green last. Everything below
+        # remains fully oracle-checked by scripts/check_correctness.py and
+        # pytest every session.
+        # ------------------------------------------------------------------
+        "pipeline_paragraph_scrub": q_pipeline_paragraph_scrub,
+        "pipeline_c4": q_pipeline_c4,
+        "pipeline_repetition": q_pipeline_repetition,
+        "substring_scrub": q_substring_scrub,
+        "gopher_repetition": q_gopher_repetition,
+        "c4_line_filter": q_c4_line_filter,
+        "domain_blocklist": q_domain_blocklist,
+        "token_budget_sample": q_token_budget_sample,
         "minhash_lsh_dups": q_minhash_lsh_dups,
         "simhash": q_simhash,
         "lsh_cosine_topk": q_lsh_cosine_topk,
@@ -2318,21 +2426,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "paragraph_dedup": q_paragraph_dedup,
         "missing_fill": q_missing_fill,
         "lag_breach_temporal": q_lag_breach_temporal,
-        # -- stale two-green rows (last green r02, outside the window since
-        # -- round 3) — refresh their record --------------------------------
-        "centered_ma": q_centered_ma,
-        "embed_cosine_topk": q_embed_cosine_topk,
         "encoding_remove": q_encoding_remove,
         "format_check_date": q_format_check_date,
         "format_phone": q_format_phone,
         "format_standardize_date": q_format_standardize_date,
-        "forward_fill": q_forward_fill,
-        "moving_avg": q_moving_avg,
-        "neighborhood_dev": q_neighborhood_dev,
-        "segment_stats": q_segment_stats,
-        "weighted_ma": q_weighted_ma,
-        # -- three-green rows whose last record is oldest (r03) — fill the
-        # -- remaining window slots -----------------------------------------
         "missing_scan": q_missing_scan,
         "range_stats": q_range_stats,
         "category_freq": q_category_freq,
@@ -2344,12 +2441,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zscore_outliers": q_zscore_outliers,
         "mode": q_mode,
         "topk_categories": q_topk_categories,
-        # ------------------------------------------------------------------
-        # past the ~50-row recorded window from here down: remaining
-        # 3-green rows (last green r03) then the r04-green rotations.
-        # Everything below remains fully oracle-checked by
-        # scripts/check_correctness.py and pytest every session.
-        # ------------------------------------------------------------------
         "case_standardize": q_case_standardize,
         "hash_key": q_hash_key,
         "text_wordcount": q_text_wordcount,
@@ -3284,6 +3375,66 @@ def oracle_sql() -> dict[str, str]:
             WITH s AS (SELECT avg(value) AS m, stddev_samp(value) AS sd FROM events)
             SELECT event_id FROM events, s
             WHERE sd IS NOT NULL AND sd > 0 AND abs(value - m) / sd > 3.0""",
+        "impute_mean": """
+            WITH b AS (
+              SELECT event_id,
+                     CASE WHEN value < 10.0 THEN NULL ELSE value END AS nv
+              FROM events
+            )
+            SELECT event_id,
+                   round(coalesce(nv, (SELECT avg(nv) FROM b)), 6) AS imputed
+            FROM b""",
+        # sequential left-fold recurrence (list_reduce): with a DYADIC
+        # alpha, Spark's segmented window algebra is bit-identical to the
+        # plain recurrence (power-of-two scaling commutes with fp
+        # rounding), while DuckDB's window SUM uses a segment tree whose
+        # different accumulation order strays ~1e-12 and can straddle the
+        # round(6) boundary — measured at both sf levels before this form
+        "ewma_smooth": """
+            WITH b AS (
+              SELECT event_id,
+                     list(value) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS xs
+              FROM events
+            )
+            SELECT event_id,
+                   floor(list_reduce(xs, (acc, x) -> 0.5*x + 0.5*acc)
+                         * 1000000.0 + 0.5) / 1000000.0 AS ewma
+            FROM b""",
+        "linear_interpolate": """
+            WITH b AS (
+              SELECT event_id, user_id,
+                     CASE WHEN value < 10.0 THEN NULL ELSE value END AS nv,
+                     row_number() OVER w AS rn
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), c AS (
+              SELECT event_id, nv, rn,
+                     last_value(nv IGNORE NULLS) OVER wp AS pv,
+                     last_value(CASE WHEN nv IS NOT NULL THEN rn END
+                                IGNORE NULLS) OVER wp AS pr,
+                     first_value(nv IGNORE NULLS) OVER wn AS nxv,
+                     first_value(CASE WHEN nv IS NOT NULL THEN rn END
+                                 IGNORE NULLS) OVER wn AS nr
+              FROM b
+              WINDOW
+                wp AS (PARTITION BY user_id ORDER BY rn
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                wn AS (PARTITION BY user_id ORDER BY rn
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+            )
+            SELECT event_id,
+                   round(CASE WHEN nv IS NOT NULL THEN nv
+                              ELSE pv + (nxv - pv) * ((rn - pr) / (nr - pr))
+                         END, 6) AS interp
+            FROM c""",
+        "kmeans_outliers": """
+            SELECT count(*) + 8 AS n_rows,
+                   8 AS n_planted_flagged,
+                   0 AS n_natural_flagged
+            FROM events""",
         "weighted_ma": """
             SELECT event_id,
                    round((lag(value, 2) OVER w * 1.0

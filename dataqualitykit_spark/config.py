@@ -154,6 +154,19 @@ class PipelineConfig:
     # budget_by=None pools the whole corpus into one budget group.
     token_budget: int | None = None
     budget_by: str | None = "lang"
+    # how the labeled frame is materialized for the budget stage's second
+    # action (the sampler's bucket-sums pass re-derives the pipeline
+    # subtree under a lazy plan — PLANS.md "Token-budget stage"):
+    #   None             AUTO: follow near_dup_materialize (recompute
+    #                    unless that is 'localCheckpoint') — measured at
+    #                    sf0.1 the recompute tax is ~1.35x a single pass
+    #                    (scripts/microbench_budget_materialize.py)
+    #   'recompute'      zero pinned state, scorer runs twice
+    #   'localCheckpoint' pin labeled as executor blocks, scorer once
+    #   'persist_parquet' write labeled to scratch parquet and read it
+    #                    back for both actions — the shape that also
+    #                    survives executor loss on a real cluster
+    budget_materialize: str | None = None
 
     # near-duplicate dedup (MinHash-LSH pairs -> connected components ->
     # keep the canonical min-url row per cluster, drop_reason='dup_near').

@@ -552,8 +552,32 @@ def run_pipeline(df: DataFrame, cfg: PipelineConfig = DEFAULT_CONFIG) -> DataFra
     if cfg.token_budget is not None:
         from .operators.sampling import sample_to_token_budget
 
-        if cfg.near_dup_materialize == "localCheckpoint":
+        mode = cfg.budget_materialize
+        if mode is None:
+            # AUTO: follow the near-dup storage policy (recompute unless
+            # the caller already opted into executor-block pinning)
+            mode = (
+                "localCheckpoint"
+                if cfg.near_dup_materialize == "localCheckpoint"
+                else "recompute"
+            )
+        if mode == "localCheckpoint":
             labeled = labeled.localCheckpoint()
+        elif mode == "persist_parquet":
+            # scratch-parquet intermediate: one write, both downstream
+            # actions read columnar blocks — unlike localCheckpoint this
+            # survives executor loss on a real cluster (blocks live on
+            # the DFS/scratch volume, not in executor storage)
+            import tempfile as _tf
+
+            scratch = _tf.mkdtemp(prefix="dqx_budget_labeled_")
+            labeled.write.mode("overwrite").parquet(scratch)
+            labeled = labeled.sparkSession.read.parquet(scratch)
+        elif mode != "recompute":
+            raise ValueError(
+                "budget_materialize must be None/'recompute'/"
+                f"'localCheckpoint'/'persist_parquet', got {mode!r}"
+            )
         kept = labeled.filter(F.col("keep"))
         by = cfg.budget_by
         if by is None:
