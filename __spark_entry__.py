@@ -605,6 +605,30 @@ def q_kmeans_outliers(spark, sf):
     )
 
 
+def q_suggest_boundaries(spark, sf):
+    # reference QualityControl.py:974-1051 convenience: 1%/99%
+    # (statistical) and 5%/95% (percentile) bounds; ONE aggregation for
+    # all columns vs the reference's per-column collect loop. approx=False
+    # (exact SQL percentile) so DuckDB quantile_cont reproduces values.
+    from dataqualitykit_spark.operators.range_validity import (
+        suggest_boundaries,
+    )
+
+    li = _t(spark, sf, "lineitem")
+    rows = []
+    for method in ("statistical", "percentile"):
+        got = suggest_boundaries(
+            li, ["l_quantity", "l_extendedprice"], method=method, approx=False
+        )
+        for col, b in sorted(got.items()):
+            rows.append(
+                (col, method, round(b["min"], 6), round(b["max"], 6))
+            )
+    return spark.createDataFrame(
+        rows, "col_name string, method string, lo double, hi double"
+    )
+
+
 def q_category_freq(spark, sf):
     out = categorical.category_frequencies(_t(spark, sf, "customer"), "c_mktsegment")
     return out.select("c_mktsegment", "frequency", F.round("share", 6).alias("share"))
@@ -2407,6 +2431,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # remains fully oracle-checked by scripts/check_correctness.py and
         # pytest every session.
         # ------------------------------------------------------------------
+        "suggest_boundaries": q_suggest_boundaries,  # NEW r6 — rotate into
+        # the window next round (the 50 slots are full this round)
         "pipeline_paragraph_scrub": q_pipeline_paragraph_scrub,
         "pipeline_c4": q_pipeline_c4,
         "pipeline_repetition": q_pipeline_repetition,
@@ -3430,6 +3456,26 @@ def oracle_sql() -> dict[str, str]:
                               ELSE pv + (nxv - pv) * ((rn - pr) / (nr - pr))
                          END, 6) AS interp
             FROM c""",
+        "suggest_boundaries": """
+            SELECT 'l_quantity' AS col_name, 'statistical' AS method,
+                   round(quantile_cont(l_quantity, 0.01), 6) AS lo,
+                   round(quantile_cont(l_quantity, 0.99), 6) AS hi
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_extendedprice', 'statistical',
+                   round(quantile_cont(l_extendedprice, 0.01), 6),
+                   round(quantile_cont(l_extendedprice, 0.99), 6)
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_quantity', 'percentile',
+                   round(quantile_cont(l_quantity, 0.05), 6),
+                   round(quantile_cont(l_quantity, 0.95), 6)
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_extendedprice', 'percentile',
+                   round(quantile_cont(l_extendedprice, 0.05), 6),
+                   round(quantile_cont(l_extendedprice, 0.95), 6)
+            FROM lineitem""",
         "kmeans_outliers": """
             SELECT count(*) + 8 AS n_rows,
                    8 AS n_planted_flagged,

@@ -157,16 +157,25 @@ class PipelineConfig:
     # how the labeled frame is materialized for the budget stage's second
     # action (the sampler's bucket-sums pass re-derives the pipeline
     # subtree under a lazy plan — PLANS.md "Token-budget stage"):
-    #   None             AUTO: follow near_dup_materialize (recompute
-    #                    unless that is 'localCheckpoint') — measured at
-    #                    sf0.1 the recompute tax is ~1.35x a single pass
+    #   None             AUTO = 'localCheckpoint': measured at sf0.1
+    #                    (200k docs, min-of-3, quiet host) recompute runs
+    #                    the scorer subtree twice and costs 23.0 s vs
+    #                    6.5 s localCheckpoint / 6.9 s persist_parquet
     #                    (scripts/microbench_budget_materialize.py)
-    #   'recompute'      zero pinned state, scorer runs twice
+    #   'recompute'      zero pinned state, scorer runs twice — opt-in
+    #                    for clusters where pinned blocks are unacceptable
     #   'localCheckpoint' pin labeled as executor blocks, scorer once
-    #   'persist_parquet' write labeled to scratch parquet and read it
-    #                    back for both actions — the shape that also
-    #                    survives executor loss on a real cluster
+    #                    (blocks die with an executor — rerun on loss)
+    #   'persist_parquet' write labeled to budget_scratch_dir and read it
+    #                    back for both actions — same measured cost as
+    #                    localCheckpoint and survives executor loss; the
+    #                    right cluster shape when a shared scratch path
+    #                    exists
     budget_materialize: str | None = None
+    # scratch path for budget_materialize='persist_parquet'. None = a
+    # tempfile dir on the DRIVER's filesystem — correct in local mode
+    # only; on a multi-node cluster set a DFS path (s3://..., hdfs://...)
+    budget_scratch_dir: str | None = None
 
     # near-duplicate dedup (MinHash-LSH pairs -> connected components ->
     # keep the canonical min-url row per cluster, drop_reason='dup_near').

@@ -89,3 +89,45 @@ def violation_counts(df: DataFrame, col: str, lo: float, hi: float) -> DataFrame
 def log_transform(col_name: str) -> Column:
     """strategy='transform' log leg (:950): golden log(1000)=6.907755."""
     return F.log(F.col(col_name))
+
+
+def suggest_boundaries(
+    df: DataFrame,
+    columns: str | list[str],
+    method: str = "statistical",
+    domain_rules: dict[str, dict] | None = None,
+    approx: bool = True,
+) -> dict[str, dict[str, float]]:
+    """Boundary suggestion (reference QualityControl.py:974-1051):
+    'statistical' = 1%/99% percentiles, 'percentile' = 5%/95%, 'domain' =
+    caller-provided rules passed through.
+
+    Spark-first correction: the reference loops one percentile job +
+    collect PER COLUMN (:1028-1044); here all columns aggregate in ONE
+    job (a single 1-row collect — the only driver-side data). `approx`
+    uses percentile_approx (t-digest sketch, the 100 TB shape); False
+    uses exact SQL percentile for oracle parity on small data."""
+    cols = [columns] if isinstance(columns, str) else list(columns)
+    if method == "domain":
+        rules = domain_rules or {}
+        return {c: dict(rules[c]) for c in cols if c in rules}
+    if method == "statistical":
+        lo_p, hi_p = 0.01, 0.99
+    elif method == "percentile":
+        lo_p, hi_p = 0.05, 0.95
+    else:
+        raise ValueError(
+            f"method must be statistical/percentile/domain, got {method!r}"
+        )
+    fn = "percentile_approx" if approx else "percentile"
+    row = df.agg(
+        *[
+            F.expr(f"{fn}({c}, array({lo_p}, {hi_p}))").alias(c)
+            for c in cols
+        ]
+    ).first()
+    return {
+        c: {"min": row[c][0], "max": row[c][1]}
+        for c in cols
+        if row[c] is not None
+    }

@@ -544,33 +544,33 @@ def run_pipeline(df: DataFrame, cfg: PipelineConfig = DEFAULT_CONFIG) -> DataFra
     # token total stays <= token_budget; rows past the line flip to
     # drop_reason='token_budget'. Reuses the scorer's n_words (no second
     # tokenize); the picked-url set joins back small (AQE broadcast).
-    # COST NOTE: the sampler's bucket-sums action evaluates the pipeline
-    # subtree once more than a budget-less run (lazy frames, two
-    # actions). cfg.near_dup_materialize='localCheckpoint' — the same
-    # storage-for-recompute knob the near-dedup stage honors —
-    # materializes `labeled` once so the scorer runs a single time.
+    # COST NOTE: under a fully lazy plan the sampler's bucket-sums action
+    # evaluates the pipeline subtree once more than a budget-less run —
+    # measured 3.5x at sf0.1 — so cfg.budget_materialize defaults to
+    # localCheckpoint (see config.py / PLANS.md "Token-budget stage").
     if cfg.token_budget is not None:
         from .operators.sampling import sample_to_token_budget
 
-        mode = cfg.budget_materialize
-        if mode is None:
-            # AUTO: follow the near-dup storage policy (recompute unless
-            # the caller already opted into executor-block pinning)
-            mode = (
-                "localCheckpoint"
-                if cfg.near_dup_materialize == "localCheckpoint"
-                else "recompute"
-            )
+        # AUTO = localCheckpoint: measured at sf0.1 the lazy recompute
+        # runs the scorer subtree twice at a 3.5x cost (23.0 s vs 6.5 s,
+        # scripts/microbench_budget_materialize.py; table in PLANS.md) —
+        # and the budget stage is already eager (the sampler's bucket-sum
+        # prefix is an action), so pinning adds no new eagerness
+        mode = cfg.budget_materialize or "localCheckpoint"
         if mode == "localCheckpoint":
             labeled = labeled.localCheckpoint()
         elif mode == "persist_parquet":
             # scratch-parquet intermediate: one write, both downstream
             # actions read columnar blocks — unlike localCheckpoint this
             # survives executor loss on a real cluster (blocks live on
-            # the DFS/scratch volume, not in executor storage)
-            import tempfile as _tf
+            # the DFS/scratch volume, not in executor storage). Without
+            # cfg.budget_scratch_dir the tempdir is on the DRIVER's
+            # filesystem — local mode only.
+            scratch = cfg.budget_scratch_dir
+            if scratch is None:
+                import tempfile as _tf
 
-            scratch = _tf.mkdtemp(prefix="dqx_budget_labeled_")
+                scratch = _tf.mkdtemp(prefix="dqx_budget_labeled_")
             labeled.write.mode("overwrite").parquet(scratch)
             labeled = labeled.sparkSession.read.parquet(scratch)
         elif mode != "recompute":

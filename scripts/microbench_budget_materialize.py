@@ -66,12 +66,7 @@ def main() -> None:
             cfg = PipelineConfig(
                 salt_partitions=64,
                 token_budget=budget,
-                near_dup_materialize=(
-                    "localCheckpoint" if mode == "localCheckpoint" else "recompute"
-                ),
-                budget_materialize=(
-                    "persist_parquet" if mode == "persist_parquet" else None
-                ),
+                budget_materialize=mode,
             )
             out = f"{scratch}/{mode}_{r}"
             t0 = time.perf_counter()

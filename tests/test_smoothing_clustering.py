@@ -202,3 +202,43 @@ class TestKmeansOutliers:
         assert rows[200] == (None, False)  # NULL feature: no dist, no flag
         assert rows[201][1] is True
         assert all(not rows[i][1] for i, _ in inliers)
+
+
+class TestSuggestBoundaries:
+    def test_methods_and_domain(self, spark):
+        from dataqualitykit_spark.operators.range_validity import (
+            suggest_boundaries,
+        )
+
+        df = spark.createDataFrame(
+            [(float(i),) for i in range(1, 101)], "v double"
+        )
+        # exact percentiles on 1..100: p = 1 + 99*q (linear interpolation)
+        stat = suggest_boundaries(df, "v", approx=False)
+        assert stat["v"]["min"] == pytest.approx(1.99)
+        assert stat["v"]["max"] == pytest.approx(99.01)
+        pct = suggest_boundaries(df, ["v"], method="percentile", approx=False)
+        assert pct["v"]["min"] == pytest.approx(5.95)
+        assert pct["v"]["max"] == pytest.approx(95.05)
+        dom = suggest_boundaries(
+            df, ["v", "w"], method="domain",
+            domain_rules={"v": {"min": 0.0, "max": 10.0}},
+        )
+        assert dom == {"v": {"min": 0.0, "max": 10.0}}  # missing col skipped
+        with pytest.raises(ValueError, match="method"):
+            suggest_boundaries(df, "v", method="bogus")
+
+    def test_single_job_multi_column(self, spark):
+        """All columns must aggregate in ONE job (the reference loops one
+        collect per column) — assert a single aggregate over both."""
+        from dataqualitykit_spark.operators.range_validity import (
+            suggest_boundaries,
+        )
+
+        df = spark.createDataFrame(
+            [(float(i), float(i) * 2.0) for i in range(1, 101)],
+            "a double, b double",
+        )
+        got = suggest_boundaries(df, ["a", "b"], approx=False)
+        assert got["a"]["max"] == pytest.approx(99.01)
+        assert got["b"]["max"] == pytest.approx(198.02)
