@@ -134,7 +134,20 @@ def run_resumable(
         if b in done:
             continue
         part = bucketed.filter(F.col("_bucket") == b).drop("_bucket")
-        labeled = run_pipeline(part, cfg)
+        # with near-dedup on, carry the post-scrub pre-model text through
+        # the labeled frame so the signature stage reads it directly —
+        # re-applying the c4/paragraph scrubs to the bucket input was
+        # measured at 11.6% of the bucket pass (PLANS.md round 6). The
+        # column rides the existing localCheckpoint and is dropped before
+        # any write below.
+        if cfg.dedup_near:
+            from dataclasses import replace as _cfg_replace
+
+            labeled = run_pipeline(
+                part, _cfg_replace(cfg, carry_prescrub_text=True)
+            )
+        else:
+            labeled = run_pipeline(part, cfg)
         # cross-bucket exact content dedup against already-written keeps.
         # Restrict to manifest-COMPLETED buckets: a torn previous run may
         # have written this bucket's files without marking it, and reading
@@ -191,45 +204,17 @@ def run_resumable(
             participant = F.col("drop_reason").isNull() | ~F.col(
                 "drop_reason"
             ).isin("missing_text", "dup_url", "dup_content")
-            part_keys = labeled.filter(participant).select(
-                "url", F.col("content_md5").alias("_h")
-            )
-            # recover participant text from the bucket input: join on
-            # (url, md5) — rows sharing both have byte-identical text, so
-            # dropDuplicates is exact. run_pipeline computes content_md5
-            # AFTER the opt-in paragraph scrub, so with dedup_paragraphs
-            # the raw bucket text must pass through the SAME scrub (same
-            # frame, same params) before hashing — otherwise scrubbed
-            # docs' hashes mismatch, they silently drop out of `texts`,
-            # get no signature, and are invisible to cross-bucket
-            # near-dedup.
-            src_text = part
-            if cfg.c4_lines:
-                from .operators import c4_filter as _c4
-
-                src_text = src_text.withColumn(
-                    "text",
-                    _c4.kept_lines_text(
-                        F.col("text"), cfg.c4_min_words_per_line
-                    ),
-                )
-            if cfg.dedup_paragraphs:
-                src_text = _dedup.paragraph_scrub(
-                    src_text,
-                    "text",
-                    doc_key="url",
-                    min_repeats=cfg.paragraph_min_repeats,
-                )
+            # participant text comes straight off the labeled frame: the
+            # carried `_prescrub_text` is the post-c4/post-paragraph text
+            # whose md5 IS content_md5 (pipeline.py captures _orig_text
+            # after both scrubs), so no re-scrub and no (url, md5)
+            # recovery join against the bucket input is needed — that
+            # path was measured at 11.6% of the bucket pass
+            # (scripts/microbench_lineage_scrub.py, PLANS.md round 6).
             texts = (
-                src_text.withColumn(
-                    "_h",
-                    F.md5(
-                        F.encode(F.coalesce(F.col("text"), F.lit("")), "UTF-8")
-                    ),
-                )
-                .join(part_keys, ["url", "_h"])
+                labeled.filter(participant)
+                .select("url", F.col("_prescrub_text").alias("text"))
                 .dropDuplicates(["url"])
-                .select("url", "text")
             )
             sigs_b = sig_fn(
                 texts, "text", "url", cfg.near_dup_hashes
@@ -284,7 +269,11 @@ def run_resumable(
                 .partitionBy("bucket_id")
                 .parquet(io._path("near_sigs"))
             )
-        labeled = labeled.withColumn("bucket_id", F.lit(b))
+        # the carried pre-scrub text is a signature-stage convenience ONLY
+        # — raw text is never persisted to the labeled table
+        labeled = labeled.drop("_prescrub_text").withColumn(
+            "bucket_id", F.lit(b)
+        )
         # idempotent per-bucket commit: dynamic partition overwrite on
         # bucket_id means a crash AFTER the write but BEFORE manifest.mark
         # replaces (not duplicates) the bucket's rows on resume

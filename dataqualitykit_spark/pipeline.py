@@ -614,6 +614,14 @@ def run_pipeline(df: DataFrame, cfg: PipelineConfig = DEFAULT_CONFIG) -> DataFra
             .drop("_in_budget", "_budget_g")
         )
 
+    if cfg.carry_prescrub_text:
+        # opt-in column for run_resumable's near-sig stage: the
+        # post-c4/post-paragraph pre-model text whose md5 IS content_md5,
+        # so lineage can sign it directly instead of re-scrubbing the
+        # bucket input (measured 11.6% of a near-dedup bucket pass —
+        # scripts/microbench_lineage_scrub.py). Callers MUST drop it
+        # before persisting labeled output.
+        labeled = labeled.withColumn("_prescrub_text", F.col("_orig_text"))
     return labeled.drop(
         "_missing_raw", "_dup_url", "_dup_content", "_dup_near", "_eligible",
         "_survivor", "_missing", "_orig_text", "text", "_blocked",
