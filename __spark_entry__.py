@@ -605,6 +605,42 @@ def q_kmeans_outliers(spark, sf):
     )
 
 
+def q_merge_records(spark, sf):
+    # record fusion (ref merge_similar_records :2062-2101, driver O(n^2)
+    # loop there): cluster = 2-hex-char md5 prefix (~256 multi-member
+    # clusters — the sf0.01 documents table has zero exact text dups, and
+    # the cluster label normally arrives from content_md5 or LSH+CC
+    # anyway); rules exercise every aggregate family.
+    from dataqualitykit_spark.operators.dedup import merge_records
+
+    docs = _t(spark, sf, "documents").withColumn(
+        "cluster",
+        F.substring(
+            F.md5(F.encode(F.coalesce(F.col("text"), F.lit("")), "UTF-8")),
+            1,
+            2,
+        ),
+    )
+    out = merge_records(
+        docs.select("cluster", "doc_id", "source", "lang", "n_chars"),
+        "cluster",
+        {
+            "source": "most_frequent",
+            "lang": "longest",
+            "n_chars": "sum",
+            "doc_id": "newest",
+        },
+    )
+    return out.select(
+        "cluster",
+        "n_members",
+        F.col("doc_id").alias("doc_id_newest"),
+        F.col("n_chars").alias("n_chars_sum"),
+        F.col("lang").alias("lang_longest"),
+        F.col("source").alias("source_mf"),
+    )
+
+
 def q_suggest_boundaries(spark, sf):
     # reference QualityControl.py:974-1051 convenience: 1%/99%
     # (statistical) and 5%/95% (percentile) bounds; ONE aggregation for
@@ -2433,6 +2469,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ------------------------------------------------------------------
         "suggest_boundaries": q_suggest_boundaries,  # NEW r6 — rotate into
         # the window next round (the 50 slots are full this round)
+        "merge_records": q_merge_records,  # NEW r6 — same rotation note
         "pipeline_paragraph_scrub": q_pipeline_paragraph_scrub,
         "pipeline_c4": q_pipeline_c4,
         "pipeline_repetition": q_pipeline_repetition,
@@ -3456,6 +3493,27 @@ def oracle_sql() -> dict[str, str]:
                               ELSE pv + (nxv - pv) * ((rn - pr) / (nr - pr))
                          END, 6) AS interp
             FROM c""",
+        "merge_records": """
+            WITH base AS (
+              SELECT substr(md5(coalesce(text, '')), 1, 2) AS cluster,
+                     doc_id, source, lang, n_chars
+              FROM documents
+            ), mf AS (
+              SELECT cluster, max({'c': c, 'v': source}).v AS source_mf
+              FROM (SELECT cluster, source, count(*) AS c
+                    FROM base GROUP BY cluster, source)
+              GROUP BY cluster
+            ), agg AS (
+              SELECT cluster,
+                     CAST(count(*) AS BIGINT) AS n_members,
+                     max(doc_id) AS doc_id_newest,
+                     sum(n_chars) AS n_chars_sum,
+                     max({'l': length(lang), 'v': lang}).v AS lang_longest
+              FROM base GROUP BY cluster
+            )
+            SELECT a.cluster, a.n_members, a.doc_id_newest,
+                   a.n_chars_sum, a.lang_longest, m.source_mf
+            FROM agg a JOIN mf m USING (cluster)""",
         "suggest_boundaries": """
             SELECT 'l_quantity' AS col_name, 'statistical' AS method,
                    round(quantile_cont(l_quantity, 0.01), 6) AS lo,

@@ -1331,3 +1331,83 @@ def hamming_dup_pairs(
         .distinct()
     )
     return pairs
+
+
+def merge_records(
+    df: DataFrame,
+    cluster_col: str,
+    merge_rules: dict[str, str],
+    id_col: str | None = None,
+) -> DataFrame:
+    """Record fusion: collapse each cluster to ONE merged record with a
+    per-column conflict rule (reference merge_similar_records,
+    QualityControl.py:2062-2101 — a driver collect + O(n^2) python loop
+    over an undefined `blocking_columns`; its resolve_conflict rules are
+    inherited here as distributed aggregates).
+
+    Rules per output column:
+      'most_frequent'  mode, ties broken by the LARGER value (max over
+                       (count, value) structs — deterministic)
+      'longest'        longest string, ties broken by the larger value
+      'newest'         max (the reference's newest = max(values))
+      'oldest'         min
+      'sum' / 'average' numeric fold
+    Columns not in merge_rules are taken from the canonical cluster row
+    (min id_col) when id_col is given, else omitted. `n_members` counts
+    the cluster size. NULL values inside ruled columns should be filled
+    beforehand (struct-ordering of NULL fields differs across engines).
+
+    The cluster label comes from upstream machinery — exact keys
+    (content_md5 / composite_key) or the LSH -> connected_components
+    output — so fusion is ONE groupBy over the corpus plus one tiny
+    two-level aggregate + broadcast-join per most_frequent column; no
+    driver-side data, no pairwise loop.
+    """
+    simple_aggs = [F.count(F.lit(1)).alias("n_members")]
+    mf_cols: list[str] = []
+    for col, rule in merge_rules.items():
+        c = F.col(col)
+        if rule == "most_frequent":
+            mf_cols.append(col)
+        elif rule == "longest":
+            simple_aggs.append(
+                F.max(F.struct(F.length(c).alias("l"), c.alias("v")))[
+                    "v"
+                ].alias(col)
+            )
+        elif rule == "newest":
+            simple_aggs.append(F.max(c).alias(col))
+        elif rule == "oldest":
+            simple_aggs.append(F.min(c).alias(col))
+        elif rule == "sum":
+            simple_aggs.append(F.sum(c).alias(col))
+        elif rule == "average":
+            simple_aggs.append(F.avg(c).alias(col))
+        else:
+            raise ValueError(
+                f"unsupported merge rule {rule!r} for column {col!r}; use "
+                "most_frequent/longest/newest/oldest/sum/average"
+            )
+    if id_col is not None:
+        for col in df.columns:
+            if col not in merge_rules and col not in (cluster_col, id_col):
+                simple_aggs.append(F.min_by(F.col(col), F.col(id_col)).alias(col))
+        simple_aggs.append(F.min(id_col).alias(id_col))
+    merged = df.groupBy(cluster_col).agg(*simple_aggs)
+    for col in mf_cols:
+        # deterministic mode: per-(cluster, value) counts, then max over
+        # (count, value) — a two-level hash aggregate; the per-cluster
+        # result frame joins back on the cluster key (AQE broadcasts it
+        # when small)
+        freq = (
+            df.groupBy(cluster_col, col)
+            .agg(F.count(F.lit(1)).alias("_c"))
+            .groupBy(cluster_col)
+            .agg(
+                F.max(F.struct(F.col("_c").alias("c"), F.col(col).alias("v")))[
+                    "v"
+                ].alias(col)
+            )
+        )
+        merged = merged.join(freq, cluster_col)
+    return merged

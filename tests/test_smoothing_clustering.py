@@ -242,3 +242,69 @@ class TestSuggestBoundaries:
         got = suggest_boundaries(df, ["a", "b"], approx=False)
         assert got["a"]["max"] == pytest.approx(99.01)
         assert got["b"]["max"] == pytest.approx(198.02)
+
+
+class TestMergeRecords:
+    def test_rules_golden(self, spark):
+        """Reference merge_similar_records conflict rules
+        (QualityControl.py:2085-2097) as distributed aggregates — golden
+        cluster with every rule exercised, deterministic ties."""
+        from dataqualitykit_spark.operators.dedup import merge_records
+
+        rows = [
+            # cluster, id, name, src, score, ts
+            ("k1", 1, "alpha", "a", 10.0, 5),
+            ("k1", 2, "alphabet", "b", 20.0, 9),
+            ("k1", 3, "beta", "b", 30.0, 7),
+            ("k2", 4, "solo", "z", 1.5, 1),
+        ]
+        df = spark.createDataFrame(
+            rows, "cluster string, id long, name string, src string, score double, ts long"
+        )
+        out = {
+            r["cluster"]: r.asDict()
+            for r in merge_records(
+                df,
+                "cluster",
+                {
+                    "name": "longest",
+                    "src": "most_frequent",
+                    "score": "average",
+                    "ts": "newest",
+                },
+                id_col="id",
+            ).collect()
+        }
+        k1 = out["k1"]
+        assert k1["n_members"] == 3
+        assert k1["name"] == "alphabet"  # longest
+        assert k1["src"] == "b"  # 2-vs-1 mode
+        assert k1["score"] == pytest.approx(20.0)
+        assert k1["ts"] == 9
+        assert k1["id"] == 1  # canonical min id
+        assert out["k2"]["name"] == "solo" and out["k2"]["n_members"] == 1
+
+    def test_tie_determinism_and_bad_rule(self, spark):
+        from dataqualitykit_spark.operators.dedup import merge_records
+
+        df = spark.createDataFrame(
+            [("k", 1, "aa", "x"), ("k", 2, "bb", "y")],
+            "cluster string, id long, name string, src string",
+        )
+        got = merge_records(
+            df, "cluster", {"name": "longest", "src": "most_frequent"}
+        ).first()
+        assert got["name"] == "bb"  # equal length -> larger value
+        assert got["src"] == "y"  # equal count -> larger value
+        with pytest.raises(ValueError, match="merge rule"):
+            merge_records(df, "cluster", {"name": "bogus"})
+
+    def test_unruled_from_canonical_row(self, spark):
+        from dataqualitykit_spark.operators.dedup import merge_records
+
+        df = spark.createDataFrame(
+            [("k", 9, "late"), ("k", 2, "early")],
+            "cluster string, id long, tag string",
+        )
+        got = merge_records(df, "cluster", {}, id_col="id").first()
+        assert got["tag"] == "early" and got["id"] == 2
