@@ -605,6 +605,28 @@ def q_kmeans_outliers(spark, sf):
     )
 
 
+def q_flag_investigation(spark, sf):
+    # ensemble anomaly flag (ref :3115-3238 — its forecast leg collects
+    # the column for statsmodels, its clustering leg compares a cluster
+    # INDEX from another frame). SQL-expressible subset here:
+    # statistical (+0.5) + pattern (+0.3) + forecast (+0.2, one-step
+    # EWMA error, dyadic alpha for bit parity); the clustering leg is
+    # certified by the separate kmeans_outliers planted invariant.
+    out = anomaly.flag_for_investigation(
+        _t(spark, sf, "events"),
+        "value",
+        ["ts", "event_id"],
+        methods=["statistical", "pattern", "forecast"],
+        thresholds={"statistical": 3.0, "pattern": 30.0, "forecast": 40.0},
+        partition_by=["user_id"],
+        min_confidence=0.5,
+        alpha=0.5,
+    )
+    return out.select(
+        "event_id", F.col("investigation_confidence").alias("confidence")
+    )
+
+
 def q_merge_records(spark, sf):
     # record fusion (ref merge_similar_records :2062-2101, driver O(n^2)
     # loop there): cluster = 2-hex-char md5 prefix (~256 multi-member
@@ -2470,6 +2492,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "suggest_boundaries": q_suggest_boundaries,  # NEW r6 — rotate into
         # the window next round (the 50 slots are full this round)
         "merge_records": q_merge_records,  # NEW r6 — same rotation note
+        "flag_investigation": q_flag_investigation,  # NEW r6 — same note
         "pipeline_paragraph_scrub": q_pipeline_paragraph_scrub,
         "pipeline_c4": q_pipeline_c4,
         "pipeline_repetition": q_pipeline_repetition,
@@ -3493,6 +3516,45 @@ def oracle_sql() -> dict[str, str]:
                               ELSE pv + (nxv - pv) * ((rn - pr) / (nr - pr))
                          END, 6) AS interp
             FROM c""",
+        # mirrors flag_for_investigation's expression order exactly:
+        # z = CASE sd>0 THEN abs(x-m)/sd ELSE 0, legs summed left to
+        # right with the same 0.5/0.3/0.2 literals, EWMA via the same
+        # list_reduce fold as the ewma_smooth oracle (bit-parity with
+        # the dyadic segmented scan), filter on the rounded sum
+        "flag_investigation": """
+            WITH s AS (
+              SELECT avg(value) AS m, stddev_samp(value) AS sd FROM events
+            ), b AS (
+              SELECT event_id, user_id, ts, value,
+                     list(value) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS xs,
+                     avg(value) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id
+                       ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS ctr
+              FROM events
+            ), c AS (
+              SELECT event_id, user_id, ts, value, ctr,
+                     lag(list_reduce(xs, (acc, x) -> 0.5*x + 0.5*acc))
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       AS fc
+              FROM b
+            ), scored AS (
+              SELECT event_id,
+                     round(
+                       (CASE WHEN sd IS NOT NULL AND sd > 0
+                             AND abs(value - m) / sd > 3.0
+                             THEN 0.5::DOUBLE ELSE 0.0::DOUBLE END)
+                     + (CASE WHEN coalesce(abs(value - ctr) > 30.0, FALSE)
+                             THEN 0.3::DOUBLE ELSE 0.0::DOUBLE END)
+                     + (CASE WHEN coalesce(abs(value - fc) > 40.0, FALSE)
+                             THEN 0.2::DOUBLE ELSE 0.0::DOUBLE END), 6)
+                       AS confidence
+              FROM c, s
+            )
+            SELECT event_id, confidence FROM scored
+            WHERE confidence >= 0.5""",
         "merge_records": """
             WITH base AS (
               SELECT substr(md5(coalesce(text, '')), 1, 2) AS cluster,

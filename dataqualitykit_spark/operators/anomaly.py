@@ -511,3 +511,77 @@ def kmeans_distance_outliers(
         "is_outlier",
         F.coalesce(F.col("centroid_dist") > F.lit(float(threshold)), F.lit(False)),
     )
+
+
+def flag_for_investigation(
+    df: DataFrame,
+    col: str,
+    order_col,
+    methods: list[str],
+    thresholds: dict[str, float],
+    partition_by: list[str] | None = None,
+    min_confidence: float = 0.8,
+    alpha: float = 0.5,
+    k: int = 4,
+    keep_all: bool = False,
+) -> DataFrame:
+    """Ensemble anomaly flag (reference QualityControl.py:3115-3238):
+    each detection method adds its inherited confidence weight —
+    'statistical' z-score +0.5, 'pattern' neighborhood deviation +0.3,
+    'forecast' one-step-ahead smoothing error +0.2, 'clustering'
+    centroid distance +0.1 — and rows meeting min_confidence are
+    returned (keep_all=True keeps every row with its score instead,
+    mirroring the pre-filter frame).
+
+    Spark-first corrections: the reference's forecast leg collects the
+    whole column to the driver for statsmodels Holt-Winters and then
+    passes `F.array(forecast.tolist())` (a type error); here the
+    forecast is the distributed one-step-ahead EWMA (lag of ewma_smooth,
+    alpha dyadic by default). Its clustering leg flags cluster INDEX == 1
+    from a different DataFrame's column (unresolvable and meaningless —
+    cluster ids are arbitrary); here it is distance-to-centroid via
+    kmeans_distance_outliers' literal-centroid algebra. Windows are
+    partitioned (partition_by REQUIRED at scale)."""
+    order = order_col if isinstance(order_col, list) else [order_col]
+    w = Window.orderBy(*order)
+    if partition_by:
+        w = Window.partitionBy(*partition_by).orderBy(*order)
+    out = df
+    conf = F.lit(0.0)
+    x = F.col(col)
+    if "statistical" in methods:
+        out = zscore_flags(out, col, thresholds["statistical"]).withColumnRenamed(
+            "is_outlier", "_stat_flag"
+        )
+        conf = conf + F.when(F.col("_stat_flag"), 0.5).otherwise(0.0)
+    if "pattern" in methods:
+        dev = F.abs(x - F.avg(col).over(w.rowsBetween(-1, 1)))
+        out = out.withColumn("_pat_dev", dev)
+        conf = conf + F.when(
+            F.coalesce(F.col("_pat_dev") > thresholds["pattern"], F.lit(False)),
+            0.3,
+        ).otherwise(0.0)
+    if "forecast" in methods:
+        out = ewma_smooth(
+            out, col, order_col, alpha=alpha, partition_by=partition_by,
+            out_col="_fc_ewma",
+        )
+        out = out.withColumn(
+            "_fc_err", F.abs(x - F.lag("_fc_ewma").over(w))
+        )
+        conf = conf + F.when(
+            F.coalesce(F.col("_fc_err") > thresholds["forecast"], F.lit(False)),
+            0.2,
+        ).otherwise(0.0)
+    if "clustering" in methods:
+        out = kmeans_distance_outliers(
+            out, [col], k=k, threshold=thresholds["clustering"]
+        ).withColumnRenamed("is_outlier", "_km_flag")
+        conf = conf + F.when(F.col("_km_flag"), 0.1).otherwise(0.0)
+    out = out.withColumn("investigation_confidence", F.round(conf, 6)).drop(
+        "_stat_flag", "_pat_dev", "_fc_ewma", "_fc_err", "_km_flag",
+        "zscore", "centroid_dist",
+    )
+    if keep_all:
+        return out
+    return out.filter(F.col("investigation_confidence") >= F.lit(min_confidence))

@@ -308,3 +308,57 @@ class TestMergeRecords:
         )
         got = merge_records(df, "cluster", {}, id_col="id").first()
         assert got["tag"] == "early" and got["id"] == 2
+
+
+class TestFlagForInvestigation:
+    def test_ensemble_weights_and_filter(self, spark):
+        """Reference weights (statistical +0.5, pattern +0.3, forecast
+        +0.2, clustering +0.1; QualityControl.py:3115-3238) over a series
+        with one planted global outlier: the spike earns every leg's
+        weight, flat rows earn none."""
+        xs = [10.0] * 30 + [500.0] + [10.0] * 30
+        df = spark.createDataFrame(
+            [("p", i, x) for i, x in enumerate(xs)],
+            "grp string, pos long, x double",
+        )
+        out = anomaly.flag_for_investigation(
+            df,
+            "x",
+            "pos",
+            methods=["statistical", "pattern", "forecast", "clustering"],
+            thresholds={
+                "statistical": 3.0,
+                "pattern": 50.0,
+                "forecast": 50.0,
+                "clustering": 100.0,
+            },
+            partition_by=["grp"],
+            min_confidence=0.8,
+            k=2,
+        )
+        rows = out.select("pos", "investigation_confidence").collect()
+        # spike at 31 trips stat+pattern+forecast (+clustering w/ k=2 the
+        # spike is its own cluster at distance 0 — weight NOT earned, by
+        # design: distance-based, not the ref's meaningless index==1);
+        # its neighbors (30, 32) trip pattern+forecast but stay under 0.8
+        got = {r["pos"]: r["investigation_confidence"] for r in rows}
+        assert 30 in got and got[30] >= 0.8  # the spike row is flagged
+        assert all(p in (29, 30, 31) for p in got), got
+
+    def test_keep_all_scores(self, spark):
+        df = spark.createDataFrame(
+            [("p", i, float(i % 5)) for i in range(20)],
+            "grp string, pos long, x double",
+        )
+        out = anomaly.flag_for_investigation(
+            df,
+            "x",
+            "pos",
+            methods=["pattern"],
+            thresholds={"pattern": 100.0},
+            partition_by=["grp"],
+            keep_all=True,
+        )
+        rows = out.collect()
+        assert len(rows) == 20
+        assert all(r["investigation_confidence"] == 0.0 for r in rows)
