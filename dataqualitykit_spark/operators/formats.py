@@ -109,3 +109,24 @@ def flag_invalid(df: DataFrame, col: str, fmt: str, custom_pattern: str | None =
     return df.withColumn(
         f"{col}_format_ok", matches_format(F.col(col), fmt, custom_pattern)
     )
+
+
+def parse_datetime(
+    df: DataFrame, col: str, output_columns: tuple[str, str] = ("date", "time")
+) -> DataFrame:
+    """parse_components(format_type='datetime') (reference
+    QualityControl.py:2481-2529 — which only emits F.lit(None)
+    placeholder columns): split a datetime string into date + time
+    component columns via a try_to_timestamp cascade; unparseable rows
+    get NULL components. Pure projection, no shuffle."""
+    c = F.col(col)
+    parsed = F.coalesce(
+        F.try_to_timestamp(c, F.lit("yyyy-MM-dd HH:mm:ss")),
+        F.try_to_timestamp(c, F.lit("yyyy-MM-dd'T'HH:mm:ss")),
+        F.try_to_timestamp(c, F.lit("MM/dd/yyyy HH:mm:ss")),
+        F.try_to_timestamp(c, F.lit("MM/dd/yyyy HH:mm")),
+    )
+    d_col, t_col = output_columns
+    return df.withColumn(d_col, F.date_format(parsed, "yyyy-MM-dd")).withColumn(
+        t_col, F.date_format(parsed, "HH:mm:ss")
+    )

@@ -362,3 +362,26 @@ class TestFlagForInvestigation:
         rows = out.collect()
         assert len(rows) == 20
         assert all(r["investigation_confidence"] == 0.0 for r in rows)
+
+
+def test_parse_datetime_components(spark):
+    """parse_components datetime leg (the reference emits placeholder
+    NULL columns; QualityControl.py:2527): real split, NULL on garbage."""
+    from dataqualitykit_spark.operators.formats import parse_datetime
+
+    df = spark.createDataFrame(
+        [
+            (1, "2024-06-01 13:45:09"),
+            (2, "06/01/2024 13:45"),
+            (3, "2024-06-01T07:02:03"),
+            (4, "not a date"),
+            (5, None),
+        ],
+        "id long, dt string",
+    )
+    got = {r["id"]: (r["date"], r["time"]) for r in parse_datetime(df, "dt").collect()}
+    assert got[1] == ("2024-06-01", "13:45:09")
+    assert got[2] == ("2024-06-01", "13:45:00")
+    assert got[3] == ("2024-06-01", "07:02:03")
+    assert got[4] == (None, None)
+    assert got[5] == (None, None)
