@@ -102,6 +102,19 @@ def main() -> None:
     # swings 0.2-12 and stretches Spark wall-clock up to 5x — a contended
     # run must be identifiable from the JSON alone
     load_start = os.getloadavg()
+
+    # CPU-steal bookkeeping (BENCH/BASELINE.md round-6 pathology): the
+    # hypervisor cap is demand-triggered and invisible to loadavg, so the
+    # JSON records steal% over the run — the honest contention tell
+    def _cpu_ticks():
+        try:
+            with open("/proc/stat") as f:
+                parts = f.readline().split()
+            return int(parts[8]), sum(int(x) for x in parts[1:9])
+        except (OSError, ValueError, IndexError):
+            return None
+
+    ticks_start = _cpu_ticks()
     n_reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     # optional leg subset (comma-separated) — scaling_bench.py restricts to
     # the legs its efficiency ratio actually uses
@@ -225,6 +238,16 @@ def main() -> None:
             .collect(),
         )
 
+    ticks_end = _cpu_ticks()
+    steal_pct = None
+    if ticks_start and ticks_end and ticks_end[1] > ticks_start[1]:
+        steal_pct = round(
+            100.0
+            * (ticks_end[0] - ticks_start[0])
+            / (ticks_end[1] - ticks_start[1]),
+            2,
+        )
+
     total = round(sum(timings.values()), 3)
     docs_per_sec = (
         round(n_docs / timings["pipeline_full"], 1)
@@ -245,6 +268,7 @@ def main() -> None:
                 "cpus": int(cpus),
                 "loadavg_start": [round(x, 2) for x in load_start],
                 "loadavg_end": [round(x, 2) for x in os.getloadavg()],
+                "steal_pct": steal_pct,
             }
         )
     )
