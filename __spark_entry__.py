@@ -605,6 +605,31 @@ def q_kmeans_outliers(spark, sf):
     )
 
 
+def q_psi_drift(spark, sf):
+    # distribution drift between two deterministic snapshot halves of
+    # events.value (even vs odd event_id); fixed grid so the SQL twin
+    # shares the exact bucket formula. Shares/psi terms rounded.
+    from dataqualitykit_spark.operators.corpus_stats import psi_drift
+
+    ev = _t(spark, sf, "events")
+    out = psi_drift(
+        ev.filter(F.col("event_id") % 2 == 0),
+        ev.filter(F.col("event_id") % 2 == 1),
+        "value",
+        n_bins=10,
+        lo=0.0,
+        hi=600.0,
+    )
+    return out.select(
+        "bin",
+        "n_a",
+        "n_b",
+        F.round("share_a", 6).alias("share_a"),
+        F.round("share_b", 6).alias("share_b"),
+        F.round("psi_term", 6).alias("psi_term"),
+    )
+
+
 def q_flag_investigation(spark, sf):
     # ensemble anomaly flag (ref :3115-3238 — its forecast leg collects
     # the column for statsmodels, its clustering leg compares a cluster
@@ -2493,6 +2518,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the window next round (the 50 slots are full this round)
         "merge_records": q_merge_records,  # NEW r6 — same rotation note
         "flag_investigation": q_flag_investigation,  # NEW r6 — same note
+        "psi_drift": q_psi_drift,  # NEW r6 — same note
         "pipeline_paragraph_scrub": q_pipeline_paragraph_scrub,
         "pipeline_c4": q_pipeline_c4,
         "pipeline_repetition": q_pipeline_repetition,
@@ -3516,6 +3542,35 @@ def oracle_sql() -> dict[str, str]:
                               ELSE pv + (nxv - pv) * ((rn - pr) / (nr - pr))
                          END, 6) AS interp
             FROM c""",
+        # identical bucket algebra (fixed lo=0 hi=600 grid, width 60,
+        # floor + clamp), eps = 1e-6 max-smoothing, ln of the share
+        # ratio; integer counts keep shares bit-aligned across engines
+        "psi_drift": """
+            WITH a AS (
+              SELECT CAST(least(9, greatest(0,
+                       CAST(floor((value - 0.0) / 60.0) AS BIGINT))) AS INT)
+                       AS bin, count(*) AS n_a
+              FROM events WHERE event_id % 2 = 0 AND value IS NOT NULL
+              GROUP BY 1
+            ), b AS (
+              SELECT CAST(least(9, greatest(0,
+                       CAST(floor((value - 0.0) / 60.0) AS BIGINT))) AS INT)
+                       AS bin, count(*) AS n_b
+              FROM events WHERE event_id % 2 = 1 AND value IS NOT NULL
+              GROUP BY 1
+            ), bins AS (SELECT CAST(unnest(range(10)) AS INT) AS bin),
+            j AS (
+              SELECT bins.bin,
+                     coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b
+              FROM bins LEFT JOIN a USING (bin) LEFT JOIN b USING (bin)
+            ), t AS (SELECT sum(n_a) AS ta, sum(n_b) AS tb FROM j)
+            SELECT bin, n_a, n_b,
+                   round(greatest(n_a / ta, 1e-6), 6) AS share_a,
+                   round(greatest(n_b / tb, 1e-6), 6) AS share_b,
+                   round((greatest(n_a / ta, 1e-6) - greatest(n_b / tb, 1e-6))
+                         * ln(greatest(n_a / ta, 1e-6)
+                              / greatest(n_b / tb, 1e-6)), 6) AS psi_term
+            FROM j, t""",
         # mirrors flag_for_investigation's expression order exactly:
         # z = CASE sd>0 THEN abs(x-m)/sd ELSE 0, legs summed left to
         # right with the same 0.5/0.3/0.2 literals, EWMA via the same

@@ -99,3 +99,77 @@ def top_ngrams(
         [(r["_h"], r["cnt"]) for r in winners], "_h long, cnt long"
     )
     return recovered.join(F.broadcast(cnt_df), "_h").select("ngram", "cnt")
+
+
+def psi_drift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    col: str,
+    n_bins: int = 10,
+    lo: float | None = None,
+    hi: float | None = None,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Population Stability Index between two corpus snapshots over a
+    numeric column — the distribution-level drift monitor (the CUSUM
+    pass in lineage/metrics watches a SCALAR series; this compares
+    SHAPES, e.g. this month's crawl vs last month's quality scores).
+    PSI = sum over bins of (p_a - p_b) * ln(p_a / p_b); common reading:
+    < 0.1 stable, 0.1-0.25 moderate shift, > 0.25 major shift.
+
+    100 TB shape: bin bounds come from ONE min/max aggregation over
+    df_a (or explicit lo/hi — pass them when snapshots should share a
+    FIXED grid across many comparisons); each side then bucketizes with
+    pure column algebra and aggregates partial counts — two exchanges
+    of (bin, count) BIGINT pairs, a broadcast-sized join of <= n_bins
+    rows, no driver-side data beyond the two bounds. Empty bins are
+    eps-smoothed so the log stays finite (standard PSI practice).
+
+    Returns one row per bin: (bin, n_a, n_b, share_a, share_b,
+    psi_term); total PSI = sum(psi_term). NULL values are excluded on
+    both sides (count-based shares).
+    """
+    if lo is None or hi is None:
+        row = df_a.agg(
+            F.min(col).alias("_lo"), F.max(col).alias("_hi")
+        ).first()
+        lo = float(row["_lo"]) if lo is None else lo
+        hi = float(row["_hi"]) if hi is None else hi
+    if not hi > lo:
+        hi = lo + 1.0  # degenerate snapshot: one bin catches everything
+    width = (hi - lo) / n_bins
+
+    def bucketed(df: DataFrame, alias: str) -> DataFrame:
+        x = F.col(col).cast("double")
+        b = F.floor((x - F.lit(lo)) / F.lit(width))
+        b = F.least(F.lit(n_bins - 1), F.greatest(F.lit(0), b)).cast("int")
+        return (
+            df.filter(x.isNotNull())
+            .groupBy(b.alias("bin"))
+            .agg(F.count(F.lit(1)).alias(alias))
+        )
+    a = bucketed(df_a, "n_a")
+    b = bucketed(df_b, "n_b")
+    bins = df_a.sparkSession.range(n_bins).select(
+        F.col("id").cast("int").alias("bin")
+    )
+    joined = (
+        bins.join(a, "bin", "left")
+        .join(b, "bin", "left")
+        .withColumn("n_a", F.coalesce(F.col("n_a"), F.lit(0)))
+        .withColumn("n_b", F.coalesce(F.col("n_b"), F.lit(0)))
+    )
+    tot = joined.agg(
+        F.sum("n_a").alias("_ta"), F.sum("n_b").alias("_tb")
+    )
+    joined = joined.crossJoin(F.broadcast(tot))
+    pa = F.greatest(F.col("n_a") / F.col("_ta"), F.lit(eps))
+    pb = F.greatest(F.col("n_b") / F.col("_tb"), F.lit(eps))
+    return joined.select(
+        "bin",
+        "n_a",
+        "n_b",
+        pa.alias("share_a"),
+        pb.alias("share_b"),
+        ((pa - pb) * F.log(pa / pb)).alias("psi_term"),
+    )

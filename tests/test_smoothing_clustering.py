@@ -385,3 +385,39 @@ def test_parse_datetime_components(spark):
     assert got[3] == ("2024-06-01", "07:02:03")
     assert got[4] == (None, None)
     assert got[5] == (None, None)
+
+
+class TestPsiDrift:
+    def test_identical_and_shifted(self, spark):
+        from dataqualitykit_spark.operators.corpus_stats import psi_drift
+
+        base = spark.range(2000).select(
+            (F.col("id") % 100).cast("double").alias("v")
+        )
+        same = psi_drift(base, base, "v", n_bins=10).collect()
+        assert len(same) == 10
+        assert sum(r["psi_term"] for r in same) == pytest.approx(0.0, abs=1e-12)
+        # shifted snapshot: mass moves to high bins -> clearly unstable
+        shifted = spark.range(2000).select(
+            (50.0 + (F.col("id") % 50)).cast("double").alias("v")
+        )
+        psi = sum(
+            r["psi_term"]
+            for r in psi_drift(base, shifted, "v", n_bins=10).collect()
+        )
+        assert psi > 0.25
+
+    def test_empty_bins_and_fixed_grid(self, spark):
+        from dataqualitykit_spark.operators.corpus_stats import psi_drift
+
+        a = spark.createDataFrame([(1.0,), (2.0,), (None,)], "v double")
+        b = spark.createDataFrame([(9.0,), (9.5,)], "v double")
+        rows = psi_drift(a, b, "v", n_bins=5, lo=0.0, hi=10.0).collect()
+        assert len(rows) == 5
+        assert all(
+            r["psi_term"] is not None and math.isfinite(r["psi_term"])
+            for r in rows
+        )  # eps smoothing keeps empty bins finite
+        # b's mass lands in the top bin of the FIXED grid
+        top = {r["bin"]: r["n_b"] for r in rows}
+        assert top[4] == 2 and sum(top.values()) == 2
