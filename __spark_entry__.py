@@ -605,6 +605,14 @@ def q_kmeans_outliers(spark, sf):
     )
 
 
+def q_mad_outliers(spark, sf):
+    # robust modified z-score flag (no robust variant in the reference —
+    # its statistical leg is mean/stddev only). Exact percentile both
+    # engines (quantile_cont parity proven by suggest_boundaries).
+    out = anomaly.mad_outliers(_t(spark, sf, "events"), "value", 3.5)
+    return out.filter(F.col("is_outlier")).select("event_id")
+
+
 def q_psi_drift(spark, sf):
     # distribution drift between two deterministic snapshot halves of
     # events.value (even vs odd event_id); fixed grid so the SQL twin
@@ -2519,6 +2527,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_records": q_merge_records,  # NEW r6 — same rotation note
         "flag_investigation": q_flag_investigation,  # NEW r6 — same note
         "psi_drift": q_psi_drift,  # NEW r6 — same note
+        "mad_outliers": q_mad_outliers,  # NEW r6 — same note
         "pipeline_paragraph_scrub": q_pipeline_paragraph_scrub,
         "pipeline_c4": q_pipeline_c4,
         "pipeline_repetition": q_pipeline_repetition,
@@ -3542,6 +3551,17 @@ def oracle_sql() -> dict[str, str]:
                               ELSE pv + (nxv - pv) * ((rn - pr) / (nr - pr))
                          END, 6) AS interp
             FROM c""",
+        "mad_outliers": """
+            WITH m AS (SELECT quantile_cont(value, 0.5) AS med FROM events),
+            d AS (
+              SELECT quantile_cont(abs(value - med), 0.5) AS mad
+              FROM events, m
+            )
+            SELECT event_id FROM events, m, d
+            WHERE CASE WHEN mad > 0
+                       THEN abs(0.6745::DOUBLE * (value - med) / mad)
+                            > 3.5::DOUBLE
+                       ELSE value <> med END""",
         # identical bucket algebra (fixed lo=0 hi=600 grid, width 60,
         # floor + clamp), eps = 1e-6 max-smoothing, ln of the share
         # ratio; integer counts keep shares bit-aligned across engines

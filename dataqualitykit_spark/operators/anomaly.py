@@ -585,3 +585,38 @@ def flag_for_investigation(
     if keep_all:
         return out
     return out.filter(F.col("investigation_confidence") >= F.lit(min_confidence))
+
+
+def mad_outliers(
+    df: DataFrame, col: str, threshold: float = 3.5
+) -> DataFrame:
+    """Robust outlier flag via the modified z-score (Iglewicz-Hoaglin):
+    m = 0.6745 * (x - median) / MAD, MAD = median(|x - median|), flag
+    |m| > threshold (3.5 standard). Unlike zscore_flags, a single
+    extreme value cannot inflate the spread estimate and mask itself.
+
+    Complements the reference's mean/stddev-only statistical leg
+    (QualityControl.py:2989-2993 — it has no robust variant). Exact SQL
+    `percentile` so the DuckDB oracle (quantile_cont) reproduces values;
+    two tiny aggregations cross-joined back as broadcast literals — the
+    plan stays lazy, no driver collect. A zero MAD (majority-constant
+    column) flags only values different from the median."""
+    c = F.col(col)
+    med = df.agg(F.expr(f"percentile({col}, 0.5)").alias("_med"))
+    with_med = df.crossJoin(F.broadcast(med))
+    mad = with_med.agg(
+        F.expr("percentile(abs(" + col + " - _med), 0.5)").alias("_mad")
+    )
+    out = with_med.crossJoin(F.broadcast(mad))
+    mz = F.lit(0.6745) * (c - F.col("_med")) / F.col("_mad")
+    flag = F.when(
+        F.col("_mad") > 0, F.abs(mz) > F.lit(threshold)
+    ).otherwise(c != F.col("_med"))
+    return (
+        out.withColumn(
+            "modified_zscore",
+            F.when(F.col("_mad") > 0, mz).otherwise(F.lit(None)),
+        )
+        .withColumn("is_outlier", F.coalesce(flag, F.lit(False)))
+        .drop("_med", "_mad")
+    )

@@ -421,3 +421,37 @@ class TestPsiDrift:
         # b's mass lands in the top bin of the FIXED grid
         top = {r["bin"]: r["n_b"] for r in rows}
         assert top[4] == 2 and sum(top.values()) == 2
+
+
+class TestMadOutliers:
+    def test_robust_vs_classic(self, spark):
+        """One huge spike inflates stddev enough to mask itself from the
+        default 3-sigma z-score (the masking bound is max z <= (n-1)/
+        sqrt(n) = 2.846 at n=10) but cannot escape the MAD flag — the
+        reason the robust variant exists."""
+        xs = [10.0, 11.0, 9.0, 10.5, 9.5, 10.0, 11.5, 9.8, 10.2, 1.0e6]
+        df = spark.createDataFrame([(i, x) for i, x in enumerate(xs)], "id long, v double")
+        robust = {r["id"]: r["is_outlier"] for r in anomaly.mad_outliers(df, "v").collect()}
+        assert robust[9] is True
+        assert all(not robust[i] for i in range(9))
+        classic = {
+            r["id"]: r["is_outlier"]
+            for r in anomaly.zscore_flags(df, "v", 3.0).collect()
+        }
+        assert classic[9] is False  # the spike masks itself at 3 sigma
+
+    def test_zero_mad_majority_constant(self, spark):
+        df = spark.createDataFrame(
+            [(i, 5.0) for i in range(9)] + [(9, 7.0)], "id long, v double"
+        )
+        got = {r["id"]: (r["is_outlier"], r["modified_zscore"]) for r in anomaly.mad_outliers(df, "v").collect()}
+        assert got[9] == (True, None)  # MAD 0: different-from-median flags
+        assert all(got[i] == (False, None) for i in range(9))
+
+    def test_null_values_not_flagged(self, spark):
+        df = spark.createDataFrame(
+            [(0, 1.0), (1, None), (2, 1.2), (3, 0.8), (4, 99.0)],
+            "id long, v double",
+        )
+        got = {r["id"]: r["is_outlier"] for r in anomaly.mad_outliers(df, "v").collect()}
+        assert got[1] is False and got[4] is True
