@@ -605,6 +605,31 @@ def q_kmeans_outliers(spark, sf):
     )
 
 
+def q_psi_drift_cat(spark, sf):
+    # categorical share drift between deterministic halves of documents;
+    # top_k=2 so the __other__ fold carries real mass (the table has a
+    # handful of langs).
+    from dataqualitykit_spark.operators.corpus_stats import (
+        psi_drift_categorical,
+    )
+
+    docs = _t(spark, sf, "documents")
+    out = psi_drift_categorical(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+        "lang",
+        top_k=2,
+    )
+    return out.select(
+        "category",
+        "n_a",
+        "n_b",
+        F.round("share_a", 6).alias("share_a"),
+        F.round("share_b", 6).alias("share_b"),
+        F.round("psi_term", 6).alias("psi_term"),
+    )
+
+
 def q_mad_outliers(spark, sf):
     # robust modified z-score flag (no robust variant in the reference —
     # its statistical leg is mean/stddev only). Exact percentile both
@@ -2528,6 +2553,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flag_investigation": q_flag_investigation,  # NEW r6 — same note
         "psi_drift": q_psi_drift,  # NEW r6 — same note
         "mad_outliers": q_mad_outliers,  # NEW r6 — same note
+        "psi_drift_cat": q_psi_drift_cat,  # NEW r6 — same note
         "pipeline_paragraph_scrub": q_pipeline_paragraph_scrub,
         "pipeline_c4": q_pipeline_c4,
         "pipeline_repetition": q_pipeline_repetition,
@@ -3551,6 +3577,43 @@ def oracle_sql() -> dict[str, str]:
                               ELSE pv + (nxv - pv) * ((rn - pr) / (nr - pr))
                          END, 6) AS interp
             FROM c""",
+        "psi_drift_cat": """
+            WITH a_src AS (
+              SELECT coalesce(CAST(lang AS VARCHAR), '__null__') AS c
+              FROM documents WHERE doc_id % 2 = 0
+            ), b_src AS (
+              SELECT coalesce(CAST(lang AS VARCHAR), '__null__') AS c
+              FROM documents WHERE doc_id % 2 = 1
+            ), top AS (
+              SELECT c FROM (
+                SELECT c, count(*) AS cnt FROM a_src GROUP BY c
+              ) ORDER BY cnt DESC, c ASC LIMIT 2
+            ), cats AS (
+              SELECT c AS category FROM top
+              UNION SELECT '__other__'
+            ), a_cnt AS (
+              SELECT CASE WHEN c IN (SELECT c FROM top) THEN c
+                          ELSE '__other__' END AS category,
+                     count(*) AS n_a
+              FROM a_src GROUP BY 1
+            ), b_cnt AS (
+              SELECT CASE WHEN c IN (SELECT c FROM top) THEN c
+                          ELSE '__other__' END AS category,
+                     count(*) AS n_b
+              FROM b_src GROUP BY 1
+            ), j AS (
+              SELECT cats.category,
+                     coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b
+              FROM cats LEFT JOIN a_cnt USING (category)
+                        LEFT JOIN b_cnt USING (category)
+            ), t AS (SELECT sum(n_a) AS ta, sum(n_b) AS tb FROM j)
+            SELECT category, n_a, n_b,
+                   round(greatest(n_a / ta, 1e-6), 6) AS share_a,
+                   round(greatest(n_b / tb, 1e-6), 6) AS share_b,
+                   round((greatest(n_a / ta, 1e-6) - greatest(n_b / tb, 1e-6))
+                         * ln(greatest(n_a / ta, 1e-6)
+                              / greatest(n_b / tb, 1e-6)), 6) AS psi_term
+            FROM j, t""",
         "mad_outliers": """
             WITH m AS (SELECT quantile_cont(value, 0.5) AS med FROM events),
             d AS (

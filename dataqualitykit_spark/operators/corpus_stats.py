@@ -173,3 +173,60 @@ def psi_drift(
         pb.alias("share_b"),
         ((pa - pb) * F.log(pa / pb)).alias("psi_term"),
     )
+
+
+def psi_drift_categorical(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    col: str,
+    top_k: int = 50,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """PSI over a categorical column (lang/source/domain shares between
+    two crawl snapshots). Categories = the top_k most frequent values of
+    df_a (count DESC, value ASC — the deterministic tie order the rest
+    of the repo uses); everything else, including NULL, folds into the
+    '__other__' bucket so the category set is CLOSED and the index is
+    comparable across runs.
+
+    100 TB shape: one top-k aggregation on df_a (TakeOrderedAndProject,
+    k rows to the driver as plan literals), then two (category, count)
+    partial aggregations and a <= k+1-row join — category strings cross
+    an exchange only after the map-side fold."""
+    cat = F.coalesce(F.col(col).cast("string"), F.lit("__null__"))
+    top = [
+        r["_c"]
+        for r in df_a.groupBy(cat.alias("_c"))
+        .count()
+        .orderBy(F.col("count").desc(), F.col("_c").asc())
+        .limit(top_k)
+        .collect()
+    ]
+    bucket = F.when(cat.isin(top), cat).otherwise(F.lit("__other__"))
+
+    def counted(df: DataFrame, alias: str) -> DataFrame:
+        return df.groupBy(bucket.alias("category")).agg(
+            F.count(F.lit(1)).alias(alias)
+        )
+
+    cats = df_a.sparkSession.createDataFrame(
+        [(c,) for c in sorted(set(top) | {"__other__"})], "category string"
+    )
+    joined = (
+        cats.join(counted(df_a, "n_a"), "category", "left")
+        .join(counted(df_b, "n_b"), "category", "left")
+        .withColumn("n_a", F.coalesce(F.col("n_a"), F.lit(0)))
+        .withColumn("n_b", F.coalesce(F.col("n_b"), F.lit(0)))
+    )
+    tot = joined.agg(F.sum("n_a").alias("_ta"), F.sum("n_b").alias("_tb"))
+    joined = joined.crossJoin(F.broadcast(tot))
+    pa = F.greatest(F.col("n_a") / F.col("_ta"), F.lit(eps))
+    pb = F.greatest(F.col("n_b") / F.col("_tb"), F.lit(eps))
+    return joined.select(
+        "category",
+        "n_a",
+        "n_b",
+        pa.alias("share_a"),
+        pb.alias("share_b"),
+        ((pa - pb) * F.log(pa / pb)).alias("psi_term"),
+    )

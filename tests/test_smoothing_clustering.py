@@ -455,3 +455,29 @@ class TestMadOutliers:
         )
         got = {r["id"]: r["is_outlier"] for r in anomaly.mad_outliers(df, "v").collect()}
         assert got[1] is False and got[4] is True
+
+
+def test_psi_drift_categorical(spark):
+    from dataqualitykit_spark.operators.corpus_stats import (
+        psi_drift_categorical,
+    )
+
+    a = spark.createDataFrame(
+        [("en",)] * 60 + [("de",)] * 30 + [("fr",)] * 8 + [(None,)] * 2,
+        "lang string",
+    )
+    # b: de mass collapsed into en -> clear drift; fr/null stable-ish
+    b = spark.createDataFrame(
+        [("en",)] * 85 + [("de",)] * 5 + [("fr",)] * 8 + [("xx",)] * 2,
+        "lang string",
+    )
+    rows = psi_drift_categorical(a, b, "lang", top_k=3).collect()
+    cats = {r["category"]: r for r in rows}
+    # top-3 of a = en, de, fr; __null__ and unseen 'xx' fold to __other__
+    assert set(cats) == {"en", "de", "fr", "__other__"}
+    assert cats["__other__"]["n_a"] == 2 and cats["__other__"]["n_b"] == 2
+    psi = sum(r["psi_term"] for r in rows)
+    assert psi > 0.25  # major shift reading
+    # identical snapshots -> ~0
+    same = psi_drift_categorical(a, a, "lang", top_k=3).collect()
+    assert sum(r["psi_term"] for r in same) == pytest.approx(0.0, abs=1e-12)
