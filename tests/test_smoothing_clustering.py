@@ -481,3 +481,26 @@ def test_psi_drift_categorical(spark):
     # identical snapshots -> ~0
     same = psi_drift_categorical(a, a, "lang", top_k=3).collect()
     assert sum(r["psi_term"] for r in same) == pytest.approx(0.0, abs=1e-12)
+
+
+def test_kmeans_outliers_multicolumn(spark):
+    """Multi-feature distance: Euclidean over 2 columns; a point far in
+    only ONE dimension must still be flagged."""
+    natural = spark.range(300).select(
+        F.col("id").alias("row_id"),
+        (F.col("id") % 10 * 1.0).alias("a"),
+        (F.col("id") % 7 * 1.0).alias("b"),
+    )
+    planted = spark.createDataFrame(
+        [(9000, 5.0, 1.0e5), (9001, 1.0e5, 5.0)],
+        "row_id long, a double, b double",
+    )
+    out = anomaly.kmeans_distance_outliers(
+        natural.unionByName(planted),
+        ["a", "b"],
+        k=3,
+        threshold=1000.0,
+        fit_df=natural,
+    )
+    flagged = {r["row_id"] for r in out.filter("is_outlier").collect()}
+    assert flagged == {9000, 9001}
