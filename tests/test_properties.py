@@ -73,3 +73,52 @@ def test_oracle_row_count_preserved(seeds, extra):
     assert len(out) == len(rows)
     for r in out:
         assert r.keep == (r.drop_reason is None)
+
+
+_series = st.lists(
+    st.one_of(st.none(), st.floats(-1e6, 1e6, allow_nan=False)),
+    max_size=60,
+)
+
+
+@given(_series, st.floats(0.01, 1.0, allow_nan=False))
+@settings(max_examples=200, deadline=None)
+def test_py_ewma_invariants(xs, alpha):
+    from dataqualitykit_spark.operators.anomaly import py_ewma
+
+    out = py_ewma(xs, alpha)
+    assert len(out) == len(xs)
+    seen: list[float] = []
+    for x, y in zip(xs, out):
+        if x is not None:
+            seen.append(x)
+        if not seen:
+            assert y is None  # leading NULLs stay None
+        else:
+            # a convex recurrence can never leave the hull of its inputs
+            assert min(seen) - 1e-9 <= y <= max(seen) + 1e-9
+    # constant series is a fixed point
+    const = py_ewma([5.0] * max(len(xs), 1), alpha)
+    assert all(v == 5.0 for v in const)
+
+
+@given(_series)
+@settings(max_examples=200, deadline=None)
+def test_py_linear_interpolate_invariants(xs):
+    from dataqualitykit_spark.operators.anomaly import py_linear_interpolate
+
+    out = py_linear_interpolate(xs)
+    assert len(out) == len(xs)
+    known = [i for i, x in enumerate(xs) if x is not None]
+    for i, (x, y) in enumerate(zip(xs, out)):
+        if x is not None:
+            assert y == x  # non-null inputs never change
+        elif not known or i < known[0] or i > known[-1]:
+            assert y is None  # leading/trailing runs stay NULL
+        else:
+            lo = max(j for j in known if j < i)
+            hi = min(j for j in known if j > i)
+            a, b = sorted((xs[lo], xs[hi]))
+            assert a - 1e-9 <= y <= b + 1e-9  # fill stays between neighbors
+    # idempotence: a fully-interpolated interior has no NULLs left to fill
+    assert py_linear_interpolate(out) == out
