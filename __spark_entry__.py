@@ -2533,27 +2533,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ewma_smooth": q_ewma_smooth,
         "linear_interpolate": q_linear_interpolate,
         "kmeans_outliers": q_kmeans_outliers,
-        # -- stale two-green §2 classics (last green r02) — refresh ---------
+        "suggest_boundaries": q_suggest_boundaries,
+        "merge_records": q_merge_records,
+        "flag_investigation": q_flag_investigation,
+        "psi_drift": q_psi_drift,
+        "mad_outliers": q_mad_outliers,
+        "psi_drift_cat": q_psi_drift_cat,
+        # -- stale two-green §2 classic (last green r02) — refresh slot -----
         "moving_avg": q_moving_avg,
+        # ------------------------------------------------------------------
+        # past the ~50-row recorded window from here down: rows rotated out
+        # with >= 2 green rounds, newest-green last. Everything below
+        # remains fully oracle-checked by scripts/check_correctness.py and
+        # pytest every session. The r02 classics (weighted_ma centered_ma
+        # forward_fill neighborhood_dev segment_stats embed_cosine_topk)
+        # yielded their refresh slots to the six zero-record r6 rows —
+        # rotate them back in next round.
+        # ------------------------------------------------------------------
         "weighted_ma": q_weighted_ma,
         "centered_ma": q_centered_ma,
         "forward_fill": q_forward_fill,
         "neighborhood_dev": q_neighborhood_dev,
         "segment_stats": q_segment_stats,
         "embed_cosine_topk": q_embed_cosine_topk,
-        # ------------------------------------------------------------------
-        # past the ~50-row recorded window from here down: rows rotated out
-        # with >= 2 green rounds, newest-green last. Everything below
-        # remains fully oracle-checked by scripts/check_correctness.py and
-        # pytest every session.
-        # ------------------------------------------------------------------
-        "suggest_boundaries": q_suggest_boundaries,  # NEW r6 — rotate into
-        # the window next round (the 50 slots are full this round)
-        "merge_records": q_merge_records,  # NEW r6 — same rotation note
-        "flag_investigation": q_flag_investigation,  # NEW r6 — same note
-        "psi_drift": q_psi_drift,  # NEW r6 — same note
-        "mad_outliers": q_mad_outliers,  # NEW r6 — same note
-        "psi_drift_cat": q_psi_drift_cat,  # NEW r6 — same note
         "pipeline_paragraph_scrub": q_pipeline_paragraph_scrub,
         "pipeline_c4": q_pipeline_c4,
         "pipeline_repetition": q_pipeline_repetition,

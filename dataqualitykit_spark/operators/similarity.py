@@ -588,6 +588,7 @@ def semantic_dedup(
     seed: int = 42,
     max_fit_rows: int = 100_000,
     target_block_rows: int = 1024,
+    n_assign: int = 1,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     "SemDeDup: Data-efficient learning at web-scale through semantic
@@ -608,7 +609,16 @@ def semantic_dedup(
     bounded by the quantizer's tendency to co-locate near-identical
     vectors (exact copies always share a cell; near-copies straddling a
     cell boundary can be missed). That is the paper's accepted price for
-    bounding the quadratic.
+    bounding the quadratic. `n_assign > 1` (the IVF multi-probe idiom,
+    applied at INDEX time) recovers boundary pairs: every vector joins
+    the comparison set of its `n_assign` nearest cells (primary cell —
+    the nearest — still labels the output row), so a pair straddling one
+    boundary is compared whenever either member's second cell is the
+    other's first. Cost is linear: each row is replicated n_assign times
+    before blocking, so the pair join grows ~n_assign^2 in the worst
+    case but in practice ~2x at n_assign=2 (measured sweep in
+    BENCH/BASELINE.md); a pair sharing SEVERAL cells emits duplicate
+    edges, which connected_components' edge-distinct absorbs.
 
     100 TB shape: assignment is a projection. `n_cells=None` scales the
     cell count with the corpus — ceil(sqrt(N)), clamped to [16, 4096] —
@@ -646,9 +656,43 @@ def semantic_dedup(
     # lazy checkpoint: assigned is consumed 4x (cell sizes, both pair
     # sides, final label join) — cut the lineage so the scan+assign
     # projection runs once, materializing inside the first consumer's job
-    assigned = model.transform(c).drop("_feat").localCheckpoint(eager=False)
+    if n_assign <= 1:
+        assigned = model.transform(c).drop("_feat").localCheckpoint(eager=False)
+        expanded = assigned
+    else:
+        # multi-probe assignment: rank ALL centroids per row in one Arrow
+        # batch (centroid matrix in the closure — bounded, <= 4096 x dim)
+        # and keep the n_assign nearest; ties break on cell index via the
+        # stable argsort, the same convention as ivf_topk's query probes.
+        # The primary (output-label) cell is rank 0 — identical to
+        # model.transform's nearest-center prediction up to float-tie
+        # noise on the BLAS-expanded distance.
+        import pandas as _pd
 
-    blocked = _with_cell_blocks(assigned, target_block_rows)
+        centers = _np.array([_np.asarray(ct) for ct in model.clusterCenters()])
+        c_sq = (centers**2).sum(axis=1)
+        n_keep = int(min(n_assign, centers.shape[0]))
+
+        def _near_cells_batch(vs):  # no type hints (pandas_udf eval-type inference)
+            m = _np.array(vs.tolist(), dtype="float64")
+            d = (m**2).sum(axis=1)[:, None] - 2.0 * (m @ centers.T) + c_sq[None, :]
+            idx = _np.argsort(d, axis=1, kind="stable")[:, :n_keep]
+            return _pd.Series([r.tolist() for r in idx])
+
+        _near_cells = F.pandas_udf(_near_cells_batch, returnType="array<int>")
+
+        assigned = (
+            c.drop("_feat")
+            .withColumn("_cells", _near_cells("v"))
+            .withColumn("cell", F.col("_cells").getItem(0))
+            .localCheckpoint(eager=False)
+        )
+        # comparison-set view: one (id, v, cell) row per probed cell —
+        # _with_cell_blocks and the triangle join below see a row in every
+        # cell it probes, so boundary pairs meet in the shared cell
+        expanded = assigned.select("id", "v", F.explode("_cells").alias("cell"))
+
+    blocked = _with_cell_blocks(expanded, target_block_rows)
     # side A covers block pairs (blk, j) for j >= blk; side B covers
     # (i, blk) for i <= blk — every unordered block pair (i, j), i<=j,
     # meets exactly once on join key (cell, lo, hi)

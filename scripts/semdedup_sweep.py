@@ -30,6 +30,7 @@ from dataqualitykit_spark.operators.similarity import semantic_dedup  # noqa: E4
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    probe_only = "probe" in sys.argv[2:]
     spark = get_spark(app_name="semdedup-sweep", master="local[16]")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -41,6 +42,36 @@ def main() -> None:
     )
     corpus = emb.select("vec_id", "embedding").unionByName(planted)
     n_total = n + planted.count()
+
+    if probe_only:
+        # n_assign A/B (VERDICT r5 item #7): wall + dropped count at the
+        # default threshold and at 0.8 where natural near-boundary pairs
+        # exist. min-of-3 per config (bench noise policy).
+        for threshold in (0.95, 0.8):
+            for n_assign in (1, 2):
+                best, n_drop = None, None
+                for _ in range(3):
+                    t0 = time.time()
+                    out = semantic_dedup(
+                        corpus, threshold=threshold, n_assign=n_assign
+                    )
+                    n_drop = out.filter(~F.col("keep")).count()
+                    dt = time.time() - t0
+                    best = dt if best is None else min(best, dt)
+                print(
+                    json.dumps(
+                        {
+                            "n_rows": n_total,
+                            "threshold": threshold,
+                            "n_assign": n_assign,
+                            "n_dropped": n_drop,
+                            "sec_min_of_3": round(best, 2),
+                        }
+                    ),
+                    flush=True,
+                )
+        spark.stop()
+        return
 
     rows = []
     for n_cells in (16, 64, int(max(16, min(4096, n_total ** 0.5))), 256):

@@ -288,3 +288,75 @@ def test_semantic_dedup_hot_cell_fans_out_and_labels_unchanged(spark):
     n_keys = sum(nb * (nb + 1) // 2 for nb in nbs.values())
     assert max(nbs.values()) >= 4, nbs  # the hot cell really is multi-block
     assert n_keys > 4, (nbs, n_keys)  # join-key space exceeds n_cells
+
+
+def test_semantic_dedup_multi_probe_recovers_boundary_pairs(spark):
+    """VERDICT r5 item #7: near-dup pairs straddling a cell boundary are
+    invisible to single-cell SemDeDup (the paper's accepted recall gap);
+    n_assign=2 (the IVF multi-probe idiom applied at index time) must
+    recover them, while keeping one output row per id and the primary
+    cell as the label."""
+    import random
+
+    from dataqualitykit_spark.operators.similarity import semantic_dedup
+
+    rng = random.Random(7)
+    dim = 8
+    rows = []
+    # two well-separated natural clusters at x = +-10 -> the k=2 quantizer
+    # plants its centroids there
+    for i in range(60):
+        rows.append((i, [10.0] + [rng.uniform(-0.5, 0.5) for _ in range(dim - 1)]))
+    for i in range(60, 120):
+        rows.append((i, [-10.0] + [rng.uniform(-0.5, 0.5) for _ in range(dim - 1)]))
+    # boundary pairs: members sit on opposite sides of the x=0 plane
+    # (x = +-0.1) along mutually orthogonal marker axes, so each pair is
+    # a near-dup (cos = (25 - 0.01)/(25 + 0.01) ~ 0.9992) but different
+    # pairs are nearly orthogonal to each other AND to the clusters
+    planted = []
+    for p in range(3):
+        marker = [0.0] * dim
+        marker[1 + p] = 5.0
+        a = [0.1] + marker[1:]
+        b = [-0.1] + marker[1:]
+        rows.append((1000 + 2 * p, a))
+        rows.append((1001 + 2 * p, b))
+        planted.append((1000 + 2 * p, 1001 + 2 * p))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    single = {
+        r["id"]: r.asDict()
+        for r in semantic_dedup(df, n_cells=2, threshold=0.998).collect()
+    }
+    probe2 = {
+        r["id"]: r.asDict()
+        for r in semantic_dedup(df, n_cells=2, threshold=0.998, n_assign=2).collect()
+    }
+    # one output row per input id in BOTH modes (explosion is internal)
+    assert len(single) == len(rows) and len(probe2) == len(rows)
+
+    for ia, ib in planted:
+        # fixture guard: the pair really straddles a cell boundary
+        assert single[ia]["cell"] != single[ib]["cell"], (ia, ib, single[ia], single[ib])
+        # primary-cell labels agree between the two assignment paths
+        assert probe2[ia]["cell"] == single[ia]["cell"]
+        assert probe2[ib]["cell"] == single[ib]["cell"]
+        # n_assign=1 misses the pair (both kept, separate components)
+        assert single[ia]["keep"] and single[ib]["keep"]
+        assert single[ia]["component"] != single[ib]["component"]
+        # n_assign=2 recovers it: one component, min id kept
+        assert probe2[ia]["component"] == probe2[ib]["component"] == ia
+        assert probe2[ia]["keep"] and not probe2[ib]["keep"]
+
+    # natural-cluster rows never merge with the planted pairs (markers are
+    # near-orthogonal to the clusters)
+    for i, d in probe2.items():
+        if i < 1000:
+            assert d["component"] < 1000, (i, d)
+
+    # determinism of the multi-probe path
+    again = {
+        r["id"]: (r["keep"], r["component"], r["cell"])
+        for r in semantic_dedup(df, n_cells=2, threshold=0.998, n_assign=2).collect()
+    }
+    assert again == {k: (v["keep"], v["component"], v["cell"]) for k, v in probe2.items()}
