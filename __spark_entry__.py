@@ -2479,6 +2479,66 @@ def q_paragraph_dedup(spark, sf):
     )
 
 
+def q_outlinks(spark, sf):
+    # absolute-href outlink extraction over planted html (documents carry
+    # no html column): every page links the hub twice (distinct_per_page
+    # collapses it), one peer by doc_id mod 7, plus single-quoted /
+    # relative anchors that must NOT extract. Full value-hash oracle —
+    # the regex text is shared verbatim with the DuckDB side.
+    from dataqualitykit_spark.operators import linkgraph
+
+    d = _t(spark, sf, "documents")
+    did = F.col("doc_id").cast("string")
+    pages = d.select(
+        F.concat(
+            F.lit("https://s-"),
+            F.coalesce(F.col("source"), F.lit("x")),
+            F.lit(".example/p/"),
+            did,
+        ).alias("url"),
+        F.concat(
+            F.lit('<p>t</p><a href="https://hub.example/h?d='),
+            did,
+            F.lit('">h</a><a class="n" href="https://peer-'),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit('.example/q">p</a><a href="https://hub.example/h?d='),
+            did,
+            F.lit('">again</a>'),
+            F.lit("<a href='https://single.example/s'>sq</a>"),
+            F.lit('<a href="/rel">r</a>'),
+        ).alias("html"),
+    )
+    return linkgraph.extract_outlinks(pages)
+
+
+def q_domain_pagerank(spark, sf):
+    # full linkgraph composition: planted html -> outlinks -> weighted
+    # domain edges (self-edges dropped) -> 5-iteration fixed-point
+    # PageRank. The bigint micro-unit arithmetic makes the unrolled SQL
+    # twin EXACT (integer sums are order-independent — no float-parity
+    # risk; the EWMA oracle trap does not apply).
+    from dataqualitykit_spark.operators import linkgraph
+
+    d = _t(spark, sf, "documents")
+    pages = d.select(
+        F.concat(
+            F.lit("https://d"),
+            (F.col("doc_id") % 13).cast("string"),
+            F.lit(".example/p/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        F.concat(
+            F.lit('<a href="https://d'),
+            ((F.col("doc_id") * 7 + 3) % 13).cast("string"),
+            F.lit('.example/x">t</a><a href="https://d'),
+            ((F.col("doc_id") * 3 + 1) % 13).cast("string"),
+            F.lit('.example/y">u</a>'),
+        ).alias("html"),
+    )
+    g = linkgraph.domain_link_graph(linkgraph.extract_outlinks(pages))
+    return linkgraph.domain_pagerank(g, n_iter=5)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the driver records correctness for the FIRST ~50
     # entries only (observed ceiling in rounds 1-2). The flagship pipeline,
@@ -2550,6 +2610,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # yielded their refresh slots to the six zero-record r6 rows —
         # rotate them back in next round.
         # ------------------------------------------------------------------
+        "outlinks": q_outlinks,  # NEW r6 session 2 — zero records; window
+        "domain_pagerank": q_domain_pagerank,  # candidates next round
         "weighted_ma": q_weighted_ma,
         "centered_ma": q_centered_ma,
         "forward_fill": q_forward_fill,
@@ -4934,6 +4996,77 @@ def oracle_sql() -> dict[str, str]:
                     THEN round(ln(a.n_tokens) - a.s / a.n_tokens, 6)
                END AS entropy
         FROM documents d LEFT JOIN agg a USING (doc_id)"""
+    # -- linkgraph family (r6 session 2): shared regex text on both sides;
+    # -- PageRank is FIXED-POINT bigint so the unrolled twin is exact
+    # -- (integer sums are order-independent — no float-parity risk)
+    from dataqualitykit_spark.operators.linkgraph import HREF_REGEX as _HREF
+
+    _href = _sql_lit(_HREF)
+    d["outlinks"] = f"""
+        WITH pages AS (
+          SELECT 'https://s-' || coalesce(source, 'x') || '.example/p/'
+                   || CAST(doc_id AS VARCHAR) AS url,
+                 '<p>t</p><a href="https://hub.example/h?d='
+                   || CAST(doc_id AS VARCHAR)
+                   || '">h</a><a class="n" href="https://peer-'
+                   || CAST(doc_id % 7 AS VARCHAR)
+                   || '.example/q">p</a><a href="https://hub.example/h?d='
+                   || CAST(doc_id AS VARCHAR) || '">again</a>'
+                   || '<a href=''https://single.example/s''>sq</a>'
+                   || '<a href="/rel">r</a>' AS html
+          FROM documents
+        )
+        SELECT url,
+               unnest(list_distinct(regexp_extract_all(html, {_href}, 1))) AS out_url
+        FROM pages"""
+    _dom = _sql_lit(S.URL_DOMAIN_REGEX)
+    _pr_iters = ""
+    _prev = "r0"
+    for _i in range(1, 6):
+        _pr_iters += f""", r{_i} AS (
+          SELECT n.domain,
+                 CAST(150000 + (85 * coalesce(s.s, 0)) // 100 AS BIGINT) AS r
+          FROM nodes n LEFT JOIN (
+            SELECT ew.dst AS domain,
+                   CAST(sum((p.r * ew.wt) // ew.out_w) AS BIGINT) AS s
+            FROM ew JOIN {_prev} p ON p.domain = ew.src
+            GROUP BY ew.dst
+          ) s ON s.domain = n.domain
+        )"""
+        _prev = f"r{_i}"
+    d["domain_pagerank"] = f"""
+        WITH pages AS (
+          SELECT 'https://d' || CAST(doc_id % 13 AS VARCHAR) || '.example/p/'
+                   || CAST(doc_id AS VARCHAR) AS url,
+                 '<a href="https://d' || CAST((doc_id * 7 + 3) % 13 AS VARCHAR)
+                   || '.example/x">t</a><a href="https://d'
+                   || CAST((doc_id * 3 + 1) % 13 AS VARCHAR)
+                   || '.example/y">u</a>' AS html
+          FROM documents
+        ), ex AS (
+          SELECT url,
+                 unnest(list_distinct(regexp_extract_all(html, {_href}, 1))) AS out_url
+          FROM pages
+        ), pairs AS (
+          SELECT lower(regexp_extract(url, {_dom}, 1)) AS src,
+                 lower(regexp_extract(out_url, {_dom}, 1)) AS dst
+          FROM ex
+        ), e1 AS (
+          SELECT src, dst FROM pairs
+          WHERE src <> '' AND dst <> '' AND src <> dst
+        ), ed AS (
+          SELECT src, dst, CAST(count(*) AS BIGINT) AS wt
+          FROM e1 GROUP BY src, dst
+        ), w AS (
+          SELECT src, CAST(sum(wt) AS BIGINT) AS out_w FROM ed GROUP BY src
+        ), ew AS (
+          SELECT ed.src, ed.dst, ed.wt, w.out_w FROM ed JOIN w USING (src)
+        ), nodes AS (
+          SELECT src AS domain FROM ed UNION SELECT dst FROM ed
+        ), r0 AS (
+          SELECT domain, CAST(1000000 AS BIGINT) AS r FROM nodes
+        ){_pr_iters}
+        SELECT domain, r AS rank_micro, r / 1e6 AS rank FROM r5"""
     return d
 
 
