@@ -2539,6 +2539,70 @@ def q_domain_pagerank(spark, sf):
     return linkgraph.domain_pagerank(g, n_iter=5)
 
 
+def q_ks_2samp(spark, sf):
+    # distributed two-sample KS (reference U10 'ks' via a driver-side
+    # scipy collect) between the even/odd event_id halves of
+    # events.value. ks_stat is BIT-identical across engines (integer
+    # cumulative counts -> the same divisions); crit carries a 1-ulp
+    # libm-vs-DuckDB ln() risk, so both sides apply the shared tie rule.
+    # reject is pytest-covered (margin-dependent double compare).
+    from dataqualitykit_spark.operators.corpus_stats import ks_2samp
+
+    ev = _t(spark, sf, "events")
+    out = ks_2samp(
+        ev.filter(F.col("event_id") % 2 == 0),
+        ev.filter(F.col("event_id") % 2 == 1),
+        "value",
+    )
+
+    def tie(c):
+        return F.floor(c * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)
+
+    return out.select(
+        "n_a",
+        "n_b",
+        tie(F.col("ks_stat")).alias("ks_stat"),
+        tie(F.col("crit")).alias("crit"),
+    )
+
+
+def q_savgol(spark, sf):
+    # Savitzky-Golay (5, 2) smoothing over per-user event series — the
+    # FIR coefficients are exact rationals converted once to doubles and
+    # inlined as plan literals on BOTH sides, and the term fold is
+    # left-associative in both engines, so values are bit-identical (no
+    # rounding needed).
+    out = anomaly.savgol_smooth(
+        _t(spark, sf, "events"),
+        "value",
+        ["ts", "event_id"],
+        window_length=5,
+        polyorder=2,
+        partition_by=["user_id"],
+    )
+    return out.select("event_id", F.col("savgol_value").alias("savgol"))
+
+
+def q_kalman_smooth(spark, sf):
+    # steady-state local-level Kalman == EWMA with alpha = K(q/r);
+    # q_over_r=0.5 makes K = 0.5 exactly (every intermediate dyadic), so
+    # the ewma_smooth oracle recipe applies verbatim (same tie rule).
+    out = anomaly.kalman_smooth(
+        _t(spark, sf, "events"),
+        "value",
+        ["ts", "event_id"],
+        q_over_r=0.5,
+        partition_by=["user_id"],
+    )
+    return out.select(
+        "event_id",
+        (
+            F.floor(F.col("kalman_value") * F.lit(1000000.0) + F.lit(0.5))
+            / F.lit(1000000.0)
+        ).alias("kalman"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the driver records correctness for the FIRST ~50
     # entries only (observed ceiling in rounds 1-2). The flagship pipeline,
@@ -2612,6 +2676,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ------------------------------------------------------------------
         "outlinks": q_outlinks,  # NEW r6 session 2 — zero records; window
         "domain_pagerank": q_domain_pagerank,  # candidates next round
+        "ks_2samp": q_ks_2samp,  # NEW r6 session 2 (U10 'ks' leg)
+        "savgol_smooth": q_savgol,  # NEW r6 session 2 (U10 'savgol' leg)
+        "kalman_smooth": q_kalman_smooth,  # NEW r6 session 2 (U10 'kalman')
         "weighted_ma": q_weighted_ma,
         "centered_ma": q_centered_ma,
         "forward_fill": q_forward_fill,
@@ -5067,6 +5134,62 @@ def oracle_sql() -> dict[str, str]:
           SELECT domain, CAST(1000000 AS BIGINT) AS r FROM nodes
         ){_pr_iters}
         SELECT domain, r AS rank_micro, r / 1e6 AS rank FROM r5"""
+    # -- U10 scipy-surface completions (r6 session 2) --------------------
+    d["ks_2samp"] = """
+        WITH ga AS (
+          SELECT value AS v, CAST(count(*) AS BIGINT) AS ca FROM events
+          WHERE event_id % 2 = 0 AND value IS NOT NULL GROUP BY value
+        ), gb AS (
+          SELECT value AS v, CAST(count(*) AS BIGINT) AS cb FROM events
+          WHERE event_id % 2 = 1 AND value IS NOT NULL GROUP BY value
+        ), m AS (
+          SELECT coalesce(ga.v, gb.v) AS v,
+                 coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb
+          FROM ga FULL OUTER JOIN gb ON ga.v = gb.v
+        ), t AS (
+          SELECT CAST(sum(ca) AS BIGINT) AS na,
+                 CAST(sum(cb) AS BIGINT) AS nb FROM m
+        ), c AS (
+          SELECT sum(ca) OVER w AS cuma, sum(cb) OVER w AS cumb
+          FROM m
+          WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW)
+        ), dd AS (
+          SELECT max(abs(CAST(cuma AS DOUBLE) / t.na
+                         - CAST(cumb AS DOUBLE) / t.nb)) AS ks
+          FROM c, t
+        )
+        SELECT t.na AS n_a, t.nb AS n_b,
+               floor(dd.ks * 1000000.0 + 0.5) / 1000000.0 AS ks_stat,
+               floor(sqrt(-ln(0.025) / 2)
+                     * sqrt((t.na + t.nb) / (CAST(t.na AS DOUBLE) * t.nb))
+                     * 1000000.0 + 0.5) / 1000000.0 AS crit
+        FROM dd, t"""
+    from dataqualitykit_spark.operators.anomaly import savgol_coefficients
+
+    _sg = savgol_coefficients(5, 2)
+    d["savgol_smooth"] = f"""
+        SELECT event_id,
+               lag(value, 2) OVER w * {_sg[0]!r}
+                 + lag(value, 1) OVER w * {_sg[1]!r}
+                 + value * {_sg[2]!r}
+                 + lead(value, 1) OVER w * {_sg[3]!r}
+                 + lead(value, 2) OVER w * {_sg[4]!r} AS savgol
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"""
+    d["kalman_smooth"] = """
+        WITH b AS (
+          SELECT event_id,
+                 list(value) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS xs
+          FROM events
+        )
+        SELECT event_id,
+               floor(list_reduce(xs, (acc, x) -> 0.5*x + 0.5*acc)
+                     * 1000000.0 + 0.5) / 1000000.0 AS kalman
+        FROM b"""
     return d
 
 

@@ -9,6 +9,8 @@ SURVEY §2.9 U10.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -619,4 +621,126 @@ def mad_outliers(
         )
         .withColumn("is_outlier", F.coalesce(flag, F.lit(False)))
         .drop("_med", "_mad")
+    )
+
+
+def savgol_coefficients(window_length: int, polyorder: int) -> list[float]:
+    """Savitzky-Golay smoothing coefficients (Savitzky & Golay 1964) for
+    a centered window, computed EXACTLY over rationals (Fraction Gaussian
+    elimination on the normal equations — no BLAS, no platform variance)
+    and converted to floats at the very end. savgol_filter's c, mode-free:
+    smoothing a degree<=polyorder polynomial reproduces it exactly.
+
+    The classic cases fall out: (5, 2) -> [-3, 12, 17, 12, -3]/35,
+    (7, 2) -> [-2, 3, 6, 7, 6, 3, -2]/21."""
+    from fractions import Fraction
+
+    if window_length % 2 != 1 or window_length < 3:
+        raise ValueError(f"window_length must be odd >= 3, got {window_length}")
+    if not 0 <= polyorder < window_length:
+        raise ValueError(
+            f"polyorder must be in [0, window_length), got {polyorder}"
+        )
+    h = window_length // 2
+    xs = list(range(-h, h + 1))
+    m = polyorder + 1
+    # normal matrix N = A^T A and target rows: solve N beta = A^T e_i per
+    # sample i; coefficient c_i = beta_0 (the fitted value at x=0)
+    n_mat = [
+        [Fraction(sum(x ** (r + c) for x in xs)) for c in range(m)]
+        for r in range(m)
+    ]
+    coeffs = []
+    for x in xs:
+        rhs = [Fraction(x**r) for r in range(m)]
+        a = [row[:] + [rhs[r]] for r, row in enumerate(n_mat)]
+        for col_i in range(m):  # exact Gaussian elimination, no pivoting
+            piv = next(r for r in range(col_i, m) if a[r][col_i] != 0)
+            a[col_i], a[piv] = a[piv], a[col_i]
+            inv = a[col_i][col_i]
+            a[col_i] = [v / inv for v in a[col_i]]
+            for r in range(m):
+                if r != col_i and a[r][col_i] != 0:
+                    f = a[r][col_i]
+                    a[r] = [v - f * p for v, p in zip(a[r], a[col_i])]
+        coeffs.append(float(a[0][m]))
+    return coeffs
+
+
+def savgol_smooth(
+    df: DataFrame,
+    col: str,
+    order_col,
+    window_length: int = 5,
+    polyorder: int = 2,
+    partition_by: list[str] | None = None,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Savitzky-Golay smoothing — the reference's scipy.signal dependency
+    (QualityControl.py U10 family, driver-side) re-expressed as pure
+    window algebra: S-G is a FIXED-coefficient centered FIR filter, so
+    the smoothed value is a lead/lag composition with plan-literal
+    weights (the weighted_moving_average idiom) — zero UDF, one window,
+    whole-stage codegen.
+
+    Edge rows (fewer than window_length//2 neighbors on either side)
+    emit NULL — the composition NULL-propagates — instead of scipy's
+    mode='interp' polynomial edge fit; documented deviation, the
+    interior matches the textbook filter. The term fold is left-to-right
+    sequential, so an SQL twin written in the same order is the
+    identical IEEE sequence."""
+    out_col = out_col or f"savgol_{col}"
+    cs = savgol_coefficients(window_length, polyorder)
+    h = window_length // 2
+    order = order_col if isinstance(order_col, list) else [order_col]
+    w = Window.orderBy(*order)
+    if partition_by:
+        w = Window.partitionBy(*partition_by).orderBy(*order)
+    x = F.col(col).cast("double")
+    expr = None
+    for off, c in zip(range(-h, h + 1), cs):
+        if off < 0:
+            v = F.lag(x, -off).over(w)
+        elif off > 0:
+            v = F.lead(x, off).over(w)
+        else:
+            v = x
+        term = v * F.lit(c)
+        expr = term if expr is None else expr + term
+    return df.withColumn(out_col, expr)
+
+
+def kalman_smooth(
+    df: DataFrame,
+    col: str,
+    order_col,
+    q_over_r: float = 0.5,
+    partition_by: list[str] | None = None,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Steady-state Kalman filter for the local-level model — the
+    reference's U10 'kalman' intent without scipy/statsmodels: for the
+    random-walk-plus-noise model (state variance Q, observation variance
+    R) the Kalman gain converges to the fixed point K = s/(s+1) with
+    s = (q + sqrt(q^2 + 4q))/2, q = Q/R (Harvey 1989, the
+    steady-state solution of the Riccati recursion), and the filter
+    IS an EWMA with alpha = K. Delegates to ewma_smooth — the exact
+    segmented scan, unbounded partitions, zero driver state.
+
+    The startup transient differs from a full Kalman recursion (which
+    begins at a diffuse prior and converges to K geometrically); after
+    burn-in the two are identical. q_over_r=0.5 gives K = 0.5 exactly
+    in floating point (s = (0.5 + sqrt(2.25))/2 = 1 — every step dyadic),
+    the oracle-stable default."""
+    if q_over_r <= 0:
+        raise ValueError(f"q_over_r must be > 0, got {q_over_r}")
+    s = (q_over_r + math.sqrt(q_over_r * q_over_r + 4.0 * q_over_r)) / 2.0
+    k_gain = s / (s + 1.0)
+    return ewma_smooth(
+        df,
+        col,
+        order_col,
+        alpha=k_gain,
+        partition_by=partition_by,
+        out_col=out_col or f"kalman_{col}",
     )

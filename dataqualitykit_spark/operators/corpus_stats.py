@@ -230,3 +230,120 @@ def psi_drift_categorical(
         pb.alias("share_b"),
         ((pa - pb) * F.log(pa / pb)).alias("psi_term"),
     )
+
+
+def ks_2samp(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    col: str,
+    n_buckets: int = 256,
+    alpha: float = 0.05,
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic, DISTRIBUTED — the
+    reference's scipy.stats.ks_2samp intent (U10 family, a driver
+    collect there) without collecting either sample:
+
+        D = max over pooled values of |ECDF_a(x) - ECDF_b(x)|
+
+    Returns ONE row: (n_a, n_b, ks_stat, crit, reject) where crit is
+    the large-sample critical value c(alpha) * sqrt((n_a+n_b)/(n_a*n_b)),
+    c(alpha) = sqrt(-ln(alpha/2)/2) (Smirnov's asymptotic approximation),
+    and reject = ks_stat > crit.
+
+    Scale shape — the textbook form needs one corpus-wide sorted cumsum;
+    this is the pack_offsets prefix-sum recipe instead:
+      1. per-side groupBy(value) count -> full-outer join: one
+         (value, cnt_a, cnt_b) row per DISTINCT pooled value (ties merge
+         here, which is exactly the ECDF tie convention);
+      2. value-RANGE buckets (one min/max job sizes the grid); per-bucket
+         partial counts -> a <= n_buckets-row driver summary -> exclusive
+         prefix offsets broadcast back;
+      3. within-bucket window cumsum + offset: every bucket computes its
+         slice of the global ECDFs IN PARALLEL — no single-partition
+         window, shuffles carry (value, two bigints).
+    The statistic folds integer counts into cnt/n per row with the same
+    IEEE ops any SQL twin uses, so parity is exact."""
+    import math as _m
+
+    va = (
+        df_a.select(F.col(col).cast("double").alias("v"))
+        .filter(F.col("v").isNotNull())
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("ca"))
+    )
+    vb = (
+        df_b.select(F.col(col).cast("double").alias("v"))
+        .filter(F.col("v").isNotNull())
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("cb"))
+    )
+    merged = (
+        va.join(vb, "v", "full_outer")
+        .withColumn("ca", F.coalesce(F.col("ca"), F.lit(0)).cast("long"))
+        .withColumn("cb", F.coalesce(F.col("cb"), F.lit(0)).cast("long"))
+    )
+    spark = df_a.sparkSession
+    bounds = merged.agg(
+        F.min("v").alias("lo"), F.max("v").alias("hi")
+    ).collect()[0]
+    if bounds["lo"] is None:
+        return spark.createDataFrame(
+            [],
+            "n_a long, n_b long, ks_stat double, crit double, reject boolean",
+        )
+    lo, hi = float(bounds["lo"]), float(bounds["hi"])
+    span = hi - lo
+    if span <= 0:
+        bucket = F.lit(0)
+    else:
+        bucket = F.least(
+            F.lit(n_buckets - 1),
+            F.floor((F.col("v") - F.lit(lo)) / F.lit(span) * n_buckets),
+        ).cast("int")
+    merged = merged.withColumn("_bk", bucket).localCheckpoint(eager=False)
+
+    # <= n_buckets rows to the driver: per-bucket totals -> exclusive
+    # prefix offsets (the pack_offsets recipe)
+    partials = {
+        r["_bk"]: (r["sa"], r["sb"])
+        for r in merged.groupBy("_bk")
+        .agg(F.sum("ca").alias("sa"), F.sum("cb").alias("sb"))
+        .collect()
+    }
+    n_a = sum(p[0] for p in partials.values())
+    n_b = sum(p[1] for p in partials.values())
+    if n_a == 0 or n_b == 0:
+        raise ValueError(f"both samples must be non-empty (n_a={n_a}, n_b={n_b})")
+    offs, run_a, run_b = [], 0, 0
+    for bk in sorted(partials):
+        offs.append((bk, run_a, run_b))
+        run_a += partials[bk][0]
+        run_b += partials[bk][1]
+    off_df = spark.createDataFrame(offs, "_bk int, _oa long, _ob long")
+
+    from pyspark.sql import Window as _W
+
+    w = (
+        _W.partitionBy("_bk")
+        .orderBy("v")
+        .rowsBetween(_W.unboundedPreceding, 0)
+    )
+    cum = (
+        merged.join(F.broadcast(off_df), "_bk")
+        .withColumn("_cuma", F.col("_oa") + F.sum("ca").over(w))
+        .withColumn("_cumb", F.col("_ob") + F.sum("cb").over(w))
+    )
+    d = F.abs(
+        F.col("_cuma").cast("double") / F.lit(float(n_a))
+        - F.col("_cumb").cast("double") / F.lit(float(n_b))
+    )
+    ks = cum.agg(F.max(d).alias("ks_stat"))
+    c_alpha = _m.sqrt(-_m.log(alpha / 2.0) / 2.0)
+    crit = c_alpha * _m.sqrt((n_a + n_b) / (n_a * n_b))
+    return ks.select(
+        F.lit(n_a).cast("long").alias("n_a"),
+        F.lit(n_b).cast("long").alias("n_b"),
+        "ks_stat",
+        F.lit(crit).alias("crit"),
+        (F.col("ks_stat") > F.lit(crit)).alias("reject"),
+    )

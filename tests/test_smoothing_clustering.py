@@ -504,3 +504,142 @@ def test_kmeans_outliers_multicolumn(spark):
     )
     flagged = {r["row_id"] for r in out.filter("is_outlier").collect()}
     assert flagged == {9000, 9001}
+
+
+class TestSavgol:
+    def test_classic_coefficient_goldens(self):
+        from fractions import Fraction
+
+        from dataqualitykit_spark.operators.anomaly import savgol_coefficients
+
+        got = savgol_coefficients(5, 2)
+        want = [Fraction(n, 35) for n in (-3, 12, 17, 12, -3)]
+        assert got == [float(f) for f in want]
+        got7 = savgol_coefficients(7, 2)
+        want7 = [Fraction(n, 21) for n in (-2, 3, 6, 7, 6, 3, -2)]
+        assert got7 == [float(f) for f in want7]
+        # moving-average degenerate case: polyorder 0 -> uniform weights
+        assert savgol_coefficients(3, 0) == [1.0 / 3] * 3
+
+    def test_validation(self):
+        import pytest
+
+        from dataqualitykit_spark.operators.anomaly import savgol_coefficients
+
+        with pytest.raises(ValueError, match="window_length"):
+            savgol_coefficients(4, 2)
+        with pytest.raises(ValueError, match="polyorder"):
+            savgol_coefficients(5, 5)
+
+    def test_polynomial_reproduction_and_edges(self, spark):
+        # THE Savitzky-Golay property: a degree<=polyorder signal passes
+        # through untouched (interior); edge rows emit NULL
+        from dataqualitykit_spark.operators.anomaly import savgol_smooth
+
+        rows = [(i, 2.0 * i * i - 3.0 * i + 7.0) for i in range(20)]
+        df = spark.createDataFrame(rows, "t long, x double")
+        out = {
+            r["t"]: r["savgol_x"]
+            for r in savgol_smooth(df, "x", "t", 5, 2).collect()
+        }
+        for t, x in rows:
+            if 2 <= t <= 17:
+                assert out[t] is not None and abs(out[t] - x) < 1e-9, (t, out[t], x)
+            else:
+                assert out[t] is None, (t, out[t])
+
+    def test_python_mirror_and_partitions(self, spark):
+        from dataqualitykit_spark.operators.anomaly import (
+            savgol_coefficients,
+            savgol_smooth,
+        )
+
+        cs = savgol_coefficients(5, 2)
+        rows = [
+            (g, i, float(((i * 37 + g * 11) % 101) - 50))
+            for g in range(3)
+            for i in range(12)
+        ]
+        df = spark.createDataFrame(rows, "g int, t long, x double")
+        out = {
+            (r["g"], r["t"]): r["savgol_x"]
+            for r in savgol_smooth(df, "x", "t", 5, 2, partition_by=["g"]).collect()
+        }
+        series = {g: [x for gg, _, x in rows if gg == g] for g in range(3)}
+        for g in range(3):
+            xs = series[g]
+            for t in range(12):
+                if t < 2 or t > 9:
+                    assert out[(g, t)] is None
+                else:
+                    want = 0.0
+                    for j, c in enumerate(cs):
+                        want = want + xs[t - 2 + j] * c if j else xs[t - 2] * c
+                    assert out[(g, t)] == want, (g, t)
+
+
+class TestKalmanSteadyState:
+    def test_gain_formula_and_dyadic_default(self):
+        from dataqualitykit_spark.operators.anomaly import kalman_smooth  # noqa: F401
+        import math
+
+        # q=0.5 -> s=1 -> K=0.5 EXACT (every intermediate dyadic)
+        q = 0.5
+        s = (q + math.sqrt(q * q + 4 * q)) / 2
+        assert s == 1.0 and s / (s + 1) == 0.5
+
+    def test_equals_ewma_with_derived_alpha(self, spark):
+        import math
+
+        from dataqualitykit_spark.operators.anomaly import (
+            ewma_smooth,
+            kalman_smooth,
+        )
+
+        rows = [(i, float((i * 13) % 29)) for i in range(50)]
+        df = spark.createDataFrame(rows, "t long, x double")
+        q = 0.3
+        s = (q + math.sqrt(q * q + 4 * q)) / 2
+        want = {
+            r["t"]: r["ewma_x"]
+            for r in ewma_smooth(df, "x", "t", alpha=s / (s + 1)).collect()
+        }
+        got = {
+            r["t"]: r["kalman_x"]
+            for r in kalman_smooth(df, "x", "t", q_over_r=q).collect()
+        }
+        assert got == want
+
+    def test_converges_to_full_kalman_recursion(self, spark):
+        # after burn-in the steady-state filter tracks the full
+        # time-varying-gain recursion (diffuse prior P0 >> R)
+        from dataqualitykit_spark.operators.anomaly import kalman_smooth
+
+        q_over_r = 0.5
+        r_var = 1.0
+        q_var = q_over_r * r_var
+        rows = [(i, float(((i * 7) % 13) - 6)) for i in range(60)]
+        lvl, p = rows[0][1], 1e6  # diffuse start
+        full = [lvl]
+        for _, y in rows[1:]:
+            p = p + q_var
+            k = p / (p + r_var)
+            lvl = lvl + k * (y - lvl)
+            p = (1 - k) * p
+            full.append(lvl)
+        df = spark.createDataFrame(rows, "t long, x double")
+        got = {
+            r["t"]: r["kalman_x"]
+            for r in kalman_smooth(df, "x", "t", q_over_r=q_over_r).collect()
+        }
+        for t in range(40, 60):  # geometric gain convergence: burn-in passed
+            assert abs(got[t] - full[t]) < 1e-6, (t, got[t], full[t])
+
+    def test_validation(self, spark):
+        import pytest
+
+        from dataqualitykit_spark.operators.anomaly import kalman_smooth
+
+        df = spark.createDataFrame([(0, 1.0)], "t long, x double")
+        with pytest.raises(ValueError, match="q_over_r"):
+            kalman_smooth(df, "x", "t", q_over_r=0.0)
