@@ -2663,19 +2663,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "psi_drift": q_psi_drift,
         "mad_outliers": q_mad_outliers,
         "psi_drift_cat": q_psi_drift_cat,
-        # -- stale two-green §2 classic (last green r02) — refresh slot -----
-        "moving_avg": q_moving_avg,
+        # -- zero-record r6 row takes the last window slot (ordering
+        # contract: zero-record outranks a stale refresh) ------------------
+        "outlinks": q_outlinks,
         # ------------------------------------------------------------------
         # past the ~50-row recorded window from here down: rows rotated out
         # with >= 2 green rounds, newest-green last. Everything below
         # remains fully oracle-checked by scripts/check_correctness.py and
         # pytest every session. The r02 classics (weighted_ma centered_ma
         # forward_fill neighborhood_dev segment_stats embed_cosine_topk)
-        # yielded their refresh slots to the six zero-record r6 rows —
-        # rotate them back in next round.
+        # and moving_avg yielded their refresh slots to the zero-record r6
+        # rows — rotate them back in next round, along with the remaining
+        # zero-record r6 rows just below.
         # ------------------------------------------------------------------
-        "outlinks": q_outlinks,  # NEW r6 session 2 — zero records; window
         "domain_pagerank": q_domain_pagerank,  # candidates next round
+        "moving_avg": q_moving_avg,  # stale classic (last green r02)
         "ks_2samp": q_ks_2samp,  # NEW r6 session 2 (U10 'ks' leg)
         "savgol_smooth": q_savgol,  # NEW r6 session 2 (U10 'savgol' leg)
         "kalman_smooth": q_kalman_smooth,  # NEW r6 session 2 (U10 'kalman')
