@@ -691,14 +691,29 @@ def savgol_smooth(
     identical IEEE sequence."""
     out_col = out_col or f"savgol_{col}"
     cs = savgol_coefficients(window_length, polyorder)
-    h = window_length // 2
+    return _centered_fir(df, col, order_col, cs, partition_by, out_col)
+
+
+def _centered_fir(
+    df: DataFrame,
+    col: str,
+    order_col,
+    coeffs: list[float],
+    partition_by: list[str] | None,
+    out_col: str,
+) -> DataFrame:
+    """Apply an odd-length centered FIR filter as a lead/lag composition
+    with plan-literal weights over ONE window — zero UDF, whole-stage
+    codegen, NULL at the edges. Left-to-right term fold so an SQL twin
+    written in the same order is the identical IEEE sequence."""
+    h = len(coeffs) // 2
     order = order_col if isinstance(order_col, list) else [order_col]
     w = Window.orderBy(*order)
     if partition_by:
         w = Window.partitionBy(*partition_by).orderBy(*order)
     x = F.col(col).cast("double")
     expr = None
-    for off, c in zip(range(-h, h + 1), cs):
+    for off, c in zip(range(-h, h + 1), coeffs):
         if off < 0:
             v = F.lag(x, -off).over(w)
         elif off > 0:
@@ -708,6 +723,56 @@ def savgol_smooth(
         term = v * F.lit(c)
         expr = term if expr is None else expr + term
     return df.withColumn(out_col, expr)
+
+
+def lowess_coefficients(half_window: int) -> list[float]:
+    """Normalized tricube kernel weights over row offsets -h..h,
+    computed EXACTLY over rationals and converted to floats at the end:
+
+        w_k = (1 - (|k| / (h+1))^3)^3,   then w_k / sum(w)
+
+    The h+1 denominator keeps the extreme offsets at positive weight
+    (classic LOWESS scales by the distance to the furthest point, which
+    zeroes it out — wasteful in a fixed row window)."""
+    from fractions import Fraction
+
+    if half_window < 1:
+        raise ValueError(f"half_window must be >= 1, got {half_window}")
+    h = half_window
+    raw = [
+        (1 - (Fraction(abs(k), h + 1)) ** 3) ** 3 for k in range(-h, h + 1)
+    ]
+    total = sum(raw)
+    return [float(w / total) for w in raw]
+
+
+def lowess_smooth(
+    df: DataFrame,
+    col: str,
+    order_col,
+    half_window: int = 5,
+    partition_by: list[str] | None = None,
+    out_col: str | None = None,
+) -> DataFrame:
+    """LOWESS smoothing (Cleveland 1979), degree-1, fixed symmetric ROW
+    window, no robustness iterations — the last scipy/statsmodels U10
+    leg re-expressed as window algebra. For a SYMMETRIC design the
+    local linear fit's slope term is orthogonal to the intercept
+    (sum w_k * k = 0), so the fitted value at the center collapses to
+    the tricube-weighted mean — a FIXED-coefficient centered FIR, the
+    savgol_smooth machinery with a different (exact-rational) weight
+    vector. Zero UDF, one window, whole-stage codegen; smoothing a
+    constant or linear series reproduces it exactly in the interior.
+
+    Documented deviations from statsmodels.lowess: bandwidth is
+    2*half_window+1 ROWS (not frac*n — frac*n makes every coefficient
+    depend on a corpus-wide count and, at 10^12 rows, a near-global
+    window); edge rows emit NULL instead of the asymmetric edge fit;
+    no robustifying reweight passes (they need K sequential full
+    passes; compose this op K times on residuals if needed)."""
+    out_col = out_col or f"lowess_{col}"
+    cs = lowess_coefficients(half_window)
+    return _centered_fir(df, col, order_col, cs, partition_by, out_col)
 
 
 def kalman_smooth(

@@ -347,3 +347,106 @@ def ks_2samp(
         F.lit(crit).alias("crit"),
         (F.col("ks_stat") > F.lit(crit)).alias("reject"),
     )
+
+
+def shapiro_francia(
+    df: DataFrame,
+    col: str,
+    tie_col: str,
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Shapiro-Francia normality statistic W', DISTRIBUTED — the last
+    leg of the reference's scipy U10 surface (QualityControl.py calls
+    scipy.stats.shapiro on a COLLECTED column; 10^12 rows cannot be
+    collected). Shapiro-Francia (Shapiro & Francia 1972; Royston 1993
+    shows it is the large-n limit of Shapiro-Wilk) replaces the exact
+    SW coefficient vector with Blom normal scores, which makes every
+    coefficient a CLOSED FORM of the row's global rank — no length-n
+    driver array, no collect:
+
+        m_i = probit((i - 3/8) / (n + 1/4)),   i = global rank of x
+        W'  = (sum m_i x_(i))^2 / (sum m_i^2 * sum (x - xbar)^2)
+
+    Scale shape — the global rank is the ks_2samp / pack_offsets
+    bucketed prefix-sum recipe: value-range buckets (one min/max job),
+    per-bucket counts to the driver (<= n_buckets rows), exclusive
+    prefix offsets broadcast back, within-bucket row_number — every
+    bucket ranks its slice in parallel; no corpus-wide window, and the
+    exchange carries (value, tie_col) only.
+
+    Determinism — the four sums are accumulated in FIXED-POINT micro
+    units (each per-row term tie-ruled to 1e-6 then summed as BIGINT,
+    the domain_pagerank recipe): integer addition is order-independent,
+    so W' is bit-identical across partitionings, re-runs, AND engines —
+    a float sum's merge order is scheduler-dependent at cluster scale.
+    Cost: ~1e-6 relative quantization on W', far below the statistic's
+    sampling noise.
+
+    Ties in ``col`` are broken by ``tie_col`` (must be unique within a
+    value; documented deviation — SW/SF assume continuous data where
+    ties have probability zero).
+
+    Returns ONE row: (n_obs, w_stat).
+    """
+    from ..functions.stats import probit_col
+
+    spark = df.sparkSession
+    vals = df.select(
+        F.col(col).cast("double").alias("v"), F.col(tie_col).alias("t")
+    ).filter(F.col("v").isNotNull())
+
+    bounds = vals.agg(F.min("v").alias("lo"), F.max("v").alias("hi")).collect()[0]
+    if bounds["lo"] is None:
+        raise ValueError(f"column {col!r} has no non-null values")
+    lo, hi = float(bounds["lo"]), float(bounds["hi"])
+    span = hi - lo
+    if span <= 0:
+        bucket = F.lit(0)
+    else:
+        bucket = F.least(
+            F.lit(n_buckets - 1),
+            F.floor((F.col("v") - F.lit(lo)) / F.lit(span) * n_buckets),
+        ).cast("int")
+    vals = vals.withColumn("_bk", bucket).localCheckpoint(eager=False)
+
+    partials = {
+        r["_bk"]: r["c"]
+        for r in vals.groupBy("_bk").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    n = sum(partials.values())
+    if n < 5:
+        raise ValueError(f"need >= 5 observations, got {n}")
+    offs, run = [], 0
+    for bk in sorted(partials):
+        offs.append((bk, run))
+        run += partials[bk]
+    off_df = spark.createDataFrame(offs, "_bk int, _off long")
+
+    from pyspark.sql import Window as _W
+
+    w = _W.partitionBy("_bk").orderBy("v", "t")
+    ranked = vals.join(F.broadcast(off_df), "_bk").withColumn(
+        "_rank", F.col("_off") + F.row_number().over(w)
+    )
+    p = (F.col("_rank").cast("double") - F.lit(0.375)) / F.lit(n + 0.25)
+    m = probit_col(p)
+
+    def _micro(x: Column) -> Column:
+        # shared 1e-6 tie rule, then exact integer accumulation
+        return F.floor(x * F.lit(1000000.0) + F.lit(0.5)).cast("long")
+
+    sums = ranked.agg(
+        F.sum(_micro(m * F.col("v"))).alias("s_mv"),
+        F.sum(_micro(m * m)).alias("s_mm"),
+        F.sum(_micro(F.col("v"))).alias("s_v"),
+        F.sum(_micro(F.col("v") * F.col("v"))).alias("s_vv"),
+    )
+    smv = F.col("s_mv").cast("double") / F.lit(1000000.0)
+    smm = F.col("s_mm").cast("double") / F.lit(1000000.0)
+    sv = F.col("s_v").cast("double") / F.lit(1000000.0)
+    svv = F.col("s_vv").cast("double") / F.lit(1000000.0)
+    ssq = svv - sv * sv / F.lit(float(n))
+    return sums.select(
+        F.lit(n).cast("long").alias("n_obs"),
+        ((smv * smv) / (smm * ssq)).alias("w_stat"),
+    )
