@@ -2603,6 +2603,118 @@ def q_kalman_smooth(spark, sf):
     )
 
 
+def q_shapiro_francia(spark, sf):
+    # distributed Shapiro-Francia W' over events.value (reference U10
+    # 'shapiro' via a driver scipy collect). Blom-score coefficients are
+    # a closed form of the GLOBAL rank (bucketed prefix-sum, no corpus
+    # window); the four sums accumulate in fixed-point micro units, so
+    # they are bit-identical across engines up to a possible 1-micro-unit
+    # flip from JVM-vs-libm ln() in the probit tails — the final round(6)
+    # tie rule absorbs that (W' shifts ~1e-9 per flip).
+    from dataqualitykit_spark.operators.corpus_stats import shapiro_francia
+
+    out = shapiro_francia(_t(spark, sf, "events"), "value", "event_id")
+    return out.select(
+        "n_obs",
+        (
+            F.floor(F.col("w_stat") * F.lit(1000000.0) + F.lit(0.5))
+            / F.lit(1000000.0)
+        ).alias("w_stat"),
+    )
+
+
+def q_lowess_smooth(spark, sf):
+    # LOWESS tricube kernel smoothing (reference U10 'lowess' leg) —
+    # exact-rational plan-literal FIR like savgol: bit-identical values,
+    # no rounding needed.
+    out = anomaly.lowess_smooth(
+        _t(spark, sf, "events"),
+        "value",
+        ["ts", "event_id"],
+        half_window=3,
+        partition_by=["user_id"],
+    )
+    return out.select("event_id", F.col("lowess_value").alias("lowess"))
+
+
+def _skew_domain() -> F.Column:
+    # documents carry `source` as the domain proxy (adapt_documents);
+    # plant one mega-domain over the otherwise-uniform sources so the
+    # heavy-hitter ranking has a real skew to find
+    return F.when(
+        F.col("doc_id") % 4 == 0, F.lit("mega.example")
+    ).otherwise(F.col("source"))
+
+
+_SKEW_DOMAIN_SQL = (
+    "CASE WHEN doc_id % 4 = 0 THEN 'mega.example' ELSE source END"
+)
+
+
+def q_heavy_hitter_domains(spark, sf):
+    # Count-Min heavy hitters over the crawl's domains (sketches.py —
+    # a NEW profiling family beyond the reference, whose stats blocks
+    # collect whole columns). The DuckDB oracle builds the IDENTICAL
+    # d x w counter table from the same md5 buckets, so cms_est is a
+    # full value-hash match — including any collision overestimates at
+    # width=64.
+    from dataqualitykit_spark.operators import sketches
+
+    docs = _t(spark, sf, "documents").select(_skew_domain().alias("domain"))
+    out = sketches.heavy_hitters(docs, "domain", k=10, width=64, depth=3)
+    return out.select(
+        F.col("value").alias("domain"), "exact_cnt", "cms_est"
+    )
+
+
+def q_hll_profile(spark, sf):
+    # HyperLogLog distinct estimates for one low-cardinality column
+    # (source: ~20 distinct -> linear-counting branch) and one
+    # high-cardinality column (doc_id -> raw-estimate branch): the
+    # integer bucket-max sketch is bit-identical across engines; the
+    # single final division / ln is tie-ruled to 1e-6 on both sides.
+    # n_exact pins accuracy next to each estimate.
+    from dataqualitykit_spark.operators import sketches
+
+    d = _t(spark, sf, "documents")
+
+    def leg(col, label):
+        est = sketches.hll_distinct(d, col, p=12)
+        exact = d.agg(F.countDistinct(col).alias("n_exact"))
+        return est.crossJoin(exact).select(
+            F.lit(label).alias("column_name"),
+            "n_buckets",
+            "n_zero_buckets",
+            (
+                F.floor(F.col("hll_estimate") * F.lit(1000000.0) + F.lit(0.5))
+                / F.lit(1000000.0)
+            ).alias("hll_estimate"),
+            "n_exact",
+        )
+
+    return leg("source", "source").unionByName(leg("doc_id", "doc_id"))
+
+
+def q_domain_split(spark, sf):
+    # Leakage-free holdout split: hash the DOMAIN (source), not the doc,
+    # so every page of a site lands in the same split (near-dups cluster
+    # within sites; a doc-level split leaks templates across
+    # train/test). Zero shuffle for the assignment itself; binary-exact
+    # fractions.
+    from dataqualitykit_spark.operators import sampling
+
+    docs = _t(spark, sf, "documents").select(
+        "doc_id", F.col("source").alias("domain")
+    )
+    out = sampling.hash_split(
+        docs, {"train": 0.5, "val": 0.25, "test": 0.25}, id_col="domain"
+    )
+    return out.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("domain").alias("n_domains"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the driver records correctness for the FIRST ~50
     # entries only (observed ceiling in rounds 1-2). The flagship pipeline,
@@ -2681,6 +2793,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ks_2samp": q_ks_2samp,  # NEW r6 session 2 (U10 'ks' leg)
         "savgol_smooth": q_savgol,  # NEW r6 session 2 (U10 'savgol' leg)
         "kalman_smooth": q_kalman_smooth,  # NEW r6 session 2 (U10 'kalman')
+        "shapiro_francia": q_shapiro_francia,  # NEW r6 s3 (U10 'shapiro')
+        "lowess_smooth": q_lowess_smooth,  # NEW r6 s3 (U10 'lowess')
+        "heavy_hitter_domains": q_heavy_hitter_domains,  # NEW r6 s3 (CMS)
+        "hll_profile": q_hll_profile,  # NEW r6 s3 (HLL)
+        "domain_split": q_domain_split,  # NEW r6 s3 (leakage-free split)
         "weighted_ma": q_weighted_ma,
         "centered_ma": q_centered_ma,
         "forward_fill": q_forward_fill,
@@ -5192,6 +5309,117 @@ def oracle_sql() -> dict[str, str]:
                floor(list_reduce(xs, (acc, x) -> 0.5*x + 0.5*acc)
                      * 1000000.0 + 0.5) / 1000000.0 AS kalman
         FROM b"""
+    from dataqualitykit_spark.functions.stats import probit_sql
+
+    # Shapiro-Francia: the oracle ranks with one corpus window (fine at
+    # sf scale), computes the SAME probit scalar (probit_sql == the
+    # Column algebra, term for term), micro-unit-integerizes each term
+    # and sums BIGINTs — order-independent, so parity is exact up to the
+    # documented tail-ulp flip absorbed by round(6) of W'.
+    _sf_p = "((CAST(rn AS DOUBLE) - 0.375) / (CAST(n AS DOUBLE) + 0.25))"
+    d["shapiro_francia"] = f"""
+        WITH v AS (
+          SELECT value AS v, event_id AS t FROM events
+          WHERE value IS NOT NULL
+        ), r AS (
+          SELECT v, row_number() OVER (ORDER BY v, t) AS rn,
+                 count(*) OVER () AS n
+          FROM v
+        ), mm AS (
+          SELECT v, n, {probit_sql(_sf_p)} AS m FROM r
+        ), s AS (
+          SELECT max(n) AS n,
+                 sum(CAST(floor(((m * v) * 1000000.0) + 0.5) AS BIGINT))
+                   AS s_mv,
+                 sum(CAST(floor(((m * m) * 1000000.0) + 0.5) AS BIGINT))
+                   AS s_mm,
+                 sum(CAST(floor((v * 1000000.0) + 0.5) AS BIGINT)) AS s_v,
+                 sum(CAST(floor(((v * v) * 1000000.0) + 0.5) AS BIGINT))
+                   AS s_vv
+          FROM mm
+        )
+        SELECT CAST(n AS BIGINT) AS n_obs,
+               floor(
+                 ((CAST(s_mv AS DOUBLE) / 1000000.0)
+                    * (CAST(s_mv AS DOUBLE) / 1000000.0))
+                 / ((CAST(s_mm AS DOUBLE) / 1000000.0)
+                    * ((CAST(s_vv AS DOUBLE) / 1000000.0)
+                       - (CAST(s_v AS DOUBLE) / 1000000.0)
+                         * (CAST(s_v AS DOUBLE) / 1000000.0)
+                         / CAST(n AS DOUBLE)))
+                 * 1000000.0 + 0.5) / 1000000.0 AS w_stat
+        FROM s"""
+    from dataqualitykit_spark.operators.anomaly import lowess_coefficients
+
+    _lw = lowess_coefficients(3)
+    d["lowess_smooth"] = f"""
+        SELECT event_id,
+               lag(value, 3) OVER w * {_lw[0]!r}
+                 + lag(value, 2) OVER w * {_lw[1]!r}
+                 + lag(value, 1) OVER w * {_lw[2]!r}
+                 + value * {_lw[3]!r}
+                 + lead(value, 1) OVER w * {_lw[4]!r}
+                 + lead(value, 2) OVER w * {_lw[5]!r}
+                 + lead(value, 3) OVER w * {_lw[6]!r} AS lowess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"""
+    from dataqualitykit_spark.operators.sketches import (
+        cms_sketch_sql,
+        hll_distinct_sql,
+    )
+
+    _dm = f"SELECT {_SKEW_DOMAIN_SQL} AS domain FROM documents"
+    # CMS twin: identical md5 buckets -> identical counters -> the min
+    # over depth rows reproduces every collision overestimate exactly.
+    d["heavy_hitter_domains"] = f"""
+        WITH dm AS ({_dm}),
+        sk AS ({cms_sketch_sql('dm', 'domain', width=64, depth=3)}),
+        top AS (
+          SELECT domain AS value, CAST(count(*) AS BIGINT) AS exact_cnt
+          FROM dm WHERE domain IS NOT NULL
+          GROUP BY 1 ORDER BY exact_cnt DESC, value ASC LIMIT 10
+        ), probes AS (
+          SELECT t.value, t.exact_cnt, i.i AS row,
+                 (CAST('0x' || substring(md5(CAST(i.i AS VARCHAR) || '::'
+                       || t.value), 1, 13) AS BIGINT) % 64) AS bucket
+          FROM top t CROSS JOIN (VALUES (0), (1), (2)) i(i)
+        )
+        SELECT p.value AS domain, p.exact_cnt,
+               min(coalesce(sk.cnt, 0)) AS cms_est
+        FROM probes p
+        LEFT JOIN sk ON p.row = sk.row AND p.bucket = sk.bucket
+        GROUP BY 1, 2"""
+    _hll_leg = lambda col, label: f"""
+        SELECT '{label}' AS column_name, h.n_buckets, h.n_zero_buckets,
+               floor(h.hll_estimate * 1000000.0 + 0.5) / 1000000.0
+                 AS hll_estimate,
+               e.n_exact
+        FROM ({hll_distinct_sql('documents', col, p=12)}) h,
+             (SELECT CAST(count(DISTINCT {col}) AS BIGINT) AS n_exact
+              FROM documents) e"""  # noqa: E731
+    d["hll_profile"] = (
+        _hll_leg("source", "source")
+        + " UNION ALL "
+        + _hll_leg("doc_id", "doc_id")
+    )
+    d["domain_split"] = """
+        WITH dm AS (
+          SELECT doc_id, source AS domain FROM documents
+        ), u AS (
+          SELECT doc_id, domain,
+                 CAST(('0x' || substr(md5(CAST(domain AS VARCHAR)), 1, 13))
+                      AS BIGINT) / CAST(4503599627370496 AS DOUBLE) AS u
+          FROM dm
+        ), s AS (
+          SELECT domain,
+                 CASE WHEN u < 0.5 THEN 'train'
+                      WHEN u < 0.75 THEN 'val'
+                      ELSE 'test' END AS split
+          FROM u
+        )
+        SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(count(DISTINCT domain) AS BIGINT) AS n_domains
+        FROM s GROUP BY split"""
     return d
 
 

@@ -1,0 +1,165 @@
+"""Count-Min + HyperLogLog sketch family: overestimate / merge /
+partition-invariance properties and bit-level DuckDB twin parity
+(the md5-portable recipe means the oracle computes the IDENTICAL
+sketch, so parity is equality, not tolerance)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from dataqualitykit_spark.operators import sketches
+
+
+def _freq_df(spark, pairs):
+    """pairs: (value, count) -> long df with `count` copies of value."""
+    rows = [(v,) for v, c in pairs for _ in range(c)]
+    return spark.createDataFrame(rows, "val string")
+
+
+ZIPF = [("a", 400), ("b", 200), ("c", 100), ("d", 50)] + [
+    (f"t{i}", 3) for i in range(60)
+]
+
+
+class TestCMS:
+    def test_never_undercounts_and_exact_when_wide(self, spark):
+        df = _freq_df(spark, ZIPF)
+        est = sketches.heavy_hitters(df, "val", k=64, width=4096, depth=3)
+        rows = est.collect()
+        exact = dict(ZIPF)
+        assert len(rows) == 64
+        for r in rows:
+            assert r["cms_est"] >= r["exact_cnt"]
+            assert r["exact_cnt"] == exact[r["value"]]
+        # width 4096 over 64 distinct values: collisions essentially
+        # impossible in all 3 rows at once -> min is exact
+        assert all(r["cms_est"] == r["exact_cnt"] for r in rows)
+
+    def test_narrow_width_overestimates_only(self, spark):
+        df = _freq_df(spark, ZIPF)
+        rows = sketches.heavy_hitters(df, "val", k=64, width=8, depth=2).collect()
+        assert all(r["cms_est"] >= r["exact_cnt"] for r in rows)
+        # error bound: est - exact <= 2N/width with high prob; assert the
+        # deterministic consequence on THIS fixed hash/seed instead of luck
+        n_total = sum(c for _, c in ZIPF)
+        assert all(r["cms_est"] - r["exact_cnt"] <= n_total for r in rows)
+
+    def test_sketch_partitioning_invariant(self, spark):
+        df = _freq_df(spark, ZIPF)
+        a = sorted(map(tuple, sketches.cms_sketch(df, "val", 64, 3).collect()))
+        b = sorted(
+            map(
+                tuple,
+                sketches.cms_sketch(df.repartition(13), "val", 64, 3).collect(),
+            )
+        )
+        assert a == b
+
+    def test_merge_is_union_regroup(self, spark):
+        half1 = _freq_df(spark, ZIPF[:20])
+        half2 = _freq_df(spark, ZIPF[20:])
+        merged = (
+            sketches.cms_sketch(half1, "val", 64, 3)
+            .unionByName(sketches.cms_sketch(half2, "val", 64, 3))
+            .groupBy("row", "bucket")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+        whole = sketches.cms_sketch(
+            half1.unionByName(half2), "val", 64, 3
+        )
+        assert sorted(map(tuple, merged.collect())) == sorted(
+            map(tuple, whole.collect())
+        )
+
+    def test_estimate_zero_for_absent(self, spark):
+        df = _freq_df(spark, [("x", 5)])
+        sk = sketches.cms_sketch(df, "val", 1024, 3)
+        probe = spark.createDataFrame([("zzz-absent",)], "value string")
+        got = sketches.cms_estimate(sk, probe, "value", 1024, 3).collect()
+        assert got[0]["cms_est"] == 0
+
+    def test_duckdb_twin_identical(self, spark):
+        duckdb = pytest.importorskip("duckdb")
+        df = _freq_df(spark, ZIPF)
+        pdf = df.toPandas()
+        con = duckdb.connect()
+        con.register("t", pdf)
+        sql = sketches.cms_sketch_sql("t", "val", width=64, depth=3)
+        oracle = sorted(map(tuple, con.execute(sql).fetchall()))
+        got = sorted(map(tuple, sketches.cms_sketch(df, "val", 64, 3).collect()))
+        assert got == oracle
+
+    def test_param_validation(self, spark):
+        df = _freq_df(spark, [("x", 1)])
+        with pytest.raises(ValueError):
+            sketches.cms_sketch(df, "val", width=1)
+        with pytest.raises(ValueError):
+            sketches.cms_sketch(df, "val", depth=0)
+
+
+class TestHLL:
+    def _distinct_df(self, spark, n, prefix="k"):
+        return spark.createDataFrame(
+            [(f"{prefix}{i}",) for i in range(n)], "val string"
+        )
+
+    def test_accuracy_at_p12(self, spark):
+        for n in (500, 5000):
+            got = sketches.hll_distinct(
+                self._distinct_df(spark, n), "val", p=12
+            ).collect()[0]
+            # std err 1.04/sqrt(4096) = 1.6%; 5x sigma guard
+            assert abs(got["hll_estimate"] - n) / n < 0.08
+            assert got["n_buckets"] == 4096
+
+    def test_duplicates_do_not_inflate(self, spark):
+        base = self._distinct_df(spark, 800)
+        dup = base.unionByName(base).unionByName(base)
+        a = sketches.hll_distinct(base, "val").collect()[0]["hll_estimate"]
+        b = sketches.hll_distinct(dup, "val").collect()[0]["hll_estimate"]
+        assert a == b  # same value set -> bit-identical sketch
+
+    def test_partitioning_invariant_bitwise(self, spark):
+        df = self._distinct_df(spark, 3000)
+        a = sketches.hll_distinct(df, "val", p=10).collect()[0]
+        b = sketches.hll_distinct(df.repartition(17), "val", p=10).collect()[0]
+        assert a == b
+
+    def test_merge_by_union(self, spark):
+        a = self._distinct_df(spark, 1000, "a")
+        b = self._distinct_df(spark, 1000, "b")
+        whole = sketches.hll_distinct(a.unionByName(b), "val").collect()[0]
+        assert abs(whole["hll_estimate"] - 2000) / 2000 < 0.08
+
+    def test_linear_counting_small_range(self, spark):
+        got = sketches.hll_distinct(
+            self._distinct_df(spark, 50), "val", p=12
+        ).collect()[0]
+        # small n -> most buckets empty -> linear-counting branch,
+        # which is near-exact here
+        assert got["n_zero_buckets"] > 4000
+        assert abs(got["hll_estimate"] - 50) < 3
+
+    def test_duckdb_twin_identical(self, spark):
+        duckdb = pytest.importorskip("duckdb")
+        df = self._distinct_df(spark, 2500)
+        con = duckdb.connect()
+        con.register("t", df.toPandas())
+        oracle = con.execute(
+            sketches.hll_distinct_sql("t", "val", p=12)
+        ).fetchall()[0]
+        got = sketches.hll_distinct(df, "val", p=12).collect()[0]
+        assert got["n_buckets"] == oracle[0]
+        assert got["n_zero_buckets"] == oracle[1]
+        # single float division / ln in the same order: tie-rule round(6)
+        r6 = lambda x: math.floor(x * 1e6 + 0.5) / 1e6  # noqa: E731
+        assert r6(got["hll_estimate"]) == r6(oracle[2])
+
+    def test_p_validation(self, spark):
+        df = self._distinct_df(spark, 10)
+        for bad in (3, 13):
+            with pytest.raises(ValueError):
+                sketches.hll_distinct(df, "val", p=bad)
