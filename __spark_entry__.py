@@ -2695,6 +2695,27 @@ def q_hll_profile(spark, sf):
     return leg("source", "source").unionByName(leg("doc_id", "doc_id"))
 
 
+def q_bloom_decontamination(spark, sf):
+    # decontamination through a Bloom filter: the benchmark's 5-grams
+    # build a 4096-bit bloom (bounded driver state, like IVF centroids);
+    # the corpus probe is a per-doc array HOF — zero explode, zero join,
+    # zero exchange. False positives are a deterministic function of the
+    # md5 bits, so the DuckDB twin (same bloom, join-based probe)
+    # value-hash-matches them bit-for-bit.
+    from dataqualitykit_spark.operators import sketches
+
+    d = _t(spark, sf, "documents")
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    out = sketches.bloom_contamination_flags(
+        d, bench, "text", "doc_id", n=5, n_bits=4096, k=3
+    )
+    return out.select(
+        F.col("id").alias("doc_id"),
+        F.col("n_bloom_hits").cast("int").alias("n_bloom_hits"),
+        "flagged",
+    )
+
+
 def q_domain_split(spark, sf):
     # Leakage-free holdout split: hash the DOMAIN (source), not the doc,
     # so every page of a site lands in the same split (near-dups cluster
@@ -2798,6 +2819,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitter_domains": q_heavy_hitter_domains,  # NEW r6 s3 (CMS)
         "hll_profile": q_hll_profile,  # NEW r6 s3 (HLL)
         "domain_split": q_domain_split,  # NEW r6 s3 (leakage-free split)
+        "bloom_decontamination": q_bloom_decontamination,  # NEW r6 s3
         "weighted_ma": q_weighted_ma,
         "centered_ma": q_centered_ma,
         "forward_fill": q_forward_fill,
@@ -5402,6 +5424,47 @@ def oracle_sql() -> dict[str, str]:
         + " UNION ALL "
         + _hll_leg("doc_id", "doc_id")
     )
+    from dataqualitykit_spark.operators.sketches import bloom_build_sql
+
+    _bh = (
+        "(CAST('0x' || substring(md5(CAST(i.i AS VARCHAR) || '::' || ex.s),"
+        " 1, 13) AS BIGINT) % 4096)"
+    )
+    _bgram5 = (
+        "concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3], toks[i+4])"
+    )
+    d["bloom_decontamination"] = f"""
+        WITH tok AS (
+          SELECT doc_id, {_sql_tokens('lower(text)')} AS toks FROM documents
+        ), sh AS (
+          SELECT doc_id,
+                 CASE WHEN len(toks) < 5 THEN [concat_ws(' ', toks)]
+                      ELSE [{_bgram5}
+                            for i in generate_series(1, len(toks) - 4)]
+                 END AS shingles
+          FROM tok
+        ), ex AS (
+          SELECT doc_id, unnest(list_distinct(shingles)) AS s FROM sh
+        ), bench AS (
+          SELECT DISTINCT s FROM ex WHERE doc_id % 97 = 0
+        ), bloom AS (
+          {bloom_build_sql('bench', 's', 4096, 3)}
+        ), probes AS (
+          SELECT ex.doc_id, ex.s, i.i,
+                 CAST(floor({_bh} / 32.0) AS BIGINT) AS word_idx,
+                 CAST(pow(2.0, {_bh} % 32) AS BIGINT) AS mask
+          FROM ex CROSS JOIN (VALUES (0), (1), (2)) i(i)
+        ), gram_hits AS (
+          SELECT doc_id, s
+          FROM probes p JOIN bloom b USING (word_idx)
+          WHERE (b.bits & p.mask) <> 0
+          GROUP BY doc_id, s HAVING count(*) = 3
+        ), agg AS (
+          SELECT doc_id, count(*) AS n FROM gram_hits GROUP BY doc_id
+        )
+        SELECT d.doc_id, CAST(coalesce(a.n, 0) AS INT) AS n_bloom_hits,
+               coalesce(a.n, 0) >= 1 AS flagged
+        FROM documents d LEFT JOIN agg a USING (doc_id)"""
     d["domain_split"] = """
         WITH dm AS (
           SELECT doc_id, source AS domain FROM documents

@@ -285,6 +285,172 @@ def hll_distinct(
     )
 
 
+# ------------------------------------------------------------- Bloom
+def bloom_build(
+    df: DataFrame,
+    col: str,
+    n_bits: int = 4096,
+    k: int = 3,
+    seed: str = "",
+) -> DataFrame:
+    """Bloom filter over the distinct values of ``col`` as a (word_idx,
+    bits) table — n_bits/32 rows of 32-bit words held in BIGINTs (32,
+    not 64, so every mask is pow(2, offset<=31): double-exact, positive,
+    sign-bit-free in both engines).
+
+    Bit i_hash positions come from the md5-portable slice:
+    h = md5(f"{i}:{seed}:{value}")[0:13hex] % n_bits. The build is one
+    groupBy(bit_or) whose exchange is capped at n_bits/32 keys per map
+    task by partial aggregation; two blooms over different shards merge
+    by union + re-bit_or. NULLs are skipped."""
+    if n_bits % 32 or n_bits < 32:
+        raise ValueError(f"n_bits must be a positive multiple of 32: {n_bits}")
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    v = F.col(col).cast("string")
+    legs = []
+    for i in range(k):
+        h = _md5_slice(F.concat(F.lit(f"{i}:{seed}:"), v), 1, _MAX_HEX) % n_bits
+        legs.append(
+            F.struct(
+                F.floor(h / F.lit(32.0)).cast("long").alias("word_idx"),
+                F.pow(F.lit(2.0), (h % 32).cast("double"))
+                .cast("long")
+                .alias("mask"),
+            )
+        )
+    return (
+        df.filter(v.isNotNull())
+        .select(F.explode(F.array(*legs)).alias("s"))
+        .groupBy(F.col("s.word_idx").alias("word_idx"))
+        .agg(F.bit_or(F.col("s.mask")).alias("bits"))
+    )
+
+
+def bloom_word_array(
+    df: DataFrame,
+    col: str,
+    n_bits: int = 4096,
+    k: int = 3,
+    seed: str = "",
+) -> list[int]:
+    """Collect the bloom into a dense python word list (len n_bits/32) —
+    BOUNDED driver state like the IVF centroids: n_bits <= ~2^22 keeps
+    the literal array a few hundred KB of plan. For benchmark-gram blooms
+    past that (10^8+ grams), keep the (word_idx, bits) FRAME and probe by
+    broadcast join on word_idx instead of the plan-literal path."""
+    words = [0] * (n_bits // 32)
+    for r in bloom_build(df, col, n_bits, k, seed).collect():
+        words[r["word_idx"]] = r["bits"]
+    return words
+
+
+def bloom_contains_col(
+    words: list[int],
+    value: Column,
+    n_bits: int,
+    k: int = 3,
+    seed: str = "",
+) -> Column:
+    """Membership predicate against a PLAN-LITERAL bloom: k md5 slices,
+    k array lookups, k bit tests, AND-fold — a pure whole-stage-codegen
+    projection with ZERO shuffle and zero join; usable inside array HOFs
+    (F.filter over a doc's shingles). False positives are a
+    deterministic function of the hashes, so an engine twin computing
+    the same bloom reproduces them bit-for-bit."""
+    arr = F.array(*[F.lit(int(w)) for w in words])
+    cond = None
+    for i in range(k):
+        h = (
+            _md5_slice(
+                F.concat(F.lit(f"{i}:{seed}:"), value.cast("string")),
+                1,
+                _MAX_HEX,
+            )
+            % n_bits
+        )
+        word = F.floor(h / F.lit(32.0)).cast("int")
+        mask = F.pow(F.lit(2.0), (h % 32).cast("double")).cast("long")
+        bit = F.get(arr, word).bitwiseAND(mask) != F.lit(0)
+        cond = bit if cond is None else cond & bit
+    return cond
+
+
+def bloom_contamination_flags(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 13,
+    n_bits: int = 4096,
+    k: int = 3,
+    seed: str = "",
+) -> DataFrame:
+    """Benchmark decontamination through a Bloom filter — the sketch
+    variant of dedup.contamination_flags (same n-gram rule): the
+    benchmark's distinct word n-grams build a bloom ONCE (bounded
+    driver state), and the corpus probe is a per-doc array HOF over its
+    distinct shingles — NO corpus-side explode, NO join, NO exchange at
+    all for the flagging itself; the only cost is the scan. The price
+    is a deterministic false-positive rate (~(1-e^(-kn/m))^k); size
+    n_bits ~ 10-15 bits/gram to keep it under 1%.
+
+    Returns (id, n_bloom_hits, flagged): n_bloom_hits counts the doc's
+    DISTINCT shingles that pass the bloom (true hits + deterministic
+    false positives), flagged = n_bloom_hits >= 1."""
+    from .dedup import with_shingles
+
+    bench = (
+        with_shingles(benchmark, text_col, id_col, n)
+        .select(F.explode(F.array_distinct("shingles")).alias("s"))
+        .distinct()
+    )
+    words = bloom_word_array(bench, "s", n_bits, k, seed)
+    sh = with_shingles(corpus, text_col, id_col, n)
+    # coalesce: a NULL-text doc has NULL shingles -> size() is NULL under
+    # ANSI; report 0 hits like the join-based contamination_flags does
+    hits = F.coalesce(
+        F.size(
+            F.filter(
+                F.array_distinct("shingles"),
+                lambda s: bloom_contains_col(words, s, n_bits, k, seed),
+            )
+        ),
+        F.lit(0),
+    )
+    # two chained selects so `flagged` references the computed column —
+    # inlining `hits` twice would duplicate the k literal-array probes
+    # in the plan (observed: 2x codegen size at n_bits=4096)
+    return sh.select("id", hits.alias("n_bloom_hits")).select(
+        "id",
+        "n_bloom_hits",
+        (F.col("n_bloom_hits") >= F.lit(1)).alias("flagged"),
+    )
+
+
+def bloom_build_sql(
+    table_expr: str,
+    col_expr: str,
+    n_bits: int,
+    k: int,
+    seed: str = "",
+) -> str:
+    """DuckDB twin of bloom_build as a SELECT body: (word_idx, bits)."""
+    legs = []
+    for i in range(k):
+        key = f"'{i}:{seed}:' || CAST({col_expr} AS VARCHAR)"
+        h = f"({_md5_slice_sql(key, 1, _MAX_HEX)} % {n_bits})"
+        legs.append(
+            f"SELECT CAST(floor({h} / 32.0) AS BIGINT) AS word_idx, "
+            f"CAST(pow(2.0, {h} % 32) AS BIGINT) AS mask "
+            f"FROM {table_expr} WHERE {col_expr} IS NOT NULL"
+        )
+    union = " UNION ALL ".join(legs)
+    return (
+        f"SELECT word_idx, bit_or(mask) AS bits FROM ({union}) GROUP BY 1"
+    )
+
+
 def hll_distinct_sql(
     table_expr: str,
     col_expr: str,

@@ -100,6 +100,110 @@ class TestCMS:
             sketches.cms_sketch(df, "val", depth=0)
 
 
+class TestBloom:
+    def _vals(self, spark, items):
+        return spark.createDataFrame([(v,) for v in items], "val string")
+
+    def test_no_false_negatives_ever(self, spark):
+        items = [f"gram-{i}" for i in range(300)]
+        df = self._vals(spark, items)
+        words = sketches.bloom_word_array(df, "val", n_bits=4096, k=3)
+        probe = df.select(
+            "val",
+            sketches.bloom_contains_col(
+                words, F.col("val"), 4096, 3
+            ).alias("hit"),
+        )
+        assert all(r["hit"] for r in probe.collect())
+
+    def test_absent_values_mostly_reject(self, spark):
+        words = sketches.bloom_word_array(
+            self._vals(spark, [f"in-{i}" for i in range(100)]),
+            "val",
+            n_bits=4096,
+            k=3,
+        )
+        probe = self._vals(spark, [f"out-{i}" for i in range(500)]).select(
+            sketches.bloom_contains_col(words, F.col("val"), 4096, 3).alias(
+                "hit"
+            )
+        )
+        fp = sum(1 for r in probe.collect() if r["hit"])
+        # theoretical fp ~ (1-e^(-300/4096))^3 ~ 3.6e-4; deterministic
+        # for these fixed strings — leave headroom, not luck
+        assert fp <= 3
+
+    def test_merge_is_union_rebitor(self, spark):
+        a = self._vals(spark, [f"a{i}" for i in range(80)])
+        b = self._vals(spark, [f"b{i}" for i in range(80)])
+        merged = (
+            sketches.bloom_build(a, "val", 512, 3)
+            .unionByName(sketches.bloom_build(b, "val", 512, 3))
+            .groupBy("word_idx")
+            .agg(F.bit_or("bits").alias("bits"))
+        )
+        whole = sketches.bloom_build(a.unionByName(b), "val", 512, 3)
+        assert sorted(map(tuple, merged.collect())) == sorted(
+            map(tuple, whole.collect())
+        )
+
+    def test_duckdb_twin_identical(self, spark):
+        duckdb = pytest.importorskip("duckdb")
+        df = self._vals(spark, [f"g{i}" for i in range(200)])
+        con = duckdb.connect()
+        con.register("t", df.toPandas())
+        oracle = sorted(
+            map(
+                tuple,
+                con.execute(
+                    sketches.bloom_build_sql("t", "val", 1024, 3)
+                ).fetchall(),
+            )
+        )
+        got = sorted(
+            map(tuple, sketches.bloom_build(df, "val", 1024, 3).collect())
+        )
+        assert got == oracle
+
+    def test_contamination_flags_match_exact_join(self, spark):
+        # 4096 bits / 3 hashes over a handful of grams: fp ~ 0, so the
+        # bloom flags must equal the exact semi-join flags
+        from dataqualitykit_spark.operators import dedup
+
+        docs = spark.createDataFrame(
+            [
+                (0, "the quick brown fox jumps over the lazy dog"),
+                (1, "quick brown fox jumps over a fence today ok"),
+                (2, "completely unrelated text about spark planning"),
+                (3, "the quick brown fox jumps again and again"),
+                (4, ""),
+            ],
+            "doc_id long, text string",
+        )
+        bench = docs.filter(F.col("doc_id") == 0)
+        bloom = {
+            r["id"]: (r["n_bloom_hits"], r["flagged"])
+            for r in sketches.bloom_contamination_flags(
+                docs, bench, n=5, n_bits=4096, k=3
+            ).collect()
+        }
+        exact = {
+            r["id"]: (r["n_hits"], r["contaminated"])
+            for r in dedup.contamination_flags(
+                docs, bench, "text", "doc_id", n=5
+            ).collect()
+        }
+        assert bloom == exact
+        assert bloom[0][1] and bloom[3][1] and not bloom[2][1]
+
+    def test_validation(self, spark):
+        df = self._vals(spark, ["x"])
+        with pytest.raises(ValueError):
+            sketches.bloom_build(df, "val", n_bits=100)
+        with pytest.raises(ValueError):
+            sketches.bloom_build(df, "val", k=0)
+
+
 class TestHLL:
     def _distinct_df(self, spark, n, prefix="k"):
         return spark.createDataFrame(
@@ -163,3 +267,55 @@ class TestHLL:
         for bad in (3, 13):
             with pytest.raises(ValueError):
                 sketches.hll_distinct(df, "val", p=bad)
+
+
+class TestStreamingSketch:
+    def test_cms_over_readstream_equals_batch(self, spark, tmp_path):
+        """cms_sketch is explode + groupBy(count) — a shape Structured
+        Streaming supports natively, so the SAME operator runs over
+        readStream (complete mode): the live sketch after two
+        micro-batches equals the batch sketch over the union. This is
+        the incremental-corpus profile story: counters update as shards
+        arrive; no custom stateful code."""
+        src = str(tmp_path / "in")
+        b1 = [("a",)] * 5 + [("b",)] * 2
+        b2 = [("a",)] * 1 + [("c",)] * 4
+        spark.createDataFrame(b1, "val string").coalesce(1).write.parquet(
+            f"{src}/b1"
+        )
+        spark.createDataFrame(b2, "val string").coalesce(1).write.parquet(
+            f"{src}/b2"
+        )
+        stream = (
+            spark.readStream.schema("val string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/b*")
+        )
+        out = sketches.cms_sketch(stream, "val", width=32, depth=3)
+        q = (
+            out.writeStream.format("memory")
+            .queryName("cms_stream_t")
+            .outputMode("complete")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(300), "stream did not finish"
+        got = sorted(
+            map(
+                tuple,
+                spark.sql("SELECT * FROM cms_stream_t").collect(),
+            )
+        )
+        batch = sorted(
+            map(
+                tuple,
+                sketches.cms_sketch(
+                    spark.createDataFrame(b1 + b2, "val string"),
+                    "val",
+                    width=32,
+                    depth=3,
+                ).collect(),
+            )
+        )
+        assert got == batch
