@@ -267,10 +267,12 @@ def hll_distinct(
         F.count(F.lit(1)).alias("n_present"),
         F.sum(term).alias("s_present"),
     )
+    # coalesce: zero input rows -> sum() is NULL; 0 makes S = m * 2^39,
+    # which lands in the linear-counting branch and estimates exactly 0
     s_total = (
         (F.lit(m) - F.col("n_present")).cast("long")
         * F.lit(1 << 39).cast("long")
-        + F.col("s_present")
+        + F.coalesce(F.col("s_present"), F.lit(0).cast("long"))
     )
     v_zero = (F.lit(m) - F.col("n_present")).cast("long")
     e_raw = F.lit(numer) / s_total.cast("double")
@@ -483,11 +485,11 @@ def hll_distinct_sql(
         SELECT CAST({m} AS BIGINT) AS n_buckets,
                CAST({m} - n_present AS BIGINT) AS n_zero_buckets,
                CASE WHEN ({numer!r} / CAST(({m} - n_present) * {1 << 39}
-                            + s_present AS DOUBLE)) <= {2.5 * m!r}
+                            + coalesce(s_present, 0) AS DOUBLE)) <= {2.5 * m!r}
                          AND ({m} - n_present) > 0
                     THEN {float(m)!r}
                          * ln({float(m)!r} / CAST({m} - n_present AS DOUBLE))
                     ELSE {numer!r} / CAST(({m} - n_present) * {1 << 39}
-                            + s_present AS DOUBLE)
+                            + coalesce(s_present, 0) AS DOUBLE)
                END AS hll_estimate
         FROM ag"""

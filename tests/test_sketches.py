@@ -268,6 +268,12 @@ class TestHLL:
             with pytest.raises(ValueError):
                 sketches.hll_distinct(df, "val", p=bad)
 
+    def test_empty_input_estimates_zero(self, spark):
+        empty = spark.createDataFrame([], "val string")
+        got = sketches.hll_distinct(empty, "val", p=8).collect()[0]
+        assert got["n_zero_buckets"] == 256
+        assert got["hll_estimate"] == 0.0
+
 
 class TestStreamingSketch:
     def test_cms_over_readstream_equals_batch(self, spark, tmp_path):
