@@ -1,9 +1,13 @@
 """Multimodal columns: image/audio/video as opaque binary + typed metadata.
 
-Task-brief op family: the Spark-side plumbing (schema, partitioning, UDF
-signature, Arrow batch shape) is real and tested; the actual media decode
-is stubbed behind a deterministic fake because no image/audio libs exist
-in this container (swap `_fake_decode` for PIL/ffmpeg on a cluster).
+Task-brief op family. What is REAL here (no media library involved):
+container header parsing (PNG/JPEG/GIF/WAV/MP4 byte walks), PNG pixel
+decode/encode via the stdlib-zlib codec (operators/png_codec.py) feeding
+resize_images and the dHash perceptual near-dup, and PCM WAV sample
+decode feeding audio_features. What is still a deterministic stand-in:
+JPEG/GIF pixel decode and video frame extraction (`_fake_decode`,
+sample_frames' stub bytes) — swap in PIL/ffmpeg on a cluster; undecodable
+payloads always take the quarantine route, never a crash.
 
 Pattern: mapInPandas over an iterator of record batches — the right shape
 for heavy per-row payloads because one output row can be larger/smaller
@@ -262,17 +266,61 @@ def extract_features(df: DataFrame, dim: int = 8) -> DataFrame:
     return df.mapInPandas(batches, schema=FEATURE_SCHEMA)
 
 
+RESIZED_SCHEMA = MEDIA_SCHEMA + ", resized boolean"
+
+
 def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
-    """Image resize stub: plumbing is real (binary in -> binary out,
-    metadata updated); pixel work raises until a decoder exists."""
+    """REAL image resize for PNG payloads (no longer a stub): decode via
+    the dependency-free stdlib-zlib codec (png_codec.decode_png), exact
+    integer nearest-neighbor center-sampling to (width, height), re-encode
+    as PNG; width/height/mime columns updated and `resized`=true.
+    Payloads the codec rejects (JPEG/GIF/garbage/interlaced — PngError)
+    pass through byte-identical with `resized`=false: the same
+    quarantine-in-place route media_metadata uses, so a downstream filter
+    on `resized` splits clean output from rows needing a richer decoder.
+
+    Scale shape: one Arrow-batched mapInPandas stage, zero shuffle; the
+    payload bytes stream through bounded batch memory and never hit the
+    driver. Deterministic: integer resampling + fixed zlib level, so the
+    output bytes are bit-identical across partitionings (driver-oracle
+    property)."""
+    from . import png_codec
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        raise NotImplementedError(
-            "image decode requires PIL/opencv — not present in this "
-            "container; wire the real resize here on a cluster"
-        )
+        for pdf in it:
+            payloads, mimes, ws, hs, flags = [], [], [], [], []
+            for p, mime, w0, h0 in zip(
+                pdf["payload"], pdf["mime"], pdf["width"], pdf["height"]
+            ):
+                try:
+                    arr = png_codec.decode_png(p)
+                except png_codec.PngError:
+                    payloads.append(p)
+                    mimes.append(mime)
+                    ws.append(w0)
+                    hs.append(h0)
+                    flags.append(False)
+                    continue
+                out = png_codec.resize_nearest(arr, width, height)
+                payloads.append(png_codec.encode_png(out))
+                mimes.append("image/png")
+                ws.append(width)
+                hs.append(height)
+                flags.append(True)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "payload": payloads,
+                    "mime": mimes,
+                    "width": pd.array(ws, dtype="Int32"),
+                    "height": pd.array(hs, dtype="Int32"),
+                    "duration_ms": pdf["duration_ms"],
+                    "resized": flags,
+                }
+            )
 
-    return df.mapInPandas(batches, schema=MEDIA_SCHEMA)
+    return df.mapInPandas(batches, schema=RESIZED_SCHEMA)
 
 
 def sample_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
@@ -407,20 +455,275 @@ def media_fixture_expected(spark, n: int = 64) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# REAL audio sample decode (PCM WAV — pure byte math + numpy, no library)
+# and per-clip signal features. The feature math is exact-integer until
+# the final division/sqrt: one int64 sum per feature, so results are
+# bit-identical across partitionings and platforms.
+# ---------------------------------------------------------------------------
+
+AUDIO_FEATURE_SCHEMA = (
+    "media_id bigint, kind string, n_samples bigint, sample_rate_hz int, "
+    "channels int, bits int, rms double, zero_cross_rate double, "
+    "peak int, clip_ratio double, parse_ok boolean"
+)
+
+
+def decode_wav_samples(payload: bytes | None):
+    """RIFF/WAVE PCM bytes -> (samples, rate, channels, bits) where
+    samples is a numpy int32 array of shape (n_frames, channels),
+    CENTERED at 0 (8-bit unsigned input is shifted by -128). Supports
+    format tag 1 (PCM) at 8 or 16 bits; returns None for anything else
+    (the quarantine route). Trailing bytes that don't fill a whole frame
+    are dropped."""
+    import numpy as np
+
+    if not payload or len(payload) < 12:
+        return None
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    i, n = 12, len(payload)
+    fmt_tag = channels = rate = bits = None
+    data = None
+    while i + 8 <= n:
+        cid = payload[i : i + 4]
+        size = int.from_bytes(payload[i + 4 : i + 8], "little")
+        body = payload[i + 8 : i + 8 + size]
+        if cid == b"fmt " and len(body) >= 16:
+            fmt_tag = int.from_bytes(body[0:2], "little")
+            channels = int.from_bytes(body[2:4], "little")
+            rate = int.from_bytes(body[4:8], "little")
+            bits = int.from_bytes(body[14:16], "little")
+        elif cid == b"data":
+            data = body
+        i += 8 + size + (size & 1)
+    if fmt_tag != 1 or not channels or not rate or data is None:
+        return None
+    if bits == 16:
+        frames = len(data) // (2 * channels)
+        if frames == 0:
+            return None
+        arr = np.frombuffer(
+            data, dtype="<i2", count=frames * channels
+        ).astype(np.int32)
+    elif bits == 8:
+        frames = len(data) // channels
+        if frames == 0:
+            return None
+        arr = (
+            np.frombuffer(data, dtype=np.uint8, count=frames * channels)
+            .astype(np.int32)
+            - 128
+        )
+    else:
+        return None
+    return arr.reshape(frames, channels), rate, channels, bits
+
+
+def audio_features(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Per-clip signal features over REAL decoded PCM samples (channel 0):
+    RMS (sqrt of the exact int64 energy sum / n), zero-crossing rate
+    (strict sign products < 0 over n-1 adjacent pairs), integer peak
+    |amplitude|, and clip ratio (|x| at full scale: 32767/127). One
+    Arrow-batched mapInPandas stage, zero shuffle; undecodable payloads
+    emit parse_ok=false with NULL features."""
+    import math
+
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, kind, p in zip(
+                pdf["media_id"], pdf["kind"], pdf[payload_col]
+            ):
+                dec = decode_wav_samples(p)
+                if dec is None:
+                    rows.append((mid, kind, None, None, None, None, None,
+                                 None, None, None, False))
+                    continue
+                samples, rate, ch, bits = dec
+                x = samples[:, 0].astype(np.int64)
+                n = x.shape[0]
+                energy = int((x * x).sum())
+                rms = math.sqrt(energy / n)
+                zc = (
+                    int(((x[:-1] * x[1:]) < 0).sum()) / (n - 1)
+                    if n > 1
+                    else 0.0
+                )
+                peak = int(np.abs(x).max())
+                full = 32767 if bits == 16 else 127
+                clip = int((np.abs(x) >= full).sum()) / n
+                rows.append(
+                    (mid, kind, n, rate, ch, bits, rms, zc, peak, clip, True)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "kind", "n_samples", "sample_rate_hz",
+                    "channels", "bits", "rms", "zero_cross_rate", "peak",
+                    "clip_ratio", "parse_ok",
+                ],
+            )
+
+    return df.mapInPandas(batches, schema=AUDIO_FEATURE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Real-pixel / real-sample fixtures with CONSTRUCTION-TIME ground truth
+# (the media_fixture_expected recipe): expected values derive from the
+# generator's parameters and the documented resampling/feature SPEC —
+# never by running the operator under test.
+# ---------------------------------------------------------------------------
+
+
+def _pattern_pixel(i: int, y: int, x: int, c: int) -> int:
+    """Closed-form synthetic image: channel c of pixel (y, x) in image i.
+    Shared by the fixture generator AND the expected-side mirror."""
+    return (x * (7 + 2 * c) + y * (13 + 3 * c) + i * 31) % 251
+
+
+IMAGE_RESIZE_SCHEMA = (
+    "media_id bigint, kind string, payload binary, mime string, "
+    "width int, height int, duration_ms int, exp_resized boolean, "
+    "exp_sha256 string"
+)
+
+
+def image_resize_fixture_expected(
+    spark, n: int = 48, out_w: int = 16, out_h: int = 12
+) -> DataFrame:
+    """n media rows for the resize oracle: rows i % 3 != 2 are REAL PNGs
+    (gray / RGB alternating, varying dimensions) of the closed-form
+    pattern; rows i % 3 == 2 are garbage (exp_resized=false). exp_sha256
+    is the sha256 of the resized pixel bytes computed INDEPENDENTLY from
+    the pattern formula + the nearest-neighbor center-sampling spec
+    src = floor(((2*t + 1) * in) / (2 * out)) — not by calling
+    resize_nearest. decode_png itself is pinned against hand-built byte
+    streams in tests/test_png_codec.py, so the encode/decode pair cannot
+    self-consistently hide a channel or orientation swap."""
+    import numpy as np
+
+    from . import png_codec
+
+    rows = []
+    for i in range(n):
+        if i % 3 == 2:
+            payload = hashlib.md5(f"img{i}".encode()).digest() * 3
+            rows.append(
+                (i, "image", payload, "application/octet-stream",
+                 None, None, None, False, None)
+            )
+            continue
+        w, h = 20 + (i * 5) % 40, 15 + (i * 7) % 30
+        ch = 1 if i % 2 == 0 else 3
+        arr = np.zeros((h, w, ch), dtype=np.uint8)
+        for c in range(ch):
+            xs = np.arange(w)[None, :] * (7 + 2 * c)
+            ys = np.arange(h)[:, None] * (13 + 3 * c)
+            arr[:, :, c] = ((xs + ys + i * 31) % 251).astype(np.uint8)
+        payload = png_codec.encode_png(arr)
+        exp = np.zeros((out_h, out_w, ch), dtype=np.uint8)
+        for v in range(out_h):
+            sy = ((2 * v + 1) * h) // (2 * out_h)
+            for u in range(out_w):
+                sx = ((2 * u + 1) * w) // (2 * out_w)
+                for c in range(ch):
+                    exp[v, u, c] = _pattern_pixel(i, sy, sx, c)
+        rows.append(
+            (i, "image", payload, "image/png", w, h, None, True,
+             hashlib.sha256(exp.tobytes()).hexdigest())
+        )
+    return spark.createDataFrame(rows, IMAGE_RESIZE_SCHEMA)
+
+
+AUDIO_FIXTURE_SCHEMA = (
+    "media_id bigint, kind string, payload binary, mime string, "
+    "width int, height int, duration_ms int, exp_parse_ok boolean, "
+    "exp_n_samples bigint, exp_rms double, exp_zcr double, exp_peak int, "
+    "exp_clip double"
+)
+
+
+def _square_wave_wav(
+    amp: int, period: int, n: int, rate: int = 8000, bits: int = 16
+) -> bytes:
+    """Mono PCM WAV of a square wave: +amp for the first period/2 samples
+    of each period, -amp for the rest. Closed-form features: RMS = amp
+    exactly, peak = amp, zero crossings = floor((n-1) / (period/2))."""
+    import numpy as np
+
+    idx = np.arange(n) % period
+    x = np.where(idx < period // 2, amp, -amp)
+    if bits == 16:
+        data = x.astype("<i2").tobytes()
+        block, byte_rate = 2, rate * 2
+    else:
+        data = (x + 128).astype(np.uint8).tobytes()
+        block, byte_rate = 1, rate
+    fmt = (
+        b"fmt " + (16).to_bytes(4, "little") + (1).to_bytes(2, "little")
+        + (1).to_bytes(2, "little") + rate.to_bytes(4, "little")
+        + byte_rate.to_bytes(4, "little") + block.to_bytes(2, "little")
+        + bits.to_bytes(2, "little")
+    )
+    chunk = b"data" + len(data).to_bytes(4, "little") + data
+    return (
+        b"RIFF" + (4 + len(fmt) + len(chunk)).to_bytes(4, "little")
+        + b"WAVE" + fmt + chunk
+    )
+
+
+def audio_fixture_expected(spark, n: int = 48) -> DataFrame:
+    """n audio rows for the feature oracle: rows i % 4 == 3 are garbage
+    (exp_parse_ok=false); the rest are REAL mono square-wave WAVs — 16-bit
+    except every 8th row (8-bit), with amp/period varying per row and one
+    full-scale clipping row per cycle. All expected values are CLOSED
+    FORMS of (amp, period, n_samples): RMS of a square wave is exactly
+    amp (|x| is constant), so the float column is reproducible without
+    running the decoder."""
+    rows = []
+    for i in range(n):
+        if i % 4 == 3:
+            payload = hashlib.md5(f"aud{i}".encode()).digest() * 2
+            rows.append(
+                (i, "audio", payload, "application/octet-stream",
+                 None, None, None, False, None, None, None, None, None)
+            )
+            continue
+        bits = 8 if i % 8 == 0 else 16
+        full = 127 if bits == 8 else 32767
+        amp = full if i % 12 == 4 else (100 + 37 * i) % (full - 1) + 1
+        period = 2 * (1 + i % 5)
+        n_samp = 400 + 19 * i
+        payload = _square_wave_wav(amp, period, n_samp, bits=bits)
+        zcr = ((n_samp - 1) // (period // 2)) / (n_samp - 1)
+        clip = 1.0 if amp >= full else 0.0
+        rows.append(
+            (i, "audio", payload, "audio/wav", None, None,
+             n_samp * 1000 // 8000, True, n_samp, float(amp), zcr, amp,
+             clip)
+        )
+    return spark.createDataFrame(rows, AUDIO_FIXTURE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
 # Perceptual-hash near-dup (dHash; the image analog of SimHash): 64-bit
 # gradient hash per payload, then dedup.hamming_dup_pairs bands the codes
-# for the candidate join. With a REAL decoder the fake-pixel step below
-# is the only line that changes — everything downstream (banding, XOR
-# verify, components) is decoder-agnostic plumbing, which is what this
-# container can actually test (pixel decode stubbed per the task brief;
-# identical payload bytes hash identically, near-identical IMAGES only
-# hash nearby once a real decoder supplies real pixels).
+# for the candidate join. PNG payloads use REAL decoded pixels (stdlib
+# zlib codec: luma plane -> exact integer 8x9 area-mean pool), so
+# near-identical PNG IMAGES — not just identical bytes — hash within a
+# small hamming distance. Payloads the codec rejects (JPEG/GIF/garbage)
+# fall back to the sha256 fake stream: identical bytes still collide,
+# and everything downstream (banding, XOR verify, components) is
+# decoder-agnostic plumbing either way.
 # ---------------------------------------------------------------------------
 
 
 def _fake_pixel_stream(payload: bytes, n: int) -> bytes:
     """sha256-chained deterministic byte stream standing in for decoded
-    grayscale pixels (same stand-in policy as _fake_decode)."""
+    grayscale pixels (fallback for payloads png_codec can't decode —
+    same stand-in policy as _fake_decode)."""
     out = b""
     h = hashlib.sha256(payload).digest()
     while len(out) < n:
@@ -429,19 +732,43 @@ def _fake_pixel_stream(payload: bytes, n: int) -> bytes:
     return out[:n]
 
 
+def _pixel_grid_8x9(payload: bytes):
+    """8x9 grayscale grid for dHash: real PNG decode -> integer luma ->
+    exact-integer area-mean pool (grid_mean) when the image is at least
+    9x8, nearest-neighbor otherwise; non-PNG payloads fall back to the
+    deterministic fake stream. numpy uint8/int64 throughout —
+    bit-identical across platforms and partitionings."""
+    import numpy as np
+
+    from . import png_codec
+
+    try:
+        arr = png_codec.decode_png(payload)
+    except png_codec.PngError:
+        return np.frombuffer(
+            _fake_pixel_stream(payload, 72), dtype=np.uint8
+        ).reshape(8, 9)
+    plane = png_codec.luma(arr)
+    if plane.shape[0] >= 8 and plane.shape[1] >= 9:
+        return png_codec.grid_mean(plane, 9, 8)
+    return png_codec.resize_nearest(plane, 9, 8)
+
+
 def phash64_bytes(payload: bytes | None) -> int | None:
     """64-bit dHash: an 8x9 grayscale grid, bit (r, c) set when
     pixel(r, c) > pixel(r, c+1) — horizontal gradient signs, the
-    classic dHash. Returned as a SIGNED 64-bit int (Spark LongType;
-    bit 63 maps to the sign bit — the repo's 1<<63 ANSI-overflow
-    lesson). None for NULL payloads."""
+    classic dHash. PNG payloads hash REAL pixels (_pixel_grid_8x9);
+    undecodable payloads hash a deterministic byte-stream stand-in.
+    Returned as a SIGNED 64-bit int (Spark LongType; bit 63 maps to
+    the sign bit — the repo's 1<<63 ANSI-overflow lesson). None for
+    NULL payloads."""
     if payload is None:
         return None
-    px = _fake_pixel_stream(payload, 72)  # 8 rows x 9 cols
+    px = _pixel_grid_8x9(payload)
     bits = 0
     for r in range(8):
         for c in range(8):
-            if px[r * 9 + c] > px[r * 9 + c + 1]:
+            if int(px[r, c]) > int(px[r, c + 1]):
                 bits |= 1 << (r * 8 + c)
     return bits - (1 << 64) if bits >= 1 << 63 else bits
 

@@ -57,10 +57,16 @@ def test_multimodal_frame_sampling(spark):
     assert frames.filter(F.col("kind") != "frame").count() == 0
 
 
-def test_multimodal_resize_is_explicit_stub(spark):
-    media = multimodal.media_fixture(spark, 3)
-    with pytest.raises(Exception, match="PIL|NotImplemented|decode"):
-        multimodal.resize_images(media, 32, 32).collect()
+def test_multimodal_resize_quarantines_undecodable(spark):
+    # round 6: resize is REAL for PNG (see test_multimodal_pixels.py);
+    # the media_fixture payloads are header-only/garbage — all must take
+    # the quarantine-in-place route, byte-identical, resized=false
+    media = multimodal.media_fixture(spark, 6)
+    out = multimodal.resize_images(media, 32, 32).collect()
+    assert len(out) == 6
+    assert all(not r["resized"] for r in out)
+    orig = {r["media_id"]: bytes(r["payload"]) for r in media.collect()}
+    assert all(bytes(r["payload"]) == orig[r["media_id"]] for r in out)
 
 
 def test_parse_image_headers(spark):
