@@ -2458,6 +2458,148 @@ def q_media_metadata(spark, sf):
     )
 
 
+def q_image_resize(spark, sf):
+    """Invariant certification of the REAL PNG pixel path (round 6: the
+    resize stub is gone — stdlib-zlib decode, exact integer nearest
+    center-sampling, re-encode). Ground truth is construction-time like
+    media_metadata: the fixture's exp_sha256 comes from the closed-form
+    pattern pixel(y,x,c) = (x*(7+2c) + y*(13+3c) + 31i) % 251 plus the
+    resampling SPEC src = floor(((2t+1)*in)/(2*out)) — never by calling
+    resize_nearest — and decode_png itself is pinned against hand-built
+    byte streams in tests/test_png_codec.py, so encode/decode can't
+    self-consistently hide a channel/orientation swap. 48 rows: every
+    third is garbage (quarantine passthrough), 32 resize; zero flag /
+    dimension / pixel mismatches."""
+    from dataqualitykit_spark.operators import multimodal
+
+    fx = multimodal.image_resize_fixture_expected(spark, 48, out_w=16, out_h=12)
+    resized = multimodal.resize_images(
+        fx.select(
+            "media_id", "kind", "payload", "mime", "width", "height",
+            "duration_ms",
+        ),
+        16,
+        12,
+    )
+
+    def pixel_sha(it):
+        import hashlib as _h
+
+        import pandas as _pd
+
+        from dataqualitykit_spark.operators import png_codec as _pc
+
+        for pdf in it:
+            shas = []
+            for p, ok in zip(pdf["payload"], pdf["resized"]):
+                if not ok:
+                    shas.append(None)
+                    continue
+                try:
+                    arr = _pc.decode_png(bytes(p))
+                    shas.append(_h.sha256(arr.tobytes()).hexdigest())
+                except _pc.PngError:
+                    shas.append("DECODE_FAIL")
+            yield _pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "resized": pdf["resized"],
+                    "out_w": pdf["width"],
+                    "out_h": pdf["height"],
+                    "pixel_sha": shas,
+                }
+            )
+
+    hashed = resized.mapInPandas(
+        pixel_sha,
+        "media_id bigint, resized boolean, out_w int, out_h int, "
+        "pixel_sha string",
+    )
+    j = hashed.join(fx.select("media_id", "exp_resized", "exp_sha256"), "media_id")
+    return j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.col("resized").cast("int")).cast("long").alias("n_resized"),
+        F.sum(
+            (~F.col("resized").eqNullSafe(F.col("exp_resized"))).cast("int")
+        ).cast("long").alias("n_flag_mismatch"),
+        F.sum(
+            (
+                F.col("resized")
+                & ((F.col("out_w") != 16) | (F.col("out_h") != 12))
+            ).cast("int")
+        ).cast("long").alias("n_dim_mismatch"),
+        F.sum(
+            (~F.col("pixel_sha").eqNullSafe(F.col("exp_sha256"))).cast("int")
+        ).cast("long").alias("n_pixel_mismatch"),
+    )
+
+
+def q_bpe_tokenize(spark, sf):
+    """Invariant certification of the corpus-trained BPE tokenizer
+    (round 6: train merges ON the documents table — bounded driver
+    model, the dsir-NB recipe — then encode every doc to token ids).
+    BPE inference has no SQL mirror, so the value-level checks are
+    self-verifying per-row invariants Spark computes INDEPENDENTLY of
+    the encoder: reconstruct_ok (decoded token strings must equal the
+    pretoken concatenation from regexp_extract_all — byte preservation),
+    has_unk (base units come from the whole corpus, so encoding the
+    training corpus can never produce <unk>), compress_ok (merges only
+    shrink: n_tokens <= n_pretoken_chars). n_docs mirrors count(*); the
+    three violation counts are exact zeros. Analytic merge-order goldens
+    live in tests/test_tokenizer.py."""
+    from dataqualitykit_spark.operators import tokenizer
+
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    model = tokenizer.learn_bpe(d, n_merges=200)
+    checked = tokenizer.bpe_reconstruction_check(d, model)
+    return checked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum((~F.col("reconstruct_ok")).cast("int")).cast("long").alias(
+            "n_reconstruct_fail"
+        ),
+        F.sum(F.col("has_unk").cast("int")).cast("long").alias("n_unk_docs"),
+        F.sum((~F.col("compress_ok")).cast("int")).cast("long").alias(
+            "n_compress_viol"
+        ),
+    )
+
+
+def q_audio_features(spark, sf):
+    """Invariant certification of REAL PCM sample decode + signal
+    features (round 6). Fixture WAVs are mono square waves, so every
+    expected value is a CLOSED FORM of (amp, period, n): RMS = amp
+    exactly (|x| constant; int64 energy sum, n*amp^2 < 2^53 so the
+    final division and sqrt are exact), zero crossings =
+    floor((n-1)/(period/2)), clip only on the planted full-scale rows.
+    48 rows: every fourth garbage (parse_ok=false, NULL features), 36
+    parsed, zero field mismatches — doubles compare EXACTLY equal by
+    construction."""
+    from dataqualitykit_spark.operators import multimodal
+
+    fx = multimodal.audio_fixture_expected(spark, 48)
+    feats = multimodal.audio_features(fx.select("media_id", "kind", "payload"))
+    j = feats.join(
+        fx.select(
+            "media_id", "exp_parse_ok", "exp_n_samples", "exp_rms",
+            "exp_zcr", "exp_peak", "exp_clip",
+        ),
+        "media_id",
+    )
+    mismatch = (
+        ~F.col("parse_ok").eqNullSafe(F.col("exp_parse_ok"))
+        | ~F.col("n_samples").eqNullSafe(F.col("exp_n_samples"))
+        | ~F.col("rms").eqNullSafe(F.col("exp_rms"))
+        | ~F.col("zero_cross_rate").eqNullSafe(F.col("exp_zcr"))
+        | ~F.col("peak").eqNullSafe(F.col("exp_peak"))
+        | ~F.col("clip_ratio").eqNullSafe(F.col("exp_clip"))
+    )
+    return j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.col("parse_ok").cast("int")).cast("long").alias("n_parse_ok"),
+        F.sum(mismatch.cast("int")).cast("long").alias("n_mismatch"),
+    )
+
+
 def q_paragraph_dedup(spark, sf):
     # CCNet-style repeated-paragraph scrub: inject a per-source copyright
     # line and a cyclic footer into every doc — both repeat across >= 3
@@ -2820,6 +2962,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_profile": q_hll_profile,  # NEW r6 s3 (HLL)
         "domain_split": q_domain_split,  # NEW r6 s3 (leakage-free split)
         "bloom_decontamination": q_bloom_decontamination,  # NEW r6 s3
+        "image_resize": q_image_resize,  # NEW r6 s4 (real PNG pixel path)
+        "audio_features": q_audio_features,  # NEW r6 s4 (real PCM decode)
+        "bpe_tokenize": q_bpe_tokenize,  # NEW r6 s4 (corpus-trained BPE)
         "weighted_ma": q_weighted_ma,
         "centered_ma": q_centered_ma,
         "forward_fill": q_forward_fill,
@@ -5465,6 +5610,24 @@ def oracle_sql() -> dict[str, str]:
         SELECT d.doc_id, CAST(coalesce(a.n, 0) AS INT) AS n_bloom_hits,
                coalesce(a.n, 0) >= 1 AS flagged
         FROM documents d LEFT JOIN agg a USING (doc_id)"""
+    # real-pixel / real-sample invariants: construction-time ground truth
+    # (the media_metadata recipe) — fixture constants ARE the oracle
+    d["image_resize"] = """
+        SELECT CAST(48 AS BIGINT) AS n_rows,
+               CAST(32 AS BIGINT) AS n_resized,
+               CAST(0 AS BIGINT) AS n_flag_mismatch,
+               CAST(0 AS BIGINT) AS n_dim_mismatch,
+               CAST(0 AS BIGINT) AS n_pixel_mismatch"""
+    d["audio_features"] = """
+        SELECT CAST(48 AS BIGINT) AS n_rows,
+               CAST(36 AS BIGINT) AS n_parse_ok,
+               CAST(0 AS BIGINT) AS n_mismatch"""
+    d["bpe_tokenize"] = """
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(0 AS BIGINT) AS n_reconstruct_fail,
+               CAST(0 AS BIGINT) AS n_unk_docs,
+               CAST(0 AS BIGINT) AS n_compress_viol
+        FROM documents"""
     d["domain_split"] = """
         WITH dm AS (
           SELECT doc_id, source AS domain FROM documents
