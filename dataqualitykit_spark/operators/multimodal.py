@@ -269,13 +269,32 @@ def extract_features(df: DataFrame, dim: int = 8) -> DataFrame:
 RESIZED_SCHEMA = MEDIA_SCHEMA + ", resized boolean"
 
 
+def decode_image_pixels(payload: bytes | None):
+    """Decoded pixel array for payloads the dependency-free codecs
+    handle — PNG (operators/png_codec.py: stdlib zlib + unfiltering) and
+    GIF (operators/gif_codec.py: pure-python LZW, first frame) — else
+    None (the quarantine signal). JPEG still needs a real library."""
+    from . import gif_codec, png_codec
+
+    if payload is None:
+        return None
+    try:
+        if payload[:8] == b"\x89PNG\r\n\x1a\n":
+            return png_codec.decode_png(payload)
+        if payload[:6] in (b"GIF87a", b"GIF89a"):
+            return gif_codec.decode_gif(payload)
+    except (png_codec.PngError, gif_codec.GifError):
+        return None
+    return None
+
+
 def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
-    """REAL image resize for PNG payloads (no longer a stub): decode via
-    the dependency-free stdlib-zlib codec (png_codec.decode_png), exact
-    integer nearest-neighbor center-sampling to (width, height), re-encode
-    as PNG; width/height/mime columns updated and `resized`=true.
-    Payloads the codec rejects (JPEG/GIF/garbage/interlaced — PngError)
-    pass through byte-identical with `resized`=false: the same
+    """REAL image resize for PNG and GIF payloads (no longer a stub):
+    decode via the dependency-free codecs (stdlib-zlib PNG; pure-python
+    LZW GIF), exact integer nearest-neighbor center-sampling to
+    (width, height), re-encode as PNG; width/height/mime columns updated
+    and `resized`=true. Payloads the codecs reject (JPEG/garbage/
+    corrupt) pass through byte-identical with `resized`=false: the same
     quarantine-in-place route media_metadata uses, so a downstream filter
     on `resized` splits clean output from rows needing a richer decoder.
 
@@ -292,9 +311,8 @@ def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
             for p, mime, w0, h0 in zip(
                 pdf["payload"], pdf["mime"], pdf["width"], pdf["height"]
             ):
-                try:
-                    arr = png_codec.decode_png(p)
-                except png_codec.PngError:
+                arr = decode_image_pixels(p)
+                if arr is None:
                     payloads.append(p)
                     mimes.append(mime)
                     ws.append(w0)
@@ -593,18 +611,21 @@ IMAGE_RESIZE_SCHEMA = (
 def image_resize_fixture_expected(
     spark, n: int = 48, out_w: int = 16, out_h: int = 12
 ) -> DataFrame:
-    """n media rows for the resize oracle: rows i % 3 != 2 are REAL PNGs
-    (gray / RGB alternating, varying dimensions) of the closed-form
-    pattern; rows i % 3 == 2 are garbage (exp_resized=false). exp_sha256
-    is the sha256 of the resized pixel bytes computed INDEPENDENTLY from
-    the pattern formula + the nearest-neighbor center-sampling spec
+    """n media rows for the resize oracle: even rows (mod 3 != 2) are
+    REAL GIFs of the gray closed-form pattern (exercising the LZW +
+    palette decode leg — a GIF decodes to 3 replicated channels), odd
+    rows are REAL RGB PNGs; rows i % 3 == 2 are garbage
+    (exp_resized=false). exp_sha256 is the sha256 of the resized pixel
+    bytes computed INDEPENDENTLY from the pattern formula + the
+    nearest-neighbor center-sampling spec
     src = floor(((2*t + 1) * in) / (2 * out)) — not by calling
-    resize_nearest. decode_png itself is pinned against hand-built byte
-    streams in tests/test_png_codec.py, so the encode/decode pair cannot
+    resize_nearest. decode_png / decode_gif are pinned against
+    hand-built byte streams in tests/test_png_codec.py and
+    tests/test_gif_codec.py, so an encode/decode pair cannot
     self-consistently hide a channel or orientation swap."""
     import numpy as np
 
-    from . import png_codec
+    from . import gif_codec, png_codec
 
     rows = []
     for i in range(n):
@@ -616,22 +637,32 @@ def image_resize_fixture_expected(
             )
             continue
         w, h = 20 + (i * 5) % 40, 15 + (i * 7) % 30
-        ch = 1 if i % 2 == 0 else 3
-        arr = np.zeros((h, w, ch), dtype=np.uint8)
-        for c in range(ch):
-            xs = np.arange(w)[None, :] * (7 + 2 * c)
-            ys = np.arange(h)[:, None] * (13 + 3 * c)
-            arr[:, :, c] = ((xs + ys + i * 31) % 251).astype(np.uint8)
-        payload = png_codec.encode_png(arr)
-        exp = np.zeros((out_h, out_w, ch), dtype=np.uint8)
+        if i % 2 == 0:  # gray pattern shipped as a GIF (palette of grays)
+            gray = np.zeros((h, w), dtype=np.uint8)
+            xs = np.arange(w)[None, :] * 7
+            ys = np.arange(h)[:, None] * 13
+            gray[:, :] = ((xs + ys + i * 31) % 251).astype(np.uint8)
+            payload, mime = gif_codec.encode_gif(gray), "image/gif"
+            exp_ch, gif_gray = 3, True  # GIF decodes to replicated RGB
+        else:
+            arr = np.zeros((h, w, 3), dtype=np.uint8)
+            for c in range(3):
+                xs = np.arange(w)[None, :] * (7 + 2 * c)
+                ys = np.arange(h)[:, None] * (13 + 3 * c)
+                arr[:, :, c] = ((xs + ys + i * 31) % 251).astype(np.uint8)
+            payload, mime = png_codec.encode_png(arr), "image/png"
+            exp_ch, gif_gray = 3, False
+        exp = np.zeros((out_h, out_w, exp_ch), dtype=np.uint8)
         for v in range(out_h):
             sy = ((2 * v + 1) * h) // (2 * out_h)
             for u in range(out_w):
                 sx = ((2 * u + 1) * w) // (2 * out_w)
-                for c in range(ch):
-                    exp[v, u, c] = _pattern_pixel(i, sy, sx, c)
+                for c in range(exp_ch):
+                    exp[v, u, c] = _pattern_pixel(
+                        i, sy, sx, 0 if gif_gray else c
+                    )
         rows.append(
-            (i, "image", payload, "image/png", w, h, None, True,
+            (i, "image", payload, mime, w, h, None, True,
              hashlib.sha256(exp.tobytes()).hexdigest())
         )
     return spark.createDataFrame(rows, IMAGE_RESIZE_SCHEMA)
@@ -733,18 +764,17 @@ def _fake_pixel_stream(payload: bytes, n: int) -> bytes:
 
 
 def _pixel_grid_8x9(payload: bytes):
-    """8x9 grayscale grid for dHash: real PNG decode -> integer luma ->
-    exact-integer area-mean pool (grid_mean) when the image is at least
-    9x8, nearest-neighbor otherwise; non-PNG payloads fall back to the
-    deterministic fake stream. numpy uint8/int64 throughout —
-    bit-identical across platforms and partitionings."""
+    """8x9 grayscale grid for dHash: real PNG/GIF decode -> integer luma
+    -> exact-integer area-mean pool (grid_mean) when the image is at
+    least 9x8, nearest-neighbor otherwise; undecodable payloads fall
+    back to the deterministic fake stream. numpy uint8/int64 throughout
+    — bit-identical across platforms and partitionings."""
     import numpy as np
 
     from . import png_codec
 
-    try:
-        arr = png_codec.decode_png(payload)
-    except png_codec.PngError:
+    arr = decode_image_pixels(payload)
+    if arr is None:
         return np.frombuffer(
             _fake_pixel_stream(payload, 72), dtype=np.uint8
         ).reshape(8, 9)

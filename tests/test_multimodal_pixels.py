@@ -102,6 +102,18 @@ class TestPhashRealPixels:
         tiny = np.arange(12, dtype=np.uint8).reshape(3, 4, 1)
         assert phash64_bytes(_png_of(tiny)) is not None
 
+    def test_gif_and_png_of_same_image_collide(self):
+        # format-independence: the SAME picture shipped as GIF and PNG
+        # hashes identically (GIF decodes to replicated-RGB whose luma
+        # equals the gray plane)
+        from dataqualitykit_spark.operators import gif_codec as gc
+
+        rng = np.random.default_rng(9)
+        gray = rng.integers(0, 200, (32, 40), dtype=np.uint8)
+        h_gif = phash64_bytes(gc.encode_gif(gray))
+        h_png = phash64_bytes(pc.encode_png(gray[:, :, None]))
+        assert h_gif == h_png
+
     def test_non_png_falls_back_to_byte_hash(self):
         # identical garbage bytes still collide (phash_dedup twin rule)
         assert phash64_bytes(b"jpegish") == phash64_bytes(b"jpegish")
