@@ -2564,6 +2564,108 @@ def q_bpe_tokenize(spark, sf):
     )
 
 
+def q_audio_spectral(spark, sf):
+    """Invariant certification of FFT dominant-frequency extraction over
+    real PCM decode: the fixture's square waves have period | n_samples
+    (zero leakage), so the dominant bin is EXACTLY the cycle count and
+    its frequency mirrors the same integer expression — the float FFT
+    itself never crosses engines (the compared values are the integer
+    bin and a bit-identical division). 32 rows, 8 garbage, zero
+    mismatches."""
+    from dataqualitykit_spark.operators import multimodal
+
+    fx = multimodal.audio_spectral_fixture_expected(spark, 32)
+    feats = multimodal.audio_spectral(fx.select("media_id", "kind", "payload"))
+    j = feats.join(
+        fx.select(
+            "media_id", "exp_parse_ok", "exp_n_samples", "exp_bin", "exp_freq"
+        ),
+        "media_id",
+    )
+    mismatch = (
+        ~F.col("parse_ok").eqNullSafe(F.col("exp_parse_ok"))
+        | ~F.col("n_samples").eqNullSafe(F.col("exp_n_samples"))
+        | ~F.col("dominant_bin").eqNullSafe(F.col("exp_bin"))
+        | ~F.col("dominant_freq_hz").eqNullSafe(F.col("exp_freq"))
+    )
+    return j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.col("parse_ok").cast("int")).cast("long").alias("n_parse_ok"),
+        F.sum(mismatch.cast("int")).cast("long").alias("n_mismatch"),
+    )
+
+
+def q_gif_frames(spark, sf):
+    """Invariant certification of REAL animated-GIF frame extraction
+    (round 6: sample_frames decodes GIF animations — pure-python LZW +
+    canvas compositing — and re-encodes sampled canvases as PNG; the
+    stub fan-out remains only for formats needing a real codec, MP4).
+    Ground truth is construction-time: animation_frames_expected emits
+    one (media_id, ts, sha256) row per frame the sampler MUST produce,
+    from the fixture's closed-form frame values — never by running the
+    codec. 24 fixture rows (8 garbage) at every_ms=250 must yield
+    exactly 96 real PNG frames + 8 stub rows, every real frame matching
+    its expected pixel sha, none unmatched."""
+    from dataqualitykit_spark.operators import multimodal
+
+    fx = multimodal.animation_fixture(spark, 24)
+    sampled = multimodal.sample_frames(fx, every_ms=250)
+
+    def pixel_sha(it):
+        import hashlib as _h
+
+        import pandas as _pd
+
+        from dataqualitykit_spark.operators import png_codec as _pc
+
+        for pdf in it:
+            shas = []
+            for p, mime in zip(pdf["payload"], pdf["mime"]):
+                if mime != "image/png":
+                    shas.append(None)
+                    continue
+                try:
+                    arr = _pc.decode_png(bytes(p))
+                    shas.append(_h.sha256(arr.tobytes()).hexdigest())
+                except _pc.PngError:
+                    shas.append("DECODE_FAIL")
+            yield _pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "mime": pdf["mime"],
+                    "ts": pdf["duration_ms"],
+                    "pixel_sha": shas,
+                }
+            )
+
+    hashed = sampled.mapInPandas(
+        pixel_sha, "media_id bigint, mime string, ts int, pixel_sha string"
+    )
+    exp = multimodal.animation_frames_expected(spark, 24, every_ms=250)
+    j = hashed.join(exp, ["media_id", "ts"], "left")
+    return j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum((F.col("mime") == "image/png").cast("int")).cast("long").alias(
+            "n_real_frames"
+        ),
+        F.sum((F.col("mime") == "image/x-stub").cast("int")).cast("long").alias(
+            "n_stub_rows"
+        ),
+        F.sum(
+            (
+                (F.col("mime") == "image/png")
+                & F.col("exp_sha256").isNull()
+            ).cast("int")
+        ).cast("long").alias("n_unmatched"),
+        F.sum(
+            (
+                (F.col("mime") == "image/png")
+                & ~F.col("pixel_sha").eqNullSafe(F.col("exp_sha256"))
+            ).cast("int")
+        ).cast("long").alias("n_sha_mismatch"),
+    )
+
+
 def q_audio_features(spark, sf):
     """Invariant certification of REAL PCM sample decode + signal
     features (round 6). Fixture WAVs are mono square waves, so every
@@ -2965,6 +3067,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_resize": q_image_resize,  # NEW r6 s4 (real PNG pixel path)
         "audio_features": q_audio_features,  # NEW r6 s4 (real PCM decode)
         "bpe_tokenize": q_bpe_tokenize,  # NEW r6 s4 (corpus-trained BPE)
+        "gif_frames": q_gif_frames,  # NEW r6 s4 (real animation frames)
+        "audio_spectral": q_audio_spectral,  # NEW r6 s4 (FFT dominant bin)
         "weighted_ma": q_weighted_ma,
         "centered_ma": q_centered_ma,
         "forward_fill": q_forward_fill,
@@ -5622,6 +5726,16 @@ def oracle_sql() -> dict[str, str]:
         SELECT CAST(48 AS BIGINT) AS n_rows,
                CAST(36 AS BIGINT) AS n_parse_ok,
                CAST(0 AS BIGINT) AS n_mismatch"""
+    d["audio_spectral"] = """
+        SELECT CAST(32 AS BIGINT) AS n_rows,
+               CAST(24 AS BIGINT) AS n_parse_ok,
+               CAST(0 AS BIGINT) AS n_mismatch"""
+    d["gif_frames"] = """
+        SELECT CAST(104 AS BIGINT) AS n_rows,
+               CAST(96 AS BIGINT) AS n_real_frames,
+               CAST(8 AS BIGINT) AS n_stub_rows,
+               CAST(0 AS BIGINT) AS n_unmatched,
+               CAST(0 AS BIGINT) AS n_sha_mismatch"""
     d["bpe_tokenize"] = """
         SELECT CAST(count(*) AS BIGINT) AS n_docs,
                CAST(0 AS BIGINT) AS n_reconstruct_fail,

@@ -342,15 +342,49 @@ def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
 
 
 def sample_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
-    """Video frame sampling: one input row -> N frame rows. The fan-out
-    shape (mapInPandas, output rows > input rows) is the point; frame
-    extraction itself is stubbed pending ffmpeg."""
+    """Video/animation frame sampling: one input row -> N frame rows
+    (mapInPandas fan-out; output rows > input rows, batches stream
+    through bounded memory). ANIMATED GIFs extract REAL frames (round 6:
+    gif_codec.decode_gif_frames — LZW decode + canvas compositing): at
+    each sample instant t = 0, every_ms, 2*every_ms, ... the frame
+    active at t is re-encoded as PNG with duration_ms = t. Other
+    payloads (MP4 needs a real codec) keep the stub fan-out derived
+    from the metadata duration, marked mime='image/x-stub'."""
+    from . import gif_codec, png_codec
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = []
             for _, r in pdf.iterrows():
-                n = max(1, int((r["duration_ms"] or 0) / every_ms))
+                p = r["payload"]
+                frames = None
+                if p is not None and bytes(p[:6]) in (b"GIF87a", b"GIF89a"):
+                    try:
+                        frames = gif_codec.decode_gif_frames(bytes(p))
+                    except gif_codec.GifError:
+                        frames = None
+                if frames is not None:
+                    total = frames[-1][1]  # last frame's start time
+                    n = max(1, total // every_ms + 1)
+                    for k in range(n):
+                        t = k * every_ms
+                        # frame active at t: last start time <= t
+                        canvas = [c for c, ts in frames if ts <= t][-1]
+                        rows.append(
+                            {
+                                "media_id": r["media_id"],
+                                "kind": "frame",
+                                "payload": png_codec.encode_png(canvas),
+                                "mime": "image/png",
+                                "width": canvas.shape[1],
+                                "height": canvas.shape[0],
+                                "duration_ms": t,
+                            }
+                        )
+                    continue
+                dur = r["duration_ms"]
+                dur = 0 if dur is None or pd.isna(dur) else int(dur)
+                n = max(1, dur // every_ms)
                 for k in range(n):
                     rows.append(
                         {
@@ -587,6 +621,55 @@ def audio_features(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     return df.mapInPandas(batches, schema=AUDIO_FEATURE_SCHEMA)
 
 
+AUDIO_SPECTRAL_SCHEMA = (
+    "media_id bigint, kind string, n_samples bigint, sample_rate_hz int, "
+    "dominant_bin int, dominant_freq_hz double, parse_ok boolean"
+)
+
+
+def audio_spectral(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Dominant-frequency analysis over REAL decoded PCM samples
+    (channel 0): one rfft per clip, dominant_bin = argmax |X[k]| over
+    k >= 1 (DC excluded), dominant_freq_hz = bin * rate / n. The float
+    FFT never crosses engines: the ORACLE-compared value is the integer
+    bin, and for any periodic clip whose period divides n the fundamental
+    wins argmax by a wide margin (a square wave's 3rd harmonic is 3x
+    weaker), so ulp noise cannot flip it. Arrow-batched mapInPandas,
+    zero shuffle; undecodable payloads -> parse_ok=false."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, kind, p in zip(
+                pdf["media_id"], pdf["kind"], pdf[payload_col]
+            ):
+                dec = decode_wav_samples(p)
+                if dec is None:
+                    rows.append((mid, kind, None, None, None, None, False))
+                    continue
+                samples, rate, _ch, _bits = dec
+                x = samples[:, 0].astype(np.float64)
+                n = x.shape[0]
+                mag = np.abs(np.fft.rfft(x))
+                if mag.shape[0] < 2:
+                    rows.append((mid, kind, n, rate, None, None, True))
+                    continue
+                k = int(np.argmax(mag[1:])) + 1
+                rows.append(
+                    (mid, kind, n, rate, k, k * rate / n, True)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "kind", "n_samples", "sample_rate_hz",
+                    "dominant_bin", "dominant_freq_hz", "parse_ok",
+                ],
+            )
+
+    return df.mapInPandas(batches, schema=AUDIO_SPECTRAL_SCHEMA)
+
+
 # ---------------------------------------------------------------------------
 # Real-pixel / real-sample fixtures with CONSTRUCTION-TIME ground truth
 # (the media_fixture_expected recipe): expected values derive from the
@@ -668,6 +751,70 @@ def image_resize_fixture_expected(
     return spark.createDataFrame(rows, IMAGE_RESIZE_SCHEMA)
 
 
+def _animation_params(i: int) -> tuple[int, int, list[int]]:
+    """(h, w, frame gray values) for animated fixture row i — shared by
+    the generator and the expected-side mirror."""
+    n_frames = 2 + i % 4
+    h, w = 10 + i % 6, 12 + i % 5
+    values = [(i * 37 + k * 11) % 251 for k in range(n_frames)]
+    return h, w, values
+
+
+def animation_fixture(spark, n: int = 24) -> DataFrame:
+    """n media rows: i % 3 == 2 garbage (stub route), the rest REAL
+    animated GIFs — full-screen constant-gray frames from
+    _animation_params, every frame 500 ms."""
+    import numpy as np
+
+    from . import gif_codec
+
+    rows = []
+    for i in range(n):
+        if i % 3 == 2:
+            payload = hashlib.md5(f"anim{i}".encode()).digest() * 2
+            rows.append(
+                (i, "video", payload, "application/octet-stream",
+                 None, None, None)
+            )
+            continue
+        h, w, values = _animation_params(i)
+        frames = [np.full((h, w), v, dtype=np.uint8) for v in values]
+        payload = gif_codec.encode_gif_animation(frames, [500] * len(frames))
+        rows.append(
+            (i, "video", payload, "image/gif", w, h, 500 * len(values))
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def animation_frames_expected(
+    spark, n: int = 24, every_ms: int = 250
+) -> DataFrame:
+    """One row per REAL frame sample_frames must emit for
+    animation_fixture(n) at `every_ms`: timestamps t = k*every_ms up to
+    the last frame's start (500*(F-1)), the active frame at t is
+    floor(t/500), and exp_sha256 is the sha of that frame's composited
+    canvas — all CLOSED FORMS of _animation_params, never produced by
+    running the codec pipeline."""
+    import numpy as np
+
+    rows = []
+    for i in range(n):
+        if i % 3 == 2:
+            continue
+        h, w, values = _animation_params(i)
+        total = 500 * (len(values) - 1)
+        for k in range(total // every_ms + 1):
+            t = k * every_ms
+            v = values[min(t // 500, len(values) - 1)]
+            canvas = np.full((h, w, 3), v, dtype=np.uint8)
+            rows.append(
+                (i, t, hashlib.sha256(canvas.tobytes()).hexdigest())
+            )
+    return spark.createDataFrame(
+        rows, "media_id bigint, ts int, exp_sha256 string"
+    )
+
+
 AUDIO_FIXTURE_SCHEMA = (
     "media_id bigint, kind string, payload binary, mime string, "
     "width int, height int, duration_ms int, exp_parse_ok boolean, "
@@ -703,6 +850,42 @@ def _square_wave_wav(
         b"RIFF" + (4 + len(fmt) + len(chunk)).to_bytes(4, "little")
         + b"WAVE" + fmt + chunk
     )
+
+
+AUDIO_SPECTRAL_FIXTURE_SCHEMA = (
+    "media_id bigint, kind string, payload binary, mime string, "
+    "exp_parse_ok boolean, exp_n_samples bigint, exp_bin int, "
+    "exp_freq double"
+)
+
+
+def audio_spectral_fixture_expected(spark, n: int = 32) -> DataFrame:
+    """n audio rows for the spectral oracle: rows i % 4 == 3 garbage;
+    the rest square waves whose period DIVIDES the sample count
+    (n_samp = period * cycles -> zero spectral leakage), so the
+    dominant bin is EXACTLY `cycles` and the dominant frequency is
+    cycles * rate / n_samp — closed forms of the construction params.
+    exp_freq mirrors the operator's float expression with the same
+    integers, so the doubles are bit-identical."""
+    rows = []
+    for i in range(n):
+        if i % 4 == 3:
+            payload = hashlib.md5(f"spec{i}".encode()).digest() * 2
+            rows.append(
+                (i, "audio", payload, "application/octet-stream",
+                 False, None, None, None)
+            )
+            continue
+        period = 2 * (1 + i % 5)
+        cycles = 60 + i
+        n_samp = period * cycles
+        amp = (300 + 41 * i) % 30000 + 1
+        payload = _square_wave_wav(amp, period, n_samp)
+        rows.append(
+            (i, "audio", payload, "audio/wav", True, n_samp, cycles,
+             cycles * 8000 / n_samp)
+        )
+    return spark.createDataFrame(rows, AUDIO_SPECTRAL_FIXTURE_SCHEMA)
 
 
 def audio_fixture_expected(spark, n: int = 48) -> DataFrame:

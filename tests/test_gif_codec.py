@@ -125,6 +125,77 @@ class TestFlags:
         assert (gc.decode_gif(bytes(payload))[:, :, 0] == a).all()
 
 
+class TestAnimation:
+    def test_roundtrip_timestamps_and_frames(self):
+        frames = [np.full((6, 8), 10 * k, dtype=np.uint8) for k in range(4)]
+        frames[2][2:4, 3:5] = 99
+        payload = gc.encode_gif_animation(frames, [100, 200, 300, 400])
+        dec = gc.decode_gif_frames(payload)
+        assert [t for _, t in dec] == [0, 100, 300, 600]
+        for k, (canvas, _) in enumerate(dec):
+            assert (canvas == np.repeat(frames[k][:, :, None], 3, axis=2)).all()
+
+    def test_max_frames_stops_early(self):
+        frames = [np.full((4, 4), k, dtype=np.uint8) for k in range(5)]
+        payload = gc.encode_gif_animation(frames, [50] * 5)
+        assert len(gc.decode_gif_frames(payload, max_frames=2)) == 2
+
+    def test_decode_gif_returns_first_frame(self):
+        frames = [np.full((4, 4), k * 30, dtype=np.uint8) for k in range(3)]
+        payload = gc.encode_gif_animation(frames, [100] * 3)
+        assert (gc.decode_gif(payload)[:, :, 0] == frames[0]).all()
+
+    def test_partial_rect_transparency_composites(self):
+        # hand-appended second frame: 2x2 rect at (1,1), local 2-color
+        # table, index 0 transparent -> leaves the base canvas visible
+        base = gc.encode_gif(np.full((6, 8), 50, dtype=np.uint8))
+        gce = bytes([0x21, 0xF9, 4, 0x05, 5, 0, 0, 0])
+        lct = bytes([0, 0, 0, 200, 100, 25])
+        lzw = gc._lzw_encode(bytes([0, 1, 1, 0]), 2)
+        desc = (
+            b"\x2c" + (1).to_bytes(2, "little") * 2
+            + (2).to_bytes(2, "little") * 2 + bytes([0x80])
+        )
+        frame2 = gce + desc + lct + bytes([2]) + bytes([len(lzw)]) + lzw + b"\x00"
+        dec = gc.decode_gif_frames(base[:-1] + frame2 + b"\x3b")
+        assert len(dec) == 2
+        c2 = dec[1][0]
+        assert tuple(c2[1, 1]) == (50, 50, 50)  # transparent -> canvas
+        assert tuple(c2[1, 2]) == (200, 100, 25)
+        assert tuple(c2[2, 1]) == (200, 100, 25)
+        assert tuple(c2[0, 0]) == (50, 50, 50)
+
+    def test_disposal_2_restores_background(self):
+        base = gc.encode_gif(np.full((4, 4), 9, dtype=np.uint8))
+        # disposal=2 GCE before frame 1, then a second full frame with
+        # transparent index: restored-black shows through
+        payload = bytearray(base[:-1])
+        n_pal = 2 << (payload[10] & 0x07)
+        j = 13 + 3 * n_pal
+        payload[j:j] = bytes([0x21, 0xF9, 4, 0x08, 5, 0, 0, 0])  # disposal 2
+        lct = bytes([0, 0, 0, 7, 7, 7])
+        lzw = gc._lzw_encode(bytes([0, 1] * 8), 2)
+        gce2 = bytes([0x21, 0xF9, 4, 0x05, 5, 0, 0, 0])  # transparent 0
+        desc = (
+            b"\x2c" + (0).to_bytes(2, "little") * 2
+            + (4).to_bytes(2, "little") * 2 + bytes([0x80])
+        )
+        payload += gce2 + desc + lct + bytes([2]) + bytes([len(lzw)]) + lzw
+        payload += b"\x00\x3b"
+        dec = gc.decode_gif_frames(bytes(payload))
+        assert len(dec) == 2
+        c2 = dec[1][0]
+        assert tuple(c2[0, 0]) == (0, 0, 0)  # transparent over restored bg
+        assert tuple(c2[0, 1]) == (7, 7, 7)
+
+    def test_animation_rejects_mismatched_dims(self):
+        with pytest.raises(gc.GifError):
+            gc.encode_gif_animation(
+                [np.zeros((2, 2), np.uint8), np.zeros((3, 3), np.uint8)],
+                [10, 10],
+            )
+
+
 class TestErrors:
     @pytest.mark.parametrize(
         "bad",

@@ -120,6 +120,41 @@ class TestPhashRealPixels:
         assert phash64_bytes(b"jpegish") != phash64_bytes(b"jpegish2")
 
 
+class TestSampleFramesReal:
+    def test_gif_animation_extracts_real_frames(self, spark):
+        from dataqualitykit_spark.operators.multimodal import (
+            animation_fixture,
+            animation_frames_expected,
+            sample_frames,
+        )
+
+        fx = animation_fixture(spark, 12)
+        out = sample_frames(fx, every_ms=250).collect()
+        real = [r for r in out if r["mime"] == "image/png"]
+        stub = [r for r in out if r["mime"] == "image/x-stub"]
+        assert len(stub) == 4  # i % 3 == 2 garbage rows, one stub each
+        exp = {
+            (r["media_id"], r["ts"]): r["exp_sha256"]
+            for r in animation_frames_expected(spark, 12, 250).collect()
+        }
+        assert len(real) == len(exp)
+        for r in real:
+            arr = pc.decode_png(bytes(r["payload"]))
+            key = (r["media_id"], r["duration_ms"])
+            assert hashlib.sha256(arr.tobytes()).hexdigest() == exp[key]
+            assert (r["width"], r["height"]) == (arr.shape[1], arr.shape[0])
+
+    def test_non_gif_keeps_stub_fanout(self, spark):
+        from dataqualitykit_spark.operators.multimodal import (
+            media_fixture,
+            sample_frames,
+        )
+
+        media = media_fixture(spark, 9)
+        out = sample_frames(media, every_ms=1000).collect()
+        assert all(r["mime"] == "image/x-stub" for r in out)
+
+
 class TestWavDecode:
     def test_square_wave_roundtrip_16bit(self):
         payload = _square_wave_wav(1000, 4, 100)
@@ -171,6 +206,27 @@ class TestAudioFeatures:
             assert r["zero_cross_rate"] == r["exp_zcr"]
             assert r["peak"] == r["exp_peak"]
             assert r["clip_ratio"] == r["exp_clip"]
+
+    def test_spectral_dominant_bin_closed_form(self, spark):
+        from dataqualitykit_spark.operators.multimodal import (
+            audio_spectral,
+            audio_spectral_fixture_expected,
+        )
+
+        fx = audio_spectral_fixture_expected(spark, 16)
+        j = audio_spectral(fx.select("media_id", "kind", "payload")).join(
+            fx.select(
+                "media_id", "exp_parse_ok", "exp_n_samples", "exp_bin",
+                "exp_freq",
+            ),
+            "media_id",
+        ).collect()
+        assert len(j) == 16
+        for r in j:
+            assert r["parse_ok"] == r["exp_parse_ok"]
+            if r["exp_parse_ok"]:
+                assert r["dominant_bin"] == r["exp_bin"], r
+                assert r["dominant_freq_hz"] == r["exp_freq"]
 
     def test_full_scale_row_clips(self, spark):
         payload = _square_wave_wav(32767, 4, 64)
