@@ -3051,7 +3051,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # forward_fill neighborhood_dev segment_stats embed_cosine_topk)
         # and moving_avg yielded their refresh slots to the zero-record r6
         # rows — rotate them back in next round, along with the remaining
-        # zero-record r6 rows just below.
+        # zero-record r6 rows just below (sessions 2-4 added more new
+        # queries than the window holds: ks_2samp savgol_smooth
+        # kalman_smooth shapiro_francia lowess_smooth heavy_hitter_domains
+        # hll_profile domain_split bloom_decontamination domain_pagerank
+        # image_resize audio_features bpe_tokenize gif_frames
+        # audio_spectral — all zero-record, first in line for r7 slots).
         # ------------------------------------------------------------------
         "domain_pagerank": q_domain_pagerank,  # candidates next round
         "moving_avg": q_moving_avg,  # stale classic (last green r02)
