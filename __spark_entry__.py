@@ -2991,45 +2991,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- flagship pipeline rows (pinned per round-5 VERDICT) ------------
         "pipeline_full": q_pipeline_full,
         "pipeline_near_dedup": q_pipeline_near_dedup,
-        # -- exactly one green (r05) — need the confirming second record ----
-        "pipeline_blocklist": q_pipeline_blocklist,
-        "pipeline_token_budget": q_pipeline_token_budget,
-        "pipeline_line_shape": q_pipeline_line_shape,
-        "pipeline_entropy": q_pipeline_entropy,
-        "pipeline_url_keywords": q_pipeline_url_keywords,
-        "top_fraction_sample": q_top_fraction_sample,
-        "hash_split": q_hash_split,
-        "noindex_flag": q_noindex_flag,
-        "gopher_line_rules": q_gopher_line_rules,
-        "paragraph_ppl": q_paragraph_ppl,
-        "domain_reputation": q_domain_reputation,
-        "minhash_lsh_dups_fast": q_minhash_lsh_dups_fast,
-        "simhash_fast": q_simhash_fast,
-        "ivf_cosine_topk": q_ivf_cosine_topk,
-        "semantic_dedup": q_semantic_dedup,
-        "media_metadata": q_media_metadata,
-        "mojibake_fix": q_mojibake_fix,
-        "domain_boilerplate": q_domain_boilerplate,
-        "dedup_keep_best": q_dedup_keep_best,
-        "score_buckets": q_score_buckets,
-        "dsir_weights": q_dsir_weights,
-        "nb_lang_classifier": q_nb_lang_classifier,
-        "gumbel_sample": q_gumbel_sample,
-        "lang_consistency": q_lang_consistency,
-        "top_ngrams": q_top_ngrams,
-        "link_density": q_link_density,
-        "token_entropy": q_token_entropy,
-        "domain_cap": q_domain_cap,
-        "crawl_delta": q_crawl_delta,
-        "ivfpq_cosine_topk": q_ivfpq_cosine_topk,
-        "chunk_documents": q_chunk_documents,
-        "pack_offsets": q_pack_offsets,
-        "semantic_decontamination": q_semantic_decontamination,
-        "mixture_sample": q_mixture_sample,
-        "phash_dedup": q_phash_dedup,
-        "simhash_dup_pairs": q_simhash_dup_pairs,
-        "unicode_nfc": q_unicode_nfc,
-        # -- NEW round 6: zero recorded rounds ------------------------------
+        # -- zero recorded rounds first (ordering contract: a first record
+        # outranks any refresh). r6 sessions 1-5 added more new queries
+        # than the ~50-row window holds, so ALL 26 zero-record rows sit
+        # here, ahead of every single-green confirmation. -------------------
         "impute_mean": q_impute_mean,
         "ewma_smooth": q_ewma_smooth,
         "linear_interpolate": q_linear_interpolate,
@@ -3040,40 +3005,76 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "psi_drift": q_psi_drift,
         "mad_outliers": q_mad_outliers,
         "psi_drift_cat": q_psi_drift_cat,
-        # -- zero-record r6 row takes the last window slot (ordering
-        # contract: zero-record outranks a stale refresh) ------------------
         "outlinks": q_outlinks,
+        "domain_pagerank": q_domain_pagerank,
+        "ks_2samp": q_ks_2samp,
+        "savgol_smooth": q_savgol,
+        "kalman_smooth": q_kalman_smooth,
+        "shapiro_francia": q_shapiro_francia,
+        "lowess_smooth": q_lowess_smooth,
+        "heavy_hitter_domains": q_heavy_hitter_domains,
+        "hll_profile": q_hll_profile,
+        "domain_split": q_domain_split,
+        "bloom_decontamination": q_bloom_decontamination,
+        "image_resize": q_image_resize,
+        "audio_features": q_audio_features,
+        "bpe_tokenize": q_bpe_tokenize,
+        "gif_frames": q_gif_frames,
+        "audio_spectral": q_audio_spectral,
+        # -- exactly one green (r05) — confirming second record, in priority
+        # order: the 5 ex-rows-only invariant conversions (weak-marked for
+        # 4 recordless rounds before r5), the 12 rows round-5 VERDICT item
+        # #1 names, then the flagship pipeline singles. ---------------------
+        "minhash_lsh_dups_fast": q_minhash_lsh_dups_fast,
+        "simhash_fast": q_simhash_fast,
+        "ivf_cosine_topk": q_ivf_cosine_topk,
+        "semantic_dedup": q_semantic_dedup,
+        "media_metadata": q_media_metadata,
+        "ivfpq_cosine_topk": q_ivfpq_cosine_topk,
+        "chunk_documents": q_chunk_documents,
+        "pack_offsets": q_pack_offsets,
+        "semantic_decontamination": q_semantic_decontamination,
+        "mixture_sample": q_mixture_sample,
+        "phash_dedup": q_phash_dedup,
+        "simhash_dup_pairs": q_simhash_dup_pairs,
+        "unicode_nfc": q_unicode_nfc,
+        "domain_cap": q_domain_cap,
+        "crawl_delta": q_crawl_delta,
+        "link_density": q_link_density,
+        "token_entropy": q_token_entropy,
+        "pipeline_blocklist": q_pipeline_blocklist,
+        "pipeline_token_budget": q_pipeline_token_budget,
+        "pipeline_line_shape": q_pipeline_line_shape,
+        "pipeline_entropy": q_pipeline_entropy,
+        "pipeline_url_keywords": q_pipeline_url_keywords,
         # ------------------------------------------------------------------
-        # past the ~50-row recorded window from here down: rows rotated out
-        # with >= 2 green rounds, newest-green last. Everything below
+        # past the ~50-row recorded window from here down: everything below
         # remains fully oracle-checked by scripts/check_correctness.py and
-        # pytest every session. The r02 classics (weighted_ma centered_ma
-        # forward_fill neighborhood_dev segment_stats embed_cosine_topk)
-        # and moving_avg yielded their refresh slots to the zero-record r6
-        # rows — rotate them back in next round, along with the remaining
-        # zero-record r6 rows just below (sessions 2-4 added more new
-        # queries than the window holds: ks_2samp savgol_smooth
-        # kalman_smooth shapiro_francia lowess_smooth heavy_hitter_domains
-        # hll_profile domain_split bloom_decontamination domain_pagerank
-        # image_resize audio_features bpe_tokenize gif_frames
-        # audio_spectral — all zero-record, first in line for r7 slots).
+        # pytest every session. First in line for r7 slots: the 15 r5
+        # singles displaced by the zero-record block (top_fraction_sample
+        # hash_split noindex_flag gopher_line_rules paragraph_ppl
+        # domain_reputation mojibake_fix domain_boilerplate dedup_keep_best
+        # score_buckets dsir_weights nb_lang_classifier gumbel_sample
+        # lang_consistency top_ngrams), then the 7 stale r02 classics
+        # (moving_avg weighted_ma centered_ma forward_fill neighborhood_dev
+        # segment_stats embed_cosine_topk).
         # ------------------------------------------------------------------
-        "domain_pagerank": q_domain_pagerank,  # candidates next round
-        "moving_avg": q_moving_avg,  # stale classic (last green r02)
-        "ks_2samp": q_ks_2samp,  # NEW r6 session 2 (U10 'ks' leg)
-        "savgol_smooth": q_savgol,  # NEW r6 session 2 (U10 'savgol' leg)
-        "kalman_smooth": q_kalman_smooth,  # NEW r6 session 2 (U10 'kalman')
-        "shapiro_francia": q_shapiro_francia,  # NEW r6 s3 (U10 'shapiro')
-        "lowess_smooth": q_lowess_smooth,  # NEW r6 s3 (U10 'lowess')
-        "heavy_hitter_domains": q_heavy_hitter_domains,  # NEW r6 s3 (CMS)
-        "hll_profile": q_hll_profile,  # NEW r6 s3 (HLL)
-        "domain_split": q_domain_split,  # NEW r6 s3 (leakage-free split)
-        "bloom_decontamination": q_bloom_decontamination,  # NEW r6 s3
-        "image_resize": q_image_resize,  # NEW r6 s4 (real PNG pixel path)
-        "audio_features": q_audio_features,  # NEW r6 s4 (real PCM decode)
-        "bpe_tokenize": q_bpe_tokenize,  # NEW r6 s4 (corpus-trained BPE)
-        "gif_frames": q_gif_frames,  # NEW r6 s4 (real animation frames)
-        "audio_spectral": q_audio_spectral,  # NEW r6 s4 (FFT dominant bin)
+        "top_fraction_sample": q_top_fraction_sample,
+        "hash_split": q_hash_split,
+        "noindex_flag": q_noindex_flag,
+        "gopher_line_rules": q_gopher_line_rules,
+        "paragraph_ppl": q_paragraph_ppl,
+        "domain_reputation": q_domain_reputation,
+        "mojibake_fix": q_mojibake_fix,
+        "domain_boilerplate": q_domain_boilerplate,
+        "dedup_keep_best": q_dedup_keep_best,
+        "score_buckets": q_score_buckets,
+        "dsir_weights": q_dsir_weights,
+        "nb_lang_classifier": q_nb_lang_classifier,
+        "gumbel_sample": q_gumbel_sample,
+        "lang_consistency": q_lang_consistency,
+        "top_ngrams": q_top_ngrams,
+        "moving_avg": q_moving_avg,
         "weighted_ma": q_weighted_ma,
         "centered_ma": q_centered_ma,
         "forward_fill": q_forward_fill,
