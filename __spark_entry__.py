@@ -2980,6 +2980,32 @@ def q_domain_split(spark, sf):
     )
 
 
+def q_ngram_lm(spark, sf):
+    """Corpus-trained stupid-backoff trigram LM (KenLM-style, the north
+    rule's n-gram ppl scoring with no external weights): train on the
+    documents table itself (bounded driver model via capped total-order
+    top-k collects — small caps here so cap pressure is exercised), then
+    score every doc in one Arrow pass. FULL per-doc value-hash oracle:
+    the DuckDB twin retrains the identical model (same caps, same
+    (count DESC, keys ASC) tie order) and reproduces each token's
+    backoff term and the left-fold sum exactly (engine parity prototyped
+    first in scripts/proto_ngram_lm_parity.py — 0 mismatches both sf
+    levels)."""
+    from dataqualitykit_spark.operators import ngram_lm
+
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    model = ngram_lm.train_ngram_lm(d, v_cap=4096, b_cap=8192, t_cap=8192)
+    scored = ngram_lm.score_documents(d, model)
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        "n_tri",
+        "n_bi",
+        "n_uni",
+        F.col("avg_logprob").alias("avg_lp"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the driver records correctness for the FIRST ~50
     # entries only (observed ceiling in rounds 1-2). The flagship pipeline,
@@ -3021,6 +3047,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_tokenize": q_bpe_tokenize,
         "gif_frames": q_gif_frames,
         "audio_spectral": q_audio_spectral,
+        "ngram_lm_score": q_ngram_lm,
         # -- exactly one green (r05) — confirming second record, in priority
         # order: the 5 ex-rows-only invariant conversions (weak-marked for
         # 4 recordless rounds before r5), the 12 rows round-5 VERDICT item
@@ -5748,6 +5775,89 @@ def oracle_sql() -> dict[str, str]:
                CAST(0 AS BIGINT) AS n_unk_docs,
                CAST(0 AS BIGINT) AS n_compress_viol
         FROM documents"""
+    # ngram_lm_score: retrain the identical capped stupid-backoff model in
+    # SQL (same (count DESC, keys ASC) tie order), score each token by the
+    # same three-leg expression, left-fold the per-doc sum in token order
+    # (list_reduce — DuckDB window SUM is a segment tree with a different
+    # accumulation order; see STATE.md round-6 item 10), shared 1e-6 tie
+    # rule on both sides.
+    _LM_V, _LM_B, _LM_T = 4096, 8192, 8192
+    d["ngram_lm_score"] = f"""
+        WITH tok AS (
+          SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws, 1) - 1 AS pos
+          FROM (
+            SELECT doc_id,
+                   list_transform(regexp_extract_all(text, '[A-Za-z]+'),
+                                  x -> lower(x)) AS ws
+            FROM documents
+          )
+        ),
+        uni_raw AS (SELECT w, count(*)::BIGINT AS c FROM tok GROUP BY w),
+        vocab AS (SELECT w FROM uni_raw ORDER BY c DESC, w ASC LIMIT {_LM_V}),
+        vtok AS (
+          SELECT t.doc_id, t.pos,
+                 CASE WHEN v.w IS NULL THEN '<unk>' ELSE t.w END AS w
+          FROM tok t LEFT JOIN vocab v USING (w)
+        ),
+        uni AS (SELECT w, count(*)::BIGINT AS c FROM vtok GROUP BY w),
+        total AS (SELECT sum(c)::BIGINT AS tot FROM uni),
+        ctx AS (
+          SELECT doc_id, pos, w,
+                 lag(w, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2,
+                 lag(w, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS w1
+          FROM vtok
+        ),
+        bi AS (
+          SELECT w2 AS a, w AS b, count(*)::BIGINT AS c FROM ctx
+          WHERE w2 IS NOT NULL
+          GROUP BY 1, 2 ORDER BY c DESC, a ASC, b ASC LIMIT {_LM_B}
+        ),
+        tri AS (
+          SELECT w1 AS a, w2 AS b, w AS cc, count(*)::BIGINT AS c FROM ctx
+          WHERE w1 IS NOT NULL
+          GROUP BY 1, 2, 3 ORDER BY c DESC, a ASC, b ASC, cc ASC LIMIT {_LM_T}
+        ),
+        terms AS (
+          SELECT c.doc_id, c.pos,
+            CASE
+              WHEN c.pos >= 2 AND t3.c IS NOT NULL AND b2.c IS NOT NULL THEN 0
+              WHEN b3.c IS NOT NULL AND u2.c IS NOT NULL THEN 1
+              ELSE 2 END AS leg,
+            CASE
+              WHEN c.pos >= 2 AND t3.c IS NOT NULL AND b2.c IS NOT NULL
+                THEN ln(t3.c::DOUBLE / b2.c)
+              WHEN b3.c IS NOT NULL AND u2.c IS NOT NULL
+                THEN (CASE WHEN c.pos >= 2 THEN 1 ELSE 0 END) * ln(0.4)
+                     + ln(b3.c::DOUBLE / u2.c)
+              ELSE least(c.pos, 2) * ln(0.4)
+                   + ln((coalesce(u3.c, 0) + 1)::DOUBLE / (tot + {_LM_V} + 1))
+            END AS term
+          FROM ctx c
+          CROSS JOIN total
+          LEFT JOIN tri t3
+            ON c.pos >= 2 AND t3.a = c.w1 AND t3.b = c.w2 AND t3.cc = c.w
+          LEFT JOIN bi b2 ON c.pos >= 2 AND b2.a = c.w1 AND b2.b = c.w2
+          LEFT JOIN bi b3 ON c.pos >= 1 AND b3.a = c.w2 AND b3.b = c.w
+          LEFT JOIN uni u2 ON c.pos >= 1 AND u2.w = c.w2
+          LEFT JOIN uni u3 ON u3.w = c.w
+        ),
+        per_doc AS (
+          SELECT doc_id,
+                 count(*)::BIGINT AS n_tokens,
+                 sum(CASE WHEN leg = 0 THEN 1 ELSE 0 END)::BIGINT AS n_tri,
+                 sum(CASE WHEN leg = 1 THEN 1 ELSE 0 END)::BIGINT AS n_bi,
+                 sum(CASE WHEN leg = 2 THEN 1 ELSE 0 END)::BIGINT AS n_uni,
+                 floor(list_reduce(list(term ORDER BY pos), (x, y) -> x + y)
+                       / count(*) * 1e6 + 0.5) / 1e6 AS avg_lp
+          FROM terms GROUP BY doc_id
+        )
+        SELECT dd.doc_id,
+               coalesce(p.n_tokens, 0) AS n_tokens,
+               coalesce(p.n_tri, 0) AS n_tri,
+               coalesce(p.n_bi, 0) AS n_bi,
+               coalesce(p.n_uni, 0) AS n_uni,
+               p.avg_lp
+        FROM documents dd LEFT JOIN per_doc p USING (doc_id)"""
     d["domain_split"] = """
         WITH dm AS (
           SELECT doc_id, source AS domain FROM documents
