@@ -3006,6 +3006,55 @@ def q_ngram_lm(spark, sf):
     )
 
 
+# jusText driver fixture: deterministic page markup around each doc's text
+# (nav + h1 + main <p> + a short note + linked footer) so every block class
+# fires: link-density bad (nav/footer), short (h1, note), good (main <p> of
+# stopword-rich docs), neargood, and the context-lite promotion (shorts next
+# to a good main block promote). Same string built by the SQL twin.
+_JX_HEAD = '<div class="nav"><a href="/">home</a> <a href="/x">next page</a></div><h1>'
+_JX_MID = "</h1><p>"
+_JX_TAIL = (
+    '</p><p>short note</p><footer><a href="/about">about this site and the '
+    "team</a></footer>"
+)
+# the synthetic corpus is stopword-light (median density 0.064 vs real
+# web text ~0.3), so the paper thresholds are scaled down to fire here
+_JX_PARAMS = dict(
+    length_low=70, length_high=200, stopwords_low=0.05, stopwords_high=0.08,
+    max_link_density=0.2,
+)
+
+
+def q_justext(spark, sf):
+    """jusText-style per-block boilerplate removal (context-lite; see
+    operators/justext.py). FULL per-doc value-hash oracle including the
+    extracted text: the DuckDB twin re-runs segmentation, block metrics,
+    classification and the lag/lead promotion pass over unnested blocks
+    (engine parity prototyped first in scripts/proto_justext_parity.py —
+    0 mismatches). At sf0.001: 105 core-good blocks promote 210
+    neighbors to 315 final-good."""
+    from dataqualitykit_spark.operators import justext
+
+    d = _t(spark, sf, "documents")
+    html = F.concat(
+        F.lit(_JX_HEAD),
+        F.substring(F.col("text"), 1, 40),
+        F.lit(_JX_MID),
+        F.col("text"),
+        F.lit(_JX_TAIL),
+    )
+    pages = d.select("doc_id", html.alias("html"))
+    out = justext.justext_extract(
+        pages, "html", justext.JusTextParams(**_JX_PARAMS)
+    )
+    return out.select(
+        "doc_id",
+        F.col("n_blocks").cast("long").alias("n_blocks"),
+        F.col("n_good").cast("long").alias("n_good"),
+        F.col("justext_text").alias("extracted"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the driver records correctness for the FIRST ~50
     # entries only (observed ceiling in rounds 1-2). The flagship pipeline,
@@ -3048,6 +3097,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gif_frames": q_gif_frames,
         "audio_spectral": q_audio_spectral,
         "ngram_lm_score": q_ngram_lm,
+        "justext_extract": q_justext,
         # -- exactly one green (r05) — confirming second record, in priority
         # order: the 5 ex-rows-only invariant conversions (weak-marked for
         # 4 recordless rounds before r5), the 12 rows round-5 VERDICT item
@@ -5775,6 +5825,92 @@ def oracle_sql() -> dict[str, str]:
                CAST(0 AS BIGINT) AS n_unk_docs,
                CAST(0 AS BIGINT) AS n_compress_viol
         FROM documents"""
+    # justext_extract: the full jusText block pipeline in SQL — same
+    # segmentation regex, same tag-strip/trim, metrics rounded 1e-6 BEFORE
+    # the threshold compares on both sides, lag/lead promotion, ordered
+    # string_agg of the good blocks.
+    _jx_split = (
+        r"(?i)<(?:/?)(?:p|div|h[1-6]|ul|ol|li|table|thead|tbody|tr|td|th|"
+        r"blockquote|article|section|header|footer|nav|aside|form|pre|br)"
+        r"(?:\s[^>]*)?/?>"
+    )
+    d["justext_extract"] = f"""
+        WITH src AS (
+          SELECT doc_id,
+                 {_sql_lit(_JX_HEAD)} || substr(text, 1, 40) || {_sql_lit(_JX_MID)}
+                 || text || {_sql_lit(_JX_TAIL)} AS html
+          FROM documents
+        ),
+        segs AS (
+          SELECT doc_id,
+                 unnest(regexp_split_to_array(html, '{_jx_split}')) AS seg,
+                 generate_subscripts(
+                   regexp_split_to_array(html, '{_jx_split}'), 1) AS pos
+          FROM src
+        ),
+        metrics AS (
+          SELECT doc_id, pos,
+            regexp_replace(regexp_replace(seg, '(?s)<[^>]*>', '', 'g'),
+                 '^[ \\t\\n\\r\\x0b\\f]+|[ \\t\\n\\r\\x0b\\f]+$', '', 'g')
+              AS visible,
+            list_sum(list_transform(
+              regexp_extract_all(seg, '(?is)<a(?:\\s[^>]*)?>(.*?)</a>', 1),
+              m -> length(regexp_replace(m, '(?s)<[^>]*>', '', 'g'))))
+              AS link_chars
+          FROM segs
+        ),
+        blocks AS (
+          SELECT doc_id, pos, visible, length(visible) AS n,
+                 coalesce(link_chars, 0) AS link_chars,
+                 list_filter(
+                   regexp_split_to_array(visible, '[ \\t\\n\\r\\x0b\\f]+'),
+                   w -> w <> '') AS words
+          FROM metrics WHERE length(visible) > 0
+        ),
+        scored AS (
+          SELECT doc_id, pos, visible, n,
+            floor(link_chars::DOUBLE / n * 1e6 + 0.5) / 1e6 AS ld,
+            CASE WHEN len(words) = 0 THEN 0.0
+                 ELSE floor(len(list_filter(words,
+                        w -> list_contains([{_stopword_sql_list()}], lower(w))
+                      ))::DOUBLE / len(words) * 1e6 + 0.5) / 1e6 END AS sd
+          FROM blocks
+        ),
+        core AS (
+          SELECT doc_id, pos, visible,
+            CASE WHEN ld > {_JX_PARAMS["max_link_density"]} THEN 'bad'
+                 WHEN n < {_JX_PARAMS["length_low"]} THEN 'short'
+                 WHEN sd >= {_JX_PARAMS["stopwords_high"]}
+                      AND n > {_JX_PARAMS["length_high"]} THEN 'good'
+                 WHEN sd >= {_JX_PARAMS["stopwords_low"]} THEN 'neargood'
+                 ELSE 'bad' END AS core
+          FROM scored
+        ),
+        ctx AS (
+          SELECT doc_id, pos, visible, core,
+                 lag(core) OVER (PARTITION BY doc_id ORDER BY pos) AS prev_c,
+                 lead(core) OVER (PARTITION BY doc_id ORDER BY pos) AS next_c
+          FROM core
+        ),
+        final AS (
+          SELECT doc_id, pos, visible,
+            CASE WHEN core IN ('short', 'neargood')
+                 THEN CASE WHEN prev_c = 'good' OR next_c = 'good'
+                           THEN 'good' ELSE 'bad' END
+                 ELSE core END AS fin
+          FROM ctx
+        ),
+        agg AS (
+          SELECT doc_id, count(*)::BIGINT AS n_blocks,
+                 sum(CASE WHEN fin = 'good' THEN 1 ELSE 0 END)::BIGINT
+                   AS n_good,
+                 string_agg(CASE WHEN fin = 'good' THEN visible END,
+                            chr(10) ORDER BY pos) AS extracted
+          FROM final GROUP BY doc_id
+        )
+        SELECT dd.doc_id, coalesce(a.n_blocks, 0) AS n_blocks,
+               coalesce(a.n_good, 0) AS n_good, a.extracted
+        FROM documents dd LEFT JOIN agg a USING (doc_id)"""
     # ngram_lm_score: retrain the identical capped stupid-backoff model in
     # SQL (same (count DESC, keys ASC) tie order), score each token by the
     # same three-leg expression, left-fold the per-doc sum in token order
