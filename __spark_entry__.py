@@ -3055,6 +3055,41 @@ def q_justext(spark, sf):
     )
 
 
+def q_pii_luhn(spark, sf):
+    """Luhn-validated credit-card scrubbing (operators/pii.py): regex
+    candidates + ISO 7812 mod-10 check; only checksum-valid numbers are
+    masked. Fixture plants per-doc deterministic digit runs from
+    md5(doc_id) (a 15-digit run, a dashed 16-digit group, an 8-digit
+    non-candidate, a 40-digit over-length run); validity is then
+    data-dependent (~17% of docs carry >=1 valid card). FULL byte-level
+    oracle: DuckDB re-validates each candidate with a list-HOF Luhn and
+    reconstructs the scrubbed text by split+interleave (parity prototyped
+    in scripts/proto_luhn_parity.py — 0 mismatches, byte level)."""
+    from dataqualitykit_spark.operators import pii
+
+    d = _t(spark, sf, "documents")
+    digits = F.translate(F.md5(F.col("doc_id").cast("string")), "abcdef", "012345")
+    fixture = F.concat(
+        F.col("text"),
+        F.lit(" card "), F.substring(digits, 1, 15),
+        F.lit(" alt "), F.substring(digits, 1, 4), F.lit("-"),
+        F.substring(digits, 5, 4), F.lit("-"),
+        F.substring(digits, 9, 4), F.lit("-"),
+        F.substring(digits, 13, 4),
+        F.lit(" ref "), F.substring(digits, 1, 8),
+        F.lit(" serial "), digits, F.substring(digits, 1, 8),
+    )
+    out = pii.scrub_credit_cards(
+        d.select("doc_id", fixture.alias("text")), "text"
+    )
+    return out.select(
+        "doc_id",
+        F.col("cc_scrubbed").alias("scrubbed"),
+        F.col("n_cc_candidates").cast("long").alias("n_cands"),
+        F.col("n_cc_valid").cast("long").alias("n_valid"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the driver records correctness for the FIRST ~50
     # entries only (observed ceiling in rounds 1-2). The flagship pipeline,
@@ -3098,6 +3133,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_spectral": q_audio_spectral,
         "ngram_lm_score": q_ngram_lm,
         "justext_extract": q_justext,
+        "pii_luhn": q_pii_luhn,
         # -- exactly one green (r05) — confirming second record, in priority
         # order: the 5 ex-rows-only invariant conversions (weak-marked for
         # 4 recordless rounds before r5), the 12 rows round-5 VERDICT item
@@ -5825,6 +5861,55 @@ def oracle_sql() -> dict[str, str]:
                CAST(0 AS BIGINT) AS n_unk_docs,
                CAST(0 AS BIGINT) AS n_compress_viol
         FROM documents"""
+    # pii_luhn: identical fixture construction, list-HOF Luhn per candidate,
+    # byte-level scrub reconstruction by interleaving RE2 split parts with
+    # (valid ? '<CC>' : candidate).
+    _cc_re = r"\b(?:\d[ -]?){12,18}\d\b"
+    d["pii_luhn"] = f"""
+        WITH src AS (
+          SELECT doc_id,
+                 text || ' card ' || substr(dg, 1, 15)
+                      || ' alt '  || substr(dg, 1, 4) || '-' || substr(dg, 5, 4)
+                                  || '-' || substr(dg, 9, 4) || '-' || substr(dg, 13, 4)
+                      || ' ref '  || substr(dg, 1, 8)
+                      || ' serial ' || dg || substr(dg, 1, 8) AS t
+          FROM (SELECT doc_id, text,
+                       translate(md5(doc_id::VARCHAR), 'abcdef', '012345') AS dg
+                FROM documents)
+        ),
+        m AS (
+          SELECT doc_id, t,
+                 regexp_split_to_array(t, '{_cc_re}') AS parts,
+                 regexp_extract_all(t, '{_cc_re}') AS cands
+          FROM src
+        ),
+        v AS (
+          SELECT doc_id, parts, cands,
+            list_transform(cands, c -> (
+              list_sum(list_transform(
+                range(1, length(regexp_replace(c, '[^0-9]', '', 'g')) + 1),
+                i -> CASE WHEN i % 2 = 0
+                     THEN CASE WHEN 2 * (ascii(array_extract(reverse(
+                                regexp_replace(c, '[^0-9]', '', 'g')), i)) - 48) > 9
+                               THEN 2 * (ascii(array_extract(reverse(
+                                regexp_replace(c, '[^0-9]', '', 'g')), i)) - 48) - 9
+                               ELSE 2 * (ascii(array_extract(reverse(
+                                regexp_replace(c, '[^0-9]', '', 'g')), i)) - 48) END
+                     ELSE ascii(array_extract(reverse(
+                                regexp_replace(c, '[^0-9]', '', 'g')), i)) - 48 END
+              )) % 10 = 0
+            )) AS valid
+          FROM m
+        )
+        SELECT doc_id,
+          parts[1] || list_reduce(
+            list_prepend('', list_transform(range(1, len(cands) + 1),
+              i -> (CASE WHEN valid[i] THEN '<CC>' ELSE cands[i] END)
+                   || parts[i + 1])),
+            (a, b) -> a || b) AS scrubbed,
+          len(cands)::BIGINT AS n_cands,
+          len(list_filter(valid, x -> x))::BIGINT AS n_valid
+        FROM v"""
     # justext_extract: the full jusText block pipeline in SQL — same
     # segmentation regex, same tag-strip/trim, metrics rounded 1e-6 BEFORE
     # the threshold compares on both sides, lag/lead promotion, ordered
