@@ -2534,6 +2534,78 @@ def q_image_resize(spark, sf):
     )
 
 
+def q_jpeg_resize(spark, sf):
+    """Invariant certification of the REAL baseline-JPEG pixel path
+    (round 6 session 5: huffman + numpy IDCT decoder, no stub): gray
+    block-constant JPEGs at quality 75 round-trip EXACTLY (lum q00 = 8
+    cancels the DC gain — see multimodal.jpeg_resize_fixture_expected),
+    so exp_sha256 is closed-form construction-time ground truth. 48
+    rows: every third garbage (quarantine passthrough), 32 resized,
+    zero flag / dimension / pixel mismatches."""
+    from dataqualitykit_spark.operators import multimodal
+
+    fx = multimodal.jpeg_resize_fixture_expected(spark, 48, out_w=16, out_h=12)
+    resized = multimodal.resize_images(
+        fx.select(
+            "media_id", "kind", "payload", "mime", "width", "height",
+            "duration_ms",
+        ),
+        16,
+        12,
+    )
+
+    def pixel_sha(it):
+        import hashlib as _h
+
+        import pandas as _pd
+
+        from dataqualitykit_spark.operators import png_codec as _pc
+
+        for pdf in it:
+            shas = []
+            for p, ok in zip(pdf["payload"], pdf["resized"]):
+                if not ok:
+                    shas.append(None)
+                    continue
+                try:
+                    arr = _pc.decode_png(bytes(p))
+                    shas.append(_h.sha256(arr.tobytes()).hexdigest())
+                except _pc.PngError:
+                    shas.append("DECODE_FAIL")
+            yield _pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "resized": pdf["resized"],
+                    "out_w": pdf["width"],
+                    "out_h": pdf["height"],
+                    "pixel_sha": shas,
+                }
+            )
+
+    hashed = resized.mapInPandas(
+        pixel_sha,
+        "media_id bigint, resized boolean, out_w int, out_h int, "
+        "pixel_sha string",
+    )
+    j = hashed.join(fx.select("media_id", "exp_resized", "exp_sha256"), "media_id")
+    return j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.col("resized").cast("int")).cast("long").alias("n_resized"),
+        F.sum(
+            (~F.col("resized").eqNullSafe(F.col("exp_resized"))).cast("int")
+        ).cast("long").alias("n_flag_mismatch"),
+        F.sum(
+            (
+                F.col("resized")
+                & ((F.col("out_w") != 16) | (F.col("out_h") != 12))
+            ).cast("int")
+        ).cast("long").alias("n_dim_mismatch"),
+        F.sum(
+            (~F.col("pixel_sha").eqNullSafe(F.col("exp_sha256"))).cast("int")
+        ).cast("long").alias("n_pixel_mismatch"),
+    )
+
+
 def q_bpe_tokenize(spark, sf):
     """Invariant certification of the corpus-trained BPE tokenizer
     (round 6: train merges ON the documents table — bounded driver
@@ -3134,6 +3206,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_lm_score": q_ngram_lm,
         "justext_extract": q_justext,
         "pii_luhn": q_pii_luhn,
+        "jpeg_resize": q_jpeg_resize,
         # -- exactly one green (r05) — confirming second record, in priority
         # order: the 5 ex-rows-only invariant conversions (weak-marked for
         # 4 recordless rounds before r5), the 12 rows round-5 VERDICT item
@@ -5836,6 +5909,12 @@ def oracle_sql() -> dict[str, str]:
     # real-pixel / real-sample invariants: construction-time ground truth
     # (the media_metadata recipe) — fixture constants ARE the oracle
     d["image_resize"] = """
+        SELECT CAST(48 AS BIGINT) AS n_rows,
+               CAST(32 AS BIGINT) AS n_resized,
+               CAST(0 AS BIGINT) AS n_flag_mismatch,
+               CAST(0 AS BIGINT) AS n_dim_mismatch,
+               CAST(0 AS BIGINT) AS n_pixel_mismatch"""
+    d["jpeg_resize"] = """
         SELECT CAST(48 AS BIGINT) AS n_rows,
                CAST(32 AS BIGINT) AS n_resized,
                CAST(0 AS BIGINT) AS n_flag_mismatch,

@@ -271,10 +271,11 @@ RESIZED_SCHEMA = MEDIA_SCHEMA + ", resized boolean"
 
 def decode_image_pixels(payload: bytes | None):
     """Decoded pixel array for payloads the dependency-free codecs
-    handle — PNG (operators/png_codec.py: stdlib zlib + unfiltering) and
-    GIF (operators/gif_codec.py: pure-python LZW, first frame) — else
-    None (the quarantine signal). JPEG still needs a real library."""
-    from . import gif_codec, png_codec
+    handle — PNG (operators/png_codec.py: stdlib zlib + unfiltering),
+    GIF (operators/gif_codec.py: pure-python LZW, first frame) and
+    baseline JPEG (operators/jpeg_codec.py: huffman + IDCT in numpy) —
+    else None (the quarantine signal, e.g. progressive JPEG)."""
+    from . import gif_codec, jpeg_codec, png_codec
 
     if payload is None:
         return None
@@ -283,7 +284,9 @@ def decode_image_pixels(payload: bytes | None):
             return png_codec.decode_png(payload)
         if payload[:6] in (b"GIF87a", b"GIF89a"):
             return gif_codec.decode_gif(payload)
-    except (png_codec.PngError, gif_codec.GifError):
+        if payload[:2] == b"\xff\xd8":
+            return jpeg_codec.decode_jpeg(payload)
+    except (png_codec.PngError, gif_codec.GifError, jpeg_codec.JpegError):
         return None
     return None
 
@@ -746,6 +749,55 @@ def image_resize_fixture_expected(
                     )
         rows.append(
             (i, "image", payload, mime, w, h, None, True,
+             hashlib.sha256(exp.tobytes()).hexdigest())
+        )
+    return spark.createDataFrame(rows, IMAGE_RESIZE_SCHEMA)
+
+
+def jpeg_resize_fixture_expected(
+    spark, n: int = 48, out_w: int = 16, out_h: int = 12
+) -> DataFrame:
+    """n media rows certifying the REAL baseline-JPEG pixel path
+    (operators/jpeg_codec.py): rows i % 3 == 2 are garbage
+    (exp_resized=false); the rest are grayscale JPEGs of a per-8x8-BLOCK
+    constant pattern tile(by,bx) = (bx*7 + by*13 + 31i) % 251, encoded
+    at quality 75 — where the luminance q00 is exactly 8, cancelling the
+    DCT DC gain, so flat blocks round-trip EXACTLY (dc_q = v - 128 on
+    encode, v back on decode; AC residue ~1e-13 quantizes to zero;
+    rounding boundaries sit 0.5 away from every intermediate). That
+    exactness makes exp_sha256 pure construction-time ground truth: the
+    sha of the pattern values at the nearest-neighbor center-sample
+    coordinates, never a codec output. decode_jpeg itself is pinned
+    against a hand-assembled byte stream + an independent T.81 IDCT in
+    tests/test_jpeg_codec.py."""
+    import numpy as np
+
+    from . import jpeg_codec
+
+    rows = []
+    for i in range(n):
+        if i % 3 == 2:
+            payload = hashlib.md5(f"jpg{i}".encode()).digest() * 3
+            rows.append(
+                (i, "image", payload, "application/octet-stream",
+                 None, None, None, False, None)
+            )
+            continue
+        bh, bw = 2 + i % 3, 3 + i % 4
+        h, w = 8 * bh, 8 * bw
+        bys = np.arange(bh, dtype=np.int64)[:, None]
+        bxs = np.arange(bw, dtype=np.int64)[None, :]
+        tiles = ((bxs * 7 + bys * 13 + i * 31) % 251).astype(np.uint8)
+        img = np.repeat(np.repeat(tiles, 8, axis=0), 8, axis=1)
+        payload = jpeg_codec.encode_jpeg(img, quality=75)
+        exp = np.zeros((out_h, out_w), dtype=np.uint8)
+        for v in range(out_h):
+            sy = ((2 * v + 1) * h) // (2 * out_h)
+            for u in range(out_w):
+                sx = ((2 * u + 1) * w) // (2 * out_w)
+                exp[v, u] = tiles[sy // 8, sx // 8]
+        rows.append(
+            (i, "image", payload, "image/jpeg", w, h, None, True,
              hashlib.sha256(exp.tobytes()).hexdigest())
         )
     return spark.createDataFrame(rows, IMAGE_RESIZE_SCHEMA)
