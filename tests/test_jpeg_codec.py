@@ -205,6 +205,71 @@ def test_zigzag_is_a_permutation():
     assert sorted(ZIGZAG.tolist()) == list(range(64))
 
 
+def test_hand_assembled_420_subsampled():
+    """Hand-built 16x16 4:2:0 color JPEG (one MCU: 4 Y blocks + 1 Cb +
+    1 Cr, all flat) — exercises the decoder's general MCU loop and
+    chroma upsampling. Expected RGB from the JFIF equations on the
+    closed-form flat plane values."""
+    from dataqualitykit_spark.operators.jpeg_codec import (
+        HUFF_AC_CHROM,
+        HUFF_DC_CHROM,
+    )
+
+    q00 = 8  # cancels the DC gain: flat planes decode exactly
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([0]) + bytes([q00] * 64)
+    out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([1]) + bytes([q00] * 64)
+    sof = bytes([8]) + struct.pack(">HH", 16, 16) + bytes([3])
+    sof += bytes([1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1])  # Y 2x2, Cb/Cr 1x1
+    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+    for tc, th, spec in (
+        (0, 0, HUFF_DC_LUM), (1, 0, HUFF_AC_LUM),
+        (0, 1, HUFF_DC_CHROM), (1, 1, HUFF_AC_CHROM),
+    ):
+        bits, vals = spec
+        body = bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals)
+        out += b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+    sos = bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+
+    dc_lum = _huff_codes(*HUFF_DC_LUM)
+    ac_lum = _huff_codes(*HUFF_AC_LUM)
+    dc_chrom = _huff_codes(*HUFF_DC_CHROM)
+    ac_chrom = _huff_codes(*HUFF_AC_CHROM)
+    bw = _Bits()
+
+    def put_dc(codes, diff):
+        size = abs(diff).bit_length() if diff else 0
+        c, ln = codes[size]
+        bw.put(c, ln)
+        if size:
+            bw.put(diff if diff > 0 else diff + (1 << size) - 1, size)
+
+    # Y plane flat 160 -> dc 32 (diff 32 on first block, then 0);
+    # Cb flat 100 -> dc -28; Cr flat 140 -> dc 12 (q00=8 exact)
+    put_dc(dc_lum, 32)
+    c, ln = ac_lum[0x00]; bw.put(c, ln)
+    for _ in range(3):
+        put_dc(dc_lum, 0)
+        c, ln = ac_lum[0x00]; bw.put(c, ln)
+    put_dc(dc_chrom, -28)
+    c, ln = ac_chrom[0x00]; bw.put(c, ln)
+    put_dc(dc_chrom, 12)
+    c, ln = ac_chrom[0x00]; bw.put(c, ln)
+    out += bw.tobytes()
+    out += b"\xff\xd9"
+
+    img = decode_jpeg(bytes(out))
+    assert img.shape == (16, 16, 3)
+    assert (img == img[0, 0]).all()  # flat everywhere after upsampling
+    y, cb, cr = 160.0, 100.0, 140.0
+    exp_r = int(np.clip(np.floor(y + 1.402 * (cr - 128) + 0.5), 0, 255))
+    exp_g = int(np.clip(np.floor(
+        y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128) + 0.5), 0, 255))
+    exp_b = int(np.clip(np.floor(y + 1.772 * (cb - 128) + 0.5), 0, 255))
+    assert img[0, 0].tolist() == [exp_r, exp_g, exp_b]
+
+
 def test_decode_image_pixels_jpeg_branch():
     from dataqualitykit_spark.operators.multimodal import decode_image_pixels
 
