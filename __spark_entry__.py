@@ -3162,6 +3162,37 @@ def q_pii_luhn(spark, sf):
     )
 
 
+def q_ccnet_ppl_buckets(spark, sf):
+    """The ACTUAL CCNet recipe (Wenzek 2020 §4.4): per-language
+    perplexity head/middle/tail terciles under a real n-gram LM —
+    composition of the corpus-trained stupid-backoff trigram LM
+    (ngram_lm_score's model, same caps) with score_buckets'
+    histogram-prefix cut (rank window only over boundary bins, never a
+    whole language). Score = -avg_logprob (log-ppl; low = head).
+    FULL per-doc oracle: the DuckDB twin retrains the identical LM and
+    ranks with the one-window form score_buckets is row-identical to."""
+    from dataqualitykit_spark.operators import ngram_lm, sampling
+
+    d = _t(spark, sf, "documents")
+    model = ngram_lm.train_ngram_lm(
+        d.select("doc_id", "text"), v_cap=4096, b_cap=8192, t_cap=8192
+    )
+    scored = ngram_lm.score_documents(
+        d.select("doc_id", "lang", "text"), model
+    ).select("doc_id", "lang", (-F.col("avg_logprob")).alias("log_ppl"))
+    out = sampling.score_buckets(
+        scored,
+        (("head", 0.25), ("middle", 0.25), ("tail", 0.5)),
+        score_col="log_ppl",
+        id_col="doc_id",
+        by="lang",
+        ascending=True,
+        lo=0.0,
+        hi=20.0,
+    )
+    return out.select("doc_id", "lang", "bucket")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the driver records correctness for the FIRST ~50
     # entries only (observed ceiling in rounds 1-2). The flagship pipeline,
@@ -3207,6 +3238,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "justext_extract": q_justext,
         "pii_luhn": q_pii_luhn,
         "jpeg_resize": q_jpeg_resize,
+        "ccnet_ppl_buckets": q_ccnet_ppl_buckets,
         # -- exactly one green (r05) — confirming second record, in priority
         # order: the 5 ex-rows-only invariant conversions (weak-marked for
         # 4 recordless rounds before r5), the 12 rows round-5 VERDICT item
@@ -6080,9 +6112,9 @@ def oracle_sql() -> dict[str, str]:
     # same three-leg expression, left-fold the per-doc sum in token order
     # (list_reduce — DuckDB window SUM is a segment tree with a different
     # accumulation order; see STATE.md round-6 item 10), shared 1e-6 tie
-    # rule on both sides.
+    # rule on both sides. The CTE chain is shared with ccnet_ppl_buckets.
     _LM_V, _LM_B, _LM_T = 4096, 8192, 8192
-    d["ngram_lm_score"] = f"""
+    _lm_cte = f"""
         WITH tok AS (
           SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws, 1) - 1 AS pos
           FROM (
@@ -6150,7 +6182,8 @@ def oracle_sql() -> dict[str, str]:
                  floor(list_reduce(list(term ORDER BY pos), (x, y) -> x + y)
                        / count(*) * 1e6 + 0.5) / 1e6 AS avg_lp
           FROM terms GROUP BY doc_id
-        )
+        )"""
+    d["ngram_lm_score"] = _lm_cte + """
         SELECT dd.doc_id,
                coalesce(p.n_tokens, 0) AS n_tokens,
                coalesce(p.n_tri, 0) AS n_tri,
@@ -6158,6 +6191,27 @@ def oracle_sql() -> dict[str, str]:
                coalesce(p.n_uni, 0) AS n_uni,
                p.avg_lp
         FROM documents dd LEFT JOIN per_doc p USING (doc_id)"""
+    # ccnet_ppl_buckets: the one-window rank form score_buckets is
+    # row-identical to, over -avg_lp (NULLS LAST), per-lang tercile
+    # boundaries ceil(0.25*n)/ceil(0.5*n) with the shared md5 tie-break.
+    d["ccnet_ppl_buckets"] = _lm_cte + """
+        , sc AS (
+          SELECT dd.doc_id, dd.lang, -p.avg_lp AS log_ppl
+          FROM documents dd LEFT JOIN per_doc p USING (doc_id)
+        ), r AS (
+          SELECT doc_id, lang,
+                 row_number() OVER (PARTITION BY lang
+                   ORDER BY log_ppl ASC NULLS LAST,
+                            md5(CAST(doc_id AS VARCHAR)) ASC,
+                            doc_id ASC) AS rn,
+                 count(*) OVER (PARTITION BY lang) AS n
+          FROM sc
+        )
+        SELECT doc_id, lang,
+               CASE WHEN rn <= CEIL(0.25 * n) THEN 'head'
+                    WHEN rn <= CEIL(0.5 * n) THEN 'middle'
+                    ELSE 'tail' END AS bucket
+        FROM r"""
     d["domain_split"] = """
         WITH dm AS (
           SELECT doc_id, source AS domain FROM documents
