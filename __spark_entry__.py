@@ -2738,6 +2738,79 @@ def q_gif_frames(spark, sf):
     )
 
 
+def q_mjpeg_frames(spark, sf):
+    """Invariant certification of REAL MJPEG-MP4 frame extraction (round
+    6: mp4_codec.demux_mjpeg walks the ISO-BMFF stbl sample tables —
+    stts/stsz/stsc/stco — and jpeg_codec decodes each sample; the stub
+    fan-out remains only for entropy-coded video, AVC/HEVC). Ground
+    truth is construction-time: mjpeg_frames_expected emits one
+    (media_id, ts, sha256) row per frame the sampler MUST produce from
+    the fixture's closed-form per-8x8-block tile values — flat blocks at
+    quality 75 round-trip EXACTLY through the JPEG codec (pinned in
+    tests/test_jpeg_codec.py), so the sha never comes from running the
+    demux/decode pipeline. 24 fixture rows (8 garbage) at every_ms=250
+    must yield exactly 96 real PNG frames + 8 stub rows, every real
+    frame matching its expected pixel sha, none unmatched."""
+    from dataqualitykit_spark.operators import multimodal
+
+    fx = multimodal.mjpeg_fixture(spark, 24)
+    sampled = multimodal.sample_frames(fx, every_ms=250)
+
+    def pixel_sha(it):
+        import hashlib as _h
+
+        import pandas as _pd
+
+        from dataqualitykit_spark.operators import png_codec as _pc
+
+        for pdf in it:
+            shas = []
+            for p, mime in zip(pdf["payload"], pdf["mime"]):
+                if mime != "image/png":
+                    shas.append(None)
+                    continue
+                try:
+                    arr = _pc.decode_png(bytes(p))
+                    shas.append(_h.sha256(arr.tobytes()).hexdigest())
+                except _pc.PngError:
+                    shas.append("DECODE_FAIL")
+            yield _pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "mime": pdf["mime"],
+                    "ts": pdf["duration_ms"],
+                    "pixel_sha": shas,
+                }
+            )
+
+    hashed = sampled.mapInPandas(
+        pixel_sha, "media_id bigint, mime string, ts int, pixel_sha string"
+    )
+    exp = multimodal.mjpeg_frames_expected(spark, 24, every_ms=250)
+    j = hashed.join(exp, ["media_id", "ts"], "left")
+    return j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum((F.col("mime") == "image/png").cast("int")).cast("long").alias(
+            "n_real_frames"
+        ),
+        F.sum((F.col("mime") == "image/x-stub").cast("int")).cast("long").alias(
+            "n_stub_rows"
+        ),
+        F.sum(
+            (
+                (F.col("mime") == "image/png")
+                & F.col("exp_sha256").isNull()
+            ).cast("int")
+        ).cast("long").alias("n_unmatched"),
+        F.sum(
+            (
+                (F.col("mime") == "image/png")
+                & ~F.col("pixel_sha").eqNullSafe(F.col("exp_sha256"))
+            ).cast("int")
+        ).cast("long").alias("n_sha_mismatch"),
+    )
+
+
 def q_audio_features(spark, sf):
     """Invariant certification of REAL PCM sample decode + signal
     features (round 6). Fixture WAVs are mono square waves, so every
@@ -3239,6 +3312,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_luhn": q_pii_luhn,
         "jpeg_resize": q_jpeg_resize,
         "ccnet_ppl_buckets": q_ccnet_ppl_buckets,
+        "mjpeg_frames": q_mjpeg_frames,
         # -- exactly one green (r05) — confirming second record, in priority
         # order: the 5 ex-rows-only invariant conversions (weak-marked for
         # 4 recordless rounds before r5), the 12 rows round-5 VERDICT item
@@ -5961,6 +6035,14 @@ def oracle_sql() -> dict[str, str]:
                CAST(24 AS BIGINT) AS n_parse_ok,
                CAST(0 AS BIGINT) AS n_mismatch"""
     d["gif_frames"] = """
+        SELECT CAST(104 AS BIGINT) AS n_rows,
+               CAST(96 AS BIGINT) AS n_real_frames,
+               CAST(8 AS BIGINT) AS n_stub_rows,
+               CAST(0 AS BIGINT) AS n_unmatched,
+               CAST(0 AS BIGINT) AS n_sha_mismatch"""
+    # mjpeg_frames: same fan-out arithmetic as gif_frames (16 real rows,
+    # F = 2 + i%4 frames each sampled at 2F-1 instants -> 96; 8 stubs)
+    d["mjpeg_frames"] = """
         SELECT CAST(104 AS BIGINT) AS n_rows,
                CAST(96 AS BIGINT) AS n_real_frames,
                CAST(8 AS BIGINT) AS n_stub_rows,

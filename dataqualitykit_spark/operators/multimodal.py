@@ -348,12 +348,14 @@ def sample_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video/animation frame sampling: one input row -> N frame rows
     (mapInPandas fan-out; output rows > input rows, batches stream
     through bounded memory). ANIMATED GIFs extract REAL frames (round 6:
-    gif_codec.decode_gif_frames — LZW decode + canvas compositing): at
-    each sample instant t = 0, every_ms, 2*every_ms, ... the frame
-    active at t is re-encoded as PNG with duration_ms = t. Other
-    payloads (MP4 needs a real codec) keep the stub fan-out derived
-    from the metadata duration, marked mime='image/x-stub'."""
-    from . import gif_codec, png_codec
+    gif_codec.decode_gif_frames — LZW decode + canvas compositing) and so
+    do MJPEG MP4s (round 6: mp4_codec.demux_mjpeg walks the stbl sample
+    tables, jpeg_codec decodes each sample): at each sample instant
+    t = 0, every_ms, 2*every_ms, ... the frame active at t is re-encoded
+    as PNG with duration_ms = t. Other payloads (AVC/HEVC MP4 needs a
+    real entropy codec) keep the stub fan-out derived from the metadata
+    duration, marked mime='image/x-stub'."""
+    from . import gif_codec, jpeg_codec, mp4_codec, png_codec
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -366,6 +368,15 @@ def sample_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
                         frames = gif_codec.decode_gif_frames(bytes(p))
                     except gif_codec.GifError:
                         frames = None
+                elif p is not None and bytes(p[4:8]) == b"ftyp":
+                    try:
+                        _, _, samples = mp4_codec.demux_mjpeg(bytes(p))
+                        frames = [
+                            (jpeg_codec.decode_jpeg(jb), t)
+                            for jb, t in samples
+                        ]
+                    except (mp4_codec.Mp4Error, jpeg_codec.JpegError):
+                        frames = None  # non-MJPEG mp4 -> stub route
                 if frames is not None:
                     total = frames[-1][1]  # last frame's start time
                     n = max(1, total // every_ms + 1)
@@ -859,6 +870,89 @@ def animation_frames_expected(
             t = k * every_ms
             v = values[min(t // 500, len(values) - 1)]
             canvas = np.full((h, w, 3), v, dtype=np.uint8)
+            rows.append(
+                (i, t, hashlib.sha256(canvas.tobytes()).hexdigest())
+            )
+    return spark.createDataFrame(
+        rows, "media_id bigint, ts int, exp_sha256 string"
+    )
+
+
+def _mjpeg_params(i: int) -> tuple[int, int, int]:
+    """(block_h, block_w, n_frames) for MJPEG fixture row i — shared by
+    the generator and the expected-side mirror. Frame k's 8x8-block tile
+    value is _mjpeg_tile(i, k, by, bx); flat blocks at quality 75
+    round-trip EXACTLY through the JPEG codec (jpeg_resize fixture
+    invariant), so frame pixels are construction-time ground truth."""
+    return 2 + i % 3, 3 + i % 4, 2 + i % 4
+
+
+def _mjpeg_tile(i: int, k: int, by: int, bx: int) -> int:
+    return (bx * 7 + by * 13 + i * 31 + k * 11) % 251
+
+
+def mjpeg_fixture(spark, n: int = 24) -> DataFrame:
+    """n media rows: i % 3 == 2 garbage (stub route), the rest REAL
+    MJPEG MP4s (mp4_codec.mux_mjpeg over jpeg_codec frames) — grayscale
+    per-8x8-block-constant frames from _mjpeg_params, every frame
+    500 ms."""
+    import numpy as np
+
+    from . import jpeg_codec, mp4_codec
+
+    rows = []
+    for i in range(n):
+        if i % 3 == 2:
+            payload = hashlib.md5(f"mjpg{i}".encode()).digest() * 2
+            rows.append(
+                (i, "video", payload, "application/octet-stream",
+                 None, None, None)
+            )
+            continue
+        bh, bw, n_frames = _mjpeg_params(i)
+        h, w = 8 * bh, 8 * bw
+        jpegs = []
+        for k in range(n_frames):
+            bys = np.arange(bh, dtype=np.int64)[:, None]
+            bxs = np.arange(bw, dtype=np.int64)[None, :]
+            tiles = ((bxs * 7 + bys * 13 + i * 31 + k * 11) % 251).astype(
+                np.uint8
+            )
+            img = np.repeat(np.repeat(tiles, 8, axis=0), 8, axis=1)
+            jpegs.append(jpeg_codec.encode_jpeg(img, quality=75))
+        payload = mp4_codec.mux_mjpeg(jpegs, [500] * n_frames, w, h)
+        rows.append(
+            (i, "video", payload, "video/mp4", w, h, 500 * n_frames)
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def mjpeg_frames_expected(
+    spark, n: int = 24, every_ms: int = 250
+) -> DataFrame:
+    """One row per REAL frame sample_frames must emit for
+    mjpeg_fixture(n) at `every_ms`: t = k*every_ms up to the last
+    frame's start (500*(F-1)), active frame floor(t/500), exp_sha256 =
+    sha of that frame's (h, w, 1) gray pixels — pure closed forms of
+    _mjpeg_params/_mjpeg_tile (the flat-block q75 exact round-trip makes
+    the JPEG decode a no-op on these values); the demux/decode pipeline
+    is never run here."""
+    import numpy as np
+
+    rows = []
+    for i in range(n):
+        if i % 3 == 2:
+            continue
+        bh, bw, n_frames = _mjpeg_params(i)
+        total = 500 * (n_frames - 1)
+        for t in range(0, total + 1, every_ms):
+            k = min(t // 500, n_frames - 1)
+            canvas = np.zeros((8 * bh, 8 * bw, 1), dtype=np.uint8)
+            for by in range(bh):
+                for bx in range(bw):
+                    canvas[8 * by : 8 * by + 8, 8 * bx : 8 * bx + 8, 0] = (
+                        _mjpeg_tile(i, k, by, bx)
+                    )
             rows.append(
                 (i, t, hashlib.sha256(canvas.tobytes()).hexdigest())
             )

@@ -144,6 +144,29 @@ class TestSampleFramesReal:
             assert hashlib.sha256(arr.tobytes()).hexdigest() == exp[key]
             assert (r["width"], r["height"]) == (arr.shape[1], arr.shape[0])
 
+    def test_mjpeg_mp4_extracts_real_frames(self, spark):
+        from dataqualitykit_spark.operators.multimodal import (
+            mjpeg_fixture,
+            mjpeg_frames_expected,
+            sample_frames,
+        )
+
+        fx = mjpeg_fixture(spark, 12)
+        out = sample_frames(fx, every_ms=250).collect()
+        real = [r for r in out if r["mime"] == "image/png"]
+        stub = [r for r in out if r["mime"] == "image/x-stub"]
+        assert len(stub) == 4  # i % 3 == 2 garbage rows, one stub each
+        exp = {
+            (r["media_id"], r["ts"]): r["exp_sha256"]
+            for r in mjpeg_frames_expected(spark, 12, 250).collect()
+        }
+        assert len(real) == len(exp)
+        for r in real:
+            arr = pc.decode_png(bytes(r["payload"]))
+            key = (r["media_id"], r["duration_ms"])
+            assert hashlib.sha256(arr.tobytes()).hexdigest() == exp[key]
+            assert (r["width"], r["height"]) == (arr.shape[1], arr.shape[0])
+
     def test_non_gif_keeps_stub_fanout(self, spark):
         from dataqualitykit_spark.operators.multimodal import (
             media_fixture,
