@@ -3200,6 +3200,100 @@ def q_justext(spark, sf):
     )
 
 
+def q_html_meta(spark, sf):
+    """HTML head-metadata extraction (operators/html_meta.py): title /
+    meta description / canonical link / og:title / html lang via
+    Java-RE2-common-subset regexes in one zero-shuffle projection. The
+    fixture synthesizes a head block per document with md5(doc_id)-driven
+    VARIANTS — quote style (double vs single) and meta attribute order
+    (name-first vs content-first) — so all four coalesce legs
+    demonstrably fire. FULL per-doc value hash: DuckDB builds the
+    byte-identical html (|| is null-propagating like F.concat) and runs
+    the SAME regex constants (html_meta_sql_exprs); embedded quotes in
+    text truncate identically on both sides, so no sanitization is
+    needed for parity."""
+    from dataqualitykit_spark.operators import html_meta as hm
+
+    d = _t(spark, sf, "documents")
+    h = F.md5(F.col("doc_id").cast("string"))
+    q = F.when(F.substring(h, 1, 1) < F.lit("8"), F.lit('"')).otherwise(
+        F.lit("'")
+    )
+    txt = F.coalesce(F.col("text"), F.lit(""))
+    ti = F.concat(F.lit("T "), F.substring(txt, 1, 30))
+    de = F.concat(F.lit("D "), F.substring(txt, 31, 40))
+    og = F.concat(F.lit("G "), F.substring(txt, 11, 20))
+    cu = F.concat(
+        F.lit("https://canon.example/"), F.col("doc_id").cast("string")
+    )
+    lng = F.coalesce(F.col("lang"), F.lit("und"))
+    meta_nf = F.concat(
+        F.lit("<meta name="), q, F.lit("description"), q,
+        F.lit(" content="), q, de, q, F.lit(">"),
+    )
+    meta_cf = F.concat(
+        F.lit("<meta content="), q, de, q,
+        F.lit(" name="), q, F.lit("description"), q, F.lit(">"),
+    )
+    html = F.concat(
+        F.lit("<html lang="), q, lng, q, F.lit("><head><title>"), ti,
+        F.lit("</title>"),
+        F.when(F.substring(h, 2, 1) < F.lit("8"), meta_nf).otherwise(meta_cf),
+        F.lit("<link rel="), q, F.lit("canonical"), q,
+        F.lit(" href="), q, cu, q, F.lit(">"),
+        F.lit("<meta property="), q, F.lit("og:title"), q,
+        F.lit(" content="), q, og, q, F.lit(">"),
+        F.lit("</head><body>"), txt, F.lit("</body></html>"),
+    )
+    pages = d.select("doc_id", html.alias("html"))
+    out = hm.extract_html_meta(pages)
+    return out.select(
+        "doc_id", "title", "meta_description", "canonical_url",
+        "og_title", "html_lang",
+    )
+
+
+def _html_meta_oracle() -> str:
+    from dataqualitykit_spark.operators.html_meta import html_meta_sql_exprs
+
+    exprs = html_meta_sql_exprs("html")
+    fields = ", ".join(f"{e} AS {n}" for n, e in exprs.items())
+    return f"""
+        WITH src AS (
+          SELECT doc_id,
+                 coalesce(text, '') AS txt,
+                 coalesce(lang, 'und') AS lng,
+                 md5(CAST(doc_id AS VARCHAR)) AS h
+          FROM documents
+        ), built AS (
+          SELECT doc_id, txt, lng,
+                 CASE WHEN substr(h, 1, 1) < '8' THEN '"' ELSE '''' END AS q,
+                 substr(h, 2, 1) < '8' AS name_first,
+                 'T ' || substr(txt, 1, 30) AS ti,
+                 'D ' || substr(txt, 31, 40) AS de,
+                 'G ' || substr(txt, 11, 20) AS og,
+                 'https://canon.example/' || CAST(doc_id AS VARCHAR) AS cu
+          FROM src
+        ), pages AS (
+          SELECT doc_id,
+            '<html lang=' || q || lng || q || '><head><title>' || ti
+            || '</title>'
+            || CASE WHEN name_first
+                 THEN '<meta name=' || q || 'description' || q
+                      || ' content=' || q || de || q || '>'
+                 ELSE '<meta content=' || q || de || q
+                      || ' name=' || q || 'description' || q || '>'
+               END
+            || '<link rel=' || q || 'canonical' || q
+            || ' href=' || q || cu || q || '>'
+            || '<meta property=' || q || 'og:title' || q
+            || ' content=' || q || og || q || '>'
+            || '</head><body>' || txt || '</body></html>' AS html
+          FROM built
+        )
+        SELECT doc_id, {fields} FROM pages"""
+
+
 def q_pii_luhn(spark, sf):
     """Luhn-validated credit-card scrubbing (operators/pii.py): regex
     candidates + ISO 7812 mod-10 check; only checksum-valid numbers are
@@ -3313,6 +3407,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jpeg_resize": q_jpeg_resize,
         "ccnet_ppl_buckets": q_ccnet_ppl_buckets,
         "mjpeg_frames": q_mjpeg_frames,
+        "html_meta": q_html_meta,
         # -- exactly one green (r05) — confirming second record, in priority
         # order: the 5 ex-rows-only invariant conversions (weak-marked for
         # 4 recordless rounds before r5), the 12 rows round-5 VERDICT item
@@ -6048,6 +6143,7 @@ def oracle_sql() -> dict[str, str]:
                CAST(8 AS BIGINT) AS n_stub_rows,
                CAST(0 AS BIGINT) AS n_unmatched,
                CAST(0 AS BIGINT) AS n_sha_mismatch"""
+    d["html_meta"] = _html_meta_oracle()
     d["bpe_tokenize"] = """
         SELECT CAST(count(*) AS BIGINT) AS n_docs,
                CAST(0 AS BIGINT) AS n_reconstruct_fail,
