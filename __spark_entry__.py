@@ -3253,6 +3253,95 @@ def q_html_meta(spark, sf):
     )
 
 
+def q_robots_disallow(spark, sf):
+    """robots.txt politeness (operators/robots.py): column-algebra REP
+    parse (gaps-and-islands UA blocks) + broadcast prefix-match flag.
+    The fixture synthesizes one robots.txt per source host with TWO
+    groups — '*' disallowing /p<hs[0:2]>, goodbot disallowing
+    /q<hs[2:4]> — plus md5-driven parse noise (comments, an empty
+    Disallow, case-folded directive names) on half the hosts. Each doc's
+    URL path lands in the '*'-blocked prefix (25%), the goodbot-blocked
+    prefix (25%), or an allowed path. Ground truth is CONSTRUCTION-TIME:
+    the oracle derives both flags from the same md5 arithmetic — never
+    by parsing — so a parser bug (group selection, grouped UA lines,
+    comment stripping) surfaces as a value-hash mismatch. Also pins the
+    RFC 9309 most-specific-group rule: goodbot is NOT bound by the '*'
+    group, so /p paths stay allowed for it."""
+    from dataqualitykit_spark.operators import robots
+
+    d = _t(spark, sf, "documents")
+    host = F.coalesce(F.col("source"), F.lit("nosource.example"))
+    hosts = d.select(host.alias("domain")).distinct()
+    hs = F.md5(F.col("domain"))
+    noise = F.substring(hs, 5, 1) < F.lit("8")
+    fold = F.substring(hs, 6, 1) < F.lit("8")
+    ua_star = F.when(fold, F.lit("USER-AGENT: *")).otherwise(
+        F.lit("User-agent: *")
+    )
+    dis_word = F.when(fold, F.lit("disallow")).otherwise(F.lit("Disallow"))
+    txt = F.concat(
+        F.when(noise, F.lit("# synthetic robots\n")).otherwise(F.lit("")),
+        ua_star, F.lit("\n"),
+        dis_word, F.lit(": /p"), F.substring(hs, 1, 2),
+        F.lit("  # inline\n"),
+        F.when(noise, F.lit("Disallow:\n")).otherwise(F.lit("")),
+        F.lit("\nUser-Agent: goodbot\nDisallow: /q"),
+        F.substring(hs, 3, 2), F.lit("\n"),
+    )
+    robots_df = hosts.select("domain", txt.alias("robots_txt"))
+    rules_star = robots.parse_robots(robots_df, agent="*")
+    rules_good = robots.parse_robots(robots_df, agent="goodbot")
+
+    hd = F.md5(F.col("doc_id").cast("string"))
+    b = F.substring(hd, 1, 1)
+    hsrc = F.md5(host)
+    path = (
+        F.when(
+            b < F.lit("4"),
+            F.concat(F.lit("/p"), F.substring(hsrc, 1, 2), F.lit("/page")),
+        )
+        .when(
+            b < F.lit("8"),
+            F.concat(F.lit("/q"), F.substring(hsrc, 3, 2), F.lit("/page")),
+        )
+        .otherwise(F.concat(F.lit("/ok/"), F.substring(hd, 2, 4)))
+    )
+    urls = d.select(
+        "doc_id",
+        host.alias("host"),
+        F.concat(F.lit("https://"), host, path).alias("url"),
+    )
+    f1 = robots.flag_disallowed(urls, rules_star, flag_col="_ds")
+    f2 = robots.flag_disallowed(f1, rules_good, flag_col="_dg")
+    return f2.select(
+        "doc_id",
+        "host",
+        robots.url_path_col().alias("path"),
+        F.col("_ds").cast("int").alias("dis_star"),
+        F.col("_dg").cast("int").alias("dis_goodbot"),
+    )
+
+
+_ROBOTS_ORACLE = """
+    WITH x AS (
+      SELECT doc_id,
+             coalesce(source, 'nosource.example') AS host,
+             md5(CAST(doc_id AS VARCHAR)) AS hd,
+             md5(coalesce(source, 'nosource.example')) AS hs
+      FROM documents
+    )
+    SELECT doc_id, host,
+           CASE WHEN substr(hd, 1, 1) < '4'
+                  THEN '/p' || substr(hs, 1, 2) || '/page'
+                WHEN substr(hd, 1, 1) < '8'
+                  THEN '/q' || substr(hs, 3, 2) || '/page'
+                ELSE '/ok/' || substr(hd, 2, 4) END AS path,
+           CAST(substr(hd, 1, 1) < '4' AS INT) AS dis_star,
+           CAST(substr(hd, 1, 1) >= '4' AND substr(hd, 1, 1) < '8' AS INT)
+             AS dis_goodbot
+    FROM x"""
+
+
 def _html_meta_oracle() -> str:
     from dataqualitykit_spark.operators.html_meta import html_meta_sql_exprs
 
@@ -3408,6 +3497,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ccnet_ppl_buckets": q_ccnet_ppl_buckets,
         "mjpeg_frames": q_mjpeg_frames,
         "html_meta": q_html_meta,
+        "robots_disallow": q_robots_disallow,
         # -- exactly one green (r05) — confirming second record, in priority
         # order: the 5 ex-rows-only invariant conversions (weak-marked for
         # 4 recordless rounds before r5), the 12 rows round-5 VERDICT item
@@ -6144,6 +6234,7 @@ def oracle_sql() -> dict[str, str]:
                CAST(0 AS BIGINT) AS n_unmatched,
                CAST(0 AS BIGINT) AS n_sha_mismatch"""
     d["html_meta"] = _html_meta_oracle()
+    d["robots_disallow"] = _ROBOTS_ORACLE
     d["bpe_tokenize"] = """
         SELECT CAST(count(*) AS BIGINT) AS n_docs,
                CAST(0 AS BIGINT) AS n_reconstruct_fail,
