@@ -3253,6 +3253,45 @@ def q_html_meta(spark, sf):
     )
 
 
+def q_readability(spark, sf):
+    """Flesch reading ease + Flesch-Kincaid grade (operators/
+    readability.py) — three one-regex-pass counts, zero shuffle. FULL
+    per-doc value hash: the DuckDB twin (readability_sql_exprs) mirrors
+    the exact IEEE expression tree, so the raw doubles are bit-identical
+    (pinned without tolerance in tests/test_readability.py); the shared
+    floor(x*1e6+0.5)/1e6 tie rule is applied anyway per the repo's
+    cross-engine rounding discipline."""
+    from dataqualitykit_spark.operators import readability as rd
+
+    d = _t(spark, sf, "documents")
+    out = rd.readability(d.select("doc_id", "text"))
+    tie = lambda c: F.floor(c * F.lit(1000000.0) + F.lit(0.5)) / F.lit(
+        1000000.0
+    )
+    return out.select(
+        "doc_id",
+        F.col("n_words").cast("long").alias("n_words"),
+        F.col("n_sentences").cast("long").alias("n_sentences"),
+        F.col("n_syllables").cast("long").alias("n_syllables"),
+        tie(F.col("flesch_ease")).alias("ease6"),
+        tie(F.col("fk_grade")).alias("grade6"),
+    )
+
+
+def _readability_oracle() -> str:
+    from dataqualitykit_spark.operators.readability import readability_sql_exprs
+
+    e = readability_sql_exprs("text")
+    return f"""
+        SELECT doc_id,
+               CAST({e['n_words']} AS BIGINT) AS n_words,
+               CAST({e['n_sentences']} AS BIGINT) AS n_sentences,
+               CAST({e['n_syllables']} AS BIGINT) AS n_syllables,
+               floor(({e['flesch_ease']}) * 1e6 + 0.5) / 1e6 AS ease6,
+               floor(({e['fk_grade']}) * 1e6 + 0.5) / 1e6 AS grade6
+        FROM documents"""
+
+
 def q_robots_disallow(spark, sf):
     """robots.txt politeness (operators/robots.py): column-algebra REP
     parse (gaps-and-islands UA blocks) + broadcast prefix-match flag.
@@ -3498,6 +3537,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mjpeg_frames": q_mjpeg_frames,
         "html_meta": q_html_meta,
         "robots_disallow": q_robots_disallow,
+        "readability": q_readability,
         # -- exactly one green (r05) — confirming second record, in priority
         # order: the 5 ex-rows-only invariant conversions (weak-marked for
         # 4 recordless rounds before r5), the 12 rows round-5 VERDICT item
@@ -6235,6 +6275,7 @@ def oracle_sql() -> dict[str, str]:
                CAST(0 AS BIGINT) AS n_sha_mismatch"""
     d["html_meta"] = _html_meta_oracle()
     d["robots_disallow"] = _ROBOTS_ORACLE
+    d["readability"] = _readability_oracle()
     d["bpe_tokenize"] = """
         SELECT CAST(count(*) AS BIGINT) AS n_docs,
                CAST(0 AS BIGINT) AS n_reconstruct_fail,
