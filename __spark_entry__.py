@@ -3253,6 +3253,52 @@ def q_html_meta(spark, sf):
     )
 
 
+def q_audio_dedup(spark, sf):
+    """Audio near-dup (multimodal.audio_fingerprint64 + the generic
+    banded hamming join): 64-bit energy-delta fingerprints — integer
+    math only, provably VOLUME-INVARIANT (scaling amplitude scales every
+    frame energy by c^2, preserving each strict comparison). Fixture: 24
+    base clips with sha-derived 65-frame amplitude profiles + 24
+    double-volume twins at id+1000. Ground truth is CONSTRUCTION-TIME:
+    afp_expected_fingerprint derives each clip's bits from the amplitude
+    profile alone (energy ordering == amplitude ordering), never by
+    decoding; cross-clip distances for this fixed fixture measure >= 20
+    bits (pinned in tests), so at max_hamming=6 the dup-pair set is
+    EXACTLY the 24 planted (i, i+1000) pairs at hamming 0."""
+    from dataqualitykit_spark.operators import multimodal
+
+    fx = multimodal.audio_dedup_fixture(spark, 24)
+    fps = multimodal.audio_fingerprints(fx)
+    exp = spark.createDataFrame(
+        [
+            (i + off, multimodal.afp_expected_fingerprint(i))
+            for i in range(24)
+            for off in (0, 1000)
+        ],
+        "id bigint, exp_afp long",
+    )
+    fp_check = fps.join(exp, "id", "left").agg(
+        F.count(F.lit(1)).cast("long").alias("n_clips"),
+        F.sum(F.col("afp").isNull().cast("int")).cast("long").alias(
+            "n_fp_null"
+        ),
+        F.sum(
+            (~F.col("afp").eqNullSafe(F.col("exp_afp"))).cast("int")
+        ).cast("long").alias("n_fp_mismatch"),
+    )
+    pairs = multimodal.audio_dup_pairs(fx, max_hamming=6)
+    pair_check = pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum((F.col("hamming") != 0).cast("int")).cast("long").alias(
+            "n_nonzero_ham"
+        ),
+        F.sum(
+            (F.col("id_b") != F.col("id_a") + 1000).cast("int")
+        ).cast("long").alias("n_unplanted"),
+    )
+    return fp_check.crossJoin(pair_check)
+
+
 def q_readability(spark, sf):
     """Flesch reading ease + Flesch-Kincaid grade (operators/
     readability.py) — three one-regex-pass counts, zero shuffle. FULL
@@ -3538,6 +3584,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_meta": q_html_meta,
         "robots_disallow": q_robots_disallow,
         "readability": q_readability,
+        "audio_dedup": q_audio_dedup,
         # -- exactly one green (r05) — confirming second record, in priority
         # order: the 5 ex-rows-only invariant conversions (weak-marked for
         # 4 recordless rounds before r5), the 12 rows round-5 VERDICT item
@@ -6276,6 +6323,13 @@ def oracle_sql() -> dict[str, str]:
     d["html_meta"] = _html_meta_oracle()
     d["robots_disallow"] = _ROBOTS_ORACLE
     d["readability"] = _readability_oracle()
+    d["audio_dedup"] = """
+        SELECT CAST(48 AS BIGINT) AS n_clips,
+               CAST(0 AS BIGINT) AS n_fp_null,
+               CAST(0 AS BIGINT) AS n_fp_mismatch,
+               CAST(24 AS BIGINT) AS n_pairs,
+               CAST(0 AS BIGINT) AS n_nonzero_ham,
+               CAST(0 AS BIGINT) AS n_unplanted"""
     d["bpe_tokenize"] = """
         SELECT CAST(count(*) AS BIGINT) AS n_docs,
                CAST(0 AS BIGINT) AS n_reconstruct_fail,

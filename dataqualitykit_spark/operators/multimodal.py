@@ -1163,3 +1163,123 @@ def phash_dup_pairs(
     return hamming_dup_pairs(
         hashed.filter(F.col("phash").isNotNull()), "phash", "id", max_hamming
     )
+
+
+def audio_fingerprint64(payload: bytes | None) -> int | None:
+    """64-bit energy-delta fingerprint of a PCM clip — the audio analog
+    of dHash: decode channel 0, split the first 65*(n//65) samples into
+    65 equal frames, per-frame energy = EXACT int64 sum of squares, bit
+    j = energy[j+1] > energy[j]. Properties that make it a dedup key:
+    VOLUME-INVARIANT (scaling amplitude by c scales every energy by c^2,
+    preserving every strict comparison — provable, not approximate) and
+    bit-exact across partitionings (integer math only, no FFT floats).
+    None for undecodable payloads or clips shorter than 65 samples."""
+    dec = decode_wav_samples(payload)
+    if dec is None:
+        return None
+    samples = dec[0][:, 0].astype("int64")
+    frame = samples.shape[0] // 65
+    if frame == 0:
+        return None
+    import numpy as np
+
+    e = (samples[: 65 * frame].reshape(65, frame) ** 2).sum(axis=1)
+    fp = 0
+    for j in range(64):
+        if e[j + 1] > e[j]:
+            fp |= 1 << j
+    return fp - (1 << 64) if fp >= 1 << 63 else fp
+
+
+def audio_fingerprints(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "media_id"
+) -> DataFrame:
+    """(id, afp long) via one Arrow pass; undecodable -> NULL afp."""
+
+    def batch(payloads):  # no type hints (pandas_udf eval-type inference)
+        return pd.Series(
+            [audio_fingerprint64(None if p is None else bytes(p)) for p in payloads],
+            dtype="Int64",
+        )
+
+    udf = F.pandas_udf(batch, returnType="long")
+    return df.select(
+        F.col(id_col).alias("id"), udf(F.col(payload_col)).alias("afp")
+    )
+
+
+def audio_dup_pairs(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    max_hamming: int = 6,
+) -> DataFrame:
+    """(id_a, id_b, hamming) pairs of near-duplicate audio —
+    audio_fingerprint64 + the generic banded hamming join
+    (dedup.hamming_dup_pairs): candidate generation is a per-band hash
+    equi-join; payload bytes never shuffle."""
+    from .dedup import hamming_dup_pairs
+
+    fps = audio_fingerprints(df, payload_col, id_col)
+    return hamming_dup_pairs(
+        fps.filter(F.col("afp").isNotNull()), "afp", "id", max_hamming
+    )
+
+
+def _afp_profile(i: int) -> list[int]:
+    """65 per-frame amplitudes for audio-dedup fixture clip i —
+    construction-time ground truth shared by the generator and the
+    expected-fingerprint mirror (sha512 + sha256 of the clip tag: 65
+    deterministic bytes)."""
+    seed = hashlib.sha512(f"afp{i}".encode()).digest()
+    seed += hashlib.sha256(f"afp{i}".encode()).digest()
+    return [100 + b % 150 for b in seed[:65]]
+
+
+def afp_expected_fingerprint(i: int) -> int:
+    """The fingerprint audio_fingerprint64 MUST produce for fixture clip
+    i, derived from the amplitude profile alone (energy ordering ==
+    amplitude ordering for same-shape frames) — never by running the
+    decoder."""
+    a = _afp_profile(i)
+    fp = 0
+    for j in range(64):
+        if a[j + 1] > a[j]:
+            fp |= 1 << j
+    return fp - (1 << 64) if fp >= 1 << 63 else fp
+
+
+def audio_dedup_fixture(spark, n_base: int = 24, frame: int = 16) -> DataFrame:
+    """2*n_base WAV clips: base clip i carries a 65-frame square wave
+    whose frame-j amplitude is _afp_profile(i)[j]; clip i+1000 is the
+    SAME clip at DOUBLE VOLUME (the provably-fingerprint-preserving
+    transform). Expected dedup pairs: exactly {(i, i+1000)} at hamming
+    0 — cross-clip fingerprint distances for this fixed fixture are
+    asserted > max_hamming in tests (deterministic profiles, checked
+    once, pinned)."""
+    import io
+    import struct as _struct
+
+    def clip(i: int, scale: int) -> bytes:
+        amps = _afp_profile(i)
+        body = io.BytesIO()
+        for a in amps:
+            v = a * scale
+            half = [v, v, -v, -v] * (frame // 4)
+            for s in half[:frame]:
+                body.write(_struct.pack("<h", s))
+        pcm = body.getvalue()
+        hdr = (
+            b"RIFF" + _struct.pack("<I", 36 + len(pcm)) + b"WAVE"
+            + b"fmt " + _struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+            + b"data" + _struct.pack("<I", len(pcm))
+        )
+        return hdr + pcm
+
+    rows = []
+    for i in range(n_base):
+        rows.append((i, "audio", clip(i, 1), "audio/wav", None, None, None))
+        rows.append(
+            (i + 1000, "audio", clip(i, 2), "audio/wav", None, None, None)
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)

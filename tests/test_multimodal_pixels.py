@@ -258,3 +258,66 @@ class TestAudioFeatures:
         )
         r = audio_features(df).collect()[0]
         assert r["clip_ratio"] == 1.0 and r["peak"] == 32767
+
+
+class TestAudioFingerprint:
+    def test_expected_fingerprints_and_volume_invariance(self, spark):
+        from dataqualitykit_spark.operators.multimodal import (
+            afp_expected_fingerprint,
+            audio_dedup_fixture,
+            audio_fingerprints,
+        )
+
+        fx = audio_dedup_fixture(spark, 8)
+        got = {
+            r["id"]: r["afp"] for r in audio_fingerprints(fx).collect()
+        }
+        assert len(got) == 16 and all(v is not None for v in got.values())
+        for i in range(8):
+            exp = afp_expected_fingerprint(i)
+            assert got[i] == exp  # construction-time ground truth
+            assert got[i + 1000] == exp  # double volume -> identical bits
+
+    def test_cross_clip_separation_pinned(self):
+        # the fixed fixture's cross-clip fingerprint distances must stay
+        # far above the dedup threshold (deterministic, checked once)
+        from dataqualitykit_spark.operators.multimodal import (
+            afp_expected_fingerprint,
+        )
+
+        u = [afp_expected_fingerprint(i) & ((1 << 64) - 1) for i in range(24)]
+        mn = min(
+            bin(u[a] ^ u[b]).count("1")
+            for a in range(24)
+            for b in range(a + 1, 24)
+        )
+        assert mn > 12  # measured 20 for this fixture
+
+    def test_dup_pairs_exactly_planted(self, spark):
+        from dataqualitykit_spark.operators.multimodal import (
+            audio_dedup_fixture,
+            audio_dup_pairs,
+        )
+
+        fx = audio_dedup_fixture(spark, 10)
+        pairs = {
+            (r["id_a"], r["id_b"]): r["hamming"]
+            for r in audio_dup_pairs(fx, max_hamming=6).collect()
+        }
+        assert pairs == {(i, i + 1000): 0 for i in range(10)}
+
+    def test_undecodable_and_short_clips_null(self, spark):
+        from dataqualitykit_spark.operators.multimodal import (
+            audio_fingerprints,
+        )
+
+        rows = [
+            (1, "audio", b"garbage bytes", "application/octet-stream",
+             None, None, None),
+            (2, "audio", None, None, None, None, None),
+        ]
+        from dataqualitykit_spark.operators.multimodal import MEDIA_SCHEMA
+
+        df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+        got = {r["id"]: r["afp"] for r in audio_fingerprints(df).collect()}
+        assert got == {1: None, 2: None}
