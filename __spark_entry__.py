@@ -3253,6 +3253,67 @@ def q_html_meta(spark, sf):
     )
 
 
+def q_compress_ratio(spark, sf):
+    """zlib compression-ratio signal (operators/compression.py). The
+    ratio is not SQL-computable, so this is an invariant oracle with an
+    EXACT cross-check where SQL can reach: the operator's per-doc
+    n_bytes must sum to DuckDB's sum(strlen(text)) over the corpus
+    (UTF-8 byte semantics on both sides), natural ratios stay in (0, 2],
+    and 200 planted extreme docs land under/over provable thresholds —
+    periodic 4-char units repeated to 2000 bytes compress below 0.1
+    (measured 0.013), md5-hex chains sit above 0.3 (the 4-bit/char
+    entropy floor; measured 0.5625), and every planted pair orders
+    rep < hex."""
+    import hashlib as _h
+
+    from dataqualitykit_spark.operators import compression
+
+    d = _t(spark, sf, "documents")
+    scored = compression.compression_ratio(d.select("doc_id", "text"))
+    natural = scored.agg(
+        F.count("n_bytes").cast("long").alias("n_docs_scored"),
+        F.sum("n_bytes").cast("long").alias("total_bytes"),
+        F.sum(
+            (
+                (F.col("compress_ratio") <= 0)
+                | (F.col("compress_ratio") > 2)
+            ).cast("int")
+        ).cast("long").alias("n_range_viol"),
+    )
+
+    def rep_text(i: int) -> str:
+        return _h.md5(f"rep{i}".encode()).hexdigest()[:4] * 500
+
+    def hex_text(i: int) -> str:
+        return "".join(
+            _h.md5(f"hx{i}:{k}".encode()).hexdigest() for k in range(63)
+        )[:2000]
+
+    planted = spark.createDataFrame(
+        [(i, rep_text(i), hex_text(i)) for i in range(200)],
+        "pid int, rep string, hx string",
+    )
+    pr = compression.compression_ratio(planted, "rep").withColumnRenamed(
+        "compress_ratio", "r_rep"
+    )
+    ph = compression.compression_ratio(
+        pr.select("pid", "hx", "r_rep"), "hx"
+    )
+    planted_check = ph.agg(
+        F.count(F.lit(1)).cast("long").alias("n_planted"),
+        F.sum((F.col("r_rep") >= 0.1).cast("int")).cast("long").alias(
+            "n_rep_viol"
+        ),
+        F.sum((F.col("compress_ratio") <= 0.3).cast("int")).cast("long").alias(
+            "n_hex_viol"
+        ),
+        F.sum(
+            (F.col("r_rep") >= F.col("compress_ratio")).cast("int")
+        ).cast("long").alias("n_order_viol"),
+    )
+    return natural.crossJoin(planted_check)
+
+
 def q_audio_dedup(spark, sf):
     """Audio near-dup (multimodal.audio_fingerprint64 + the generic
     banded hamming join): 64-bit energy-delta fingerprints — integer
@@ -3585,6 +3646,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_disallow": q_robots_disallow,
         "readability": q_readability,
         "audio_dedup": q_audio_dedup,
+        "compress_ratio": q_compress_ratio,
         # -- exactly one green (r05) — confirming second record, in priority
         # order: the 5 ex-rows-only invariant conversions (weak-marked for
         # 4 recordless rounds before r5), the 12 rows round-5 VERDICT item
@@ -6330,6 +6392,15 @@ def oracle_sql() -> dict[str, str]:
                CAST(24 AS BIGINT) AS n_pairs,
                CAST(0 AS BIGINT) AS n_nonzero_ham,
                CAST(0 AS BIGINT) AS n_unplanted"""
+    d["compress_ratio"] = """
+        SELECT CAST(count(text) AS BIGINT) AS n_docs_scored,
+               CAST(sum(strlen(text)) AS BIGINT) AS total_bytes,
+               CAST(0 AS BIGINT) AS n_range_viol,
+               CAST(200 AS BIGINT) AS n_planted,
+               CAST(0 AS BIGINT) AS n_rep_viol,
+               CAST(0 AS BIGINT) AS n_hex_viol,
+               CAST(0 AS BIGINT) AS n_order_viol
+        FROM documents"""
     d["bpe_tokenize"] = """
         SELECT CAST(count(*) AS BIGINT) AS n_docs,
                CAST(0 AS BIGINT) AS n_reconstruct_fail,
