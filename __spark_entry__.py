@@ -3488,6 +3488,103 @@ _ROBOTS_ORACLE = """
     FROM x"""
 
 
+def q_publish_dates(spark, sf):
+    """Publish-date / freshness extraction (html_meta.extract_publish_
+    dates): article:published_time / meta name=date / <time datetime>
+    legs + fixed-ISO try_to_timestamp parse. Fixture variants from
+    md5(doc_id): which leg carries the date, which ISO shape (full-Z /
+    full / date-only), quote style, and one variant with NO date.
+    Ground truth is CONSTRUCTION-TIME: the oracle emits the raw string
+    and formatted timestamp from the same digit arithmetic — never by
+    regexing html — so both the extraction legs and the parse legs are
+    pinned. Timestamps cross engines as strings (date_format vs
+    strftime), sidestepping timezone/rendering divergence."""
+    d = _t(spark, sf, "documents")
+    h = F.md5(F.col("doc_id").cast("string"))
+    dig = F.translate(h, "abcdef", "012345")
+
+    def n(at: int, ln: int) -> "F.Column":
+        return F.substring(dig, at, ln).cast("int")
+
+    y = (F.lit(2015) + (n(1, 1) % 10)).cast("string")
+    mo = F.lpad((F.lit(1) + n(2, 2) % 12).cast("string"), 2, "0")
+    dy = F.lpad((F.lit(1) + n(4, 2) % 28).cast("string"), 2, "0")
+    hh = F.lpad((n(6, 2) % 24).cast("string"), 2, "0")
+    mi = F.lpad((n(8, 2) % 60).cast("string"), 2, "0")
+    ss = F.lpad((n(10, 2) % 60).cast("string"), 2, "0")
+    date_part = F.concat(y, F.lit("-"), mo, F.lit("-"), dy)
+    full = F.concat(date_part, F.lit("T"), hh, F.lit(":"), mi, F.lit(":"), ss)
+    v = F.substring(h, 15, 1)
+    raw = (
+        F.when(v < F.lit("4"), F.concat(full, F.lit("Z")))
+        .when(v < F.lit("8"), full)
+        .when(v < F.lit("c"), date_part)
+    )
+    html = (
+        F.when(
+            v < F.lit("4"),
+            F.concat(
+                F.lit('<head><meta property="article:published_time" content="'),
+                raw,
+                F.lit('"></head>'),
+            ),
+        )
+        .when(
+            v < F.lit("8"),
+            F.concat(
+                F.lit("<head><meta content='"), raw,
+                F.lit("' name='date'></head>"),
+            ),
+        )
+        .when(
+            v < F.lit("c"),
+            F.concat(
+                F.lit('<body><time datetime="'), raw,
+                F.lit('">then</time></body>'),
+            ),
+        )
+        .otherwise(F.lit("<body><p>undated page</p></body>"))
+    )
+    from dataqualitykit_spark.operators import html_meta as hm
+
+    pages = d.select("doc_id", html.alias("html"))
+    out = hm.extract_publish_dates(pages)
+    return out.select(
+        "doc_id",
+        "publish_date_raw",
+        F.date_format("publish_ts", "yyyy-MM-dd HH:mm:ss").alias("pub_ts_str"),
+    )
+
+
+_PUBLISH_DATES_ORACLE = """
+    WITH x AS (
+      SELECT doc_id,
+             md5(CAST(doc_id AS VARCHAR)) AS h,
+             translate(md5(CAST(doc_id AS VARCHAR)), 'abcdef', '012345') AS dig
+      FROM documents
+    ), parts AS (
+      SELECT doc_id, substr(h, 15, 1) AS v,
+             CAST(2015 + CAST(substr(dig, 1, 1) AS INT) % 10 AS VARCHAR)
+               || '-' || lpad(CAST(1 + CAST(substr(dig, 2, 2) AS INT) % 12
+                               AS VARCHAR), 2, '0')
+               || '-' || lpad(CAST(1 + CAST(substr(dig, 4, 2) AS INT) % 28
+                               AS VARCHAR), 2, '0') AS date_part,
+             lpad(CAST(CAST(substr(dig, 6, 2) AS INT) % 24 AS VARCHAR), 2, '0')
+               || ':' || lpad(CAST(CAST(substr(dig, 8, 2) AS INT) % 60
+                               AS VARCHAR), 2, '0')
+               || ':' || lpad(CAST(CAST(substr(dig, 10, 2) AS INT) % 60
+                               AS VARCHAR), 2, '0') AS time_part
+      FROM x
+    )
+    SELECT doc_id,
+           CASE WHEN v < '4' THEN date_part || 'T' || time_part || 'Z'
+                WHEN v < '8' THEN date_part || 'T' || time_part
+                WHEN v < 'c' THEN date_part END AS publish_date_raw,
+           CASE WHEN v < '8' THEN date_part || ' ' || time_part
+                WHEN v < 'c' THEN date_part || ' 00:00:00' END AS pub_ts_str
+    FROM parts"""
+
+
 def _html_meta_oracle() -> str:
     from dataqualitykit_spark.operators.html_meta import html_meta_sql_exprs
 
@@ -3647,6 +3744,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "readability": q_readability,
         "audio_dedup": q_audio_dedup,
         "compress_ratio": q_compress_ratio,
+        "publish_dates": q_publish_dates,
         # -- exactly one green (r05) — confirming second record, in priority
         # order: the 5 ex-rows-only invariant conversions (weak-marked for
         # 4 recordless rounds before r5), the 12 rows round-5 VERDICT item
@@ -6385,6 +6483,7 @@ def oracle_sql() -> dict[str, str]:
     d["html_meta"] = _html_meta_oracle()
     d["robots_disallow"] = _ROBOTS_ORACLE
     d["readability"] = _readability_oracle()
+    d["publish_dates"] = _PUBLISH_DATES_ORACLE
     d["audio_dedup"] = """
         SELECT CAST(48 AS BIGINT) AS n_clips,
                CAST(0 AS BIGINT) AS n_fp_null,

@@ -104,3 +104,74 @@ def html_meta_sql_exprs(html_expr: str = "html") -> dict[str, str]:
             expr = f"nullif(trim({expr}, {trimset}), '')"
         out[name] = expr
     return out
+
+
+# ---------------------------------------------------------------------------
+# Publish-date / freshness extraction (the head-meta family's second half:
+# selection pipelines weight recency, takedown audits need the claimed
+# publication date next to the crawl date).
+# ---------------------------------------------------------------------------
+
+PUBLISH_DATE_LEGS: list[str] = (
+    _attr_legs("meta", "property", "article:published_time", "content")
+    + _attr_legs("meta", "name", "date", "content")
+    + [
+        rf"(?is)<time\b[^>]*\bdatetime\s*=\s*{q}([^{q}]*){q}"
+        for q in ('"', "'")
+    ]
+)
+
+# fixed ISO-8601 subset, one leg per shape; zone OFFSETS are out of scope
+# (documented — the Z leg covers the crawl-dominant UTC form)
+_TS_FORMATS = [
+    ("yyyy-MM-dd'T'HH:mm:ss'Z'", "%Y-%m-%dT%H:%M:%SZ"),
+    ("yyyy-MM-dd'T'HH:mm:ss", "%Y-%m-%dT%H:%M:%S"),
+    ("yyyy-MM-dd", "%Y-%m-%d"),
+]
+
+
+def publish_date_raw_col(html_col: str = "html") -> Column:
+    """The first matching date string from article:published_time /
+    meta name=date / <time datetime=...> — raw, undecoded."""
+    return F.coalesce(
+        *[
+            F.nullif(F.regexp_extract(F.col(html_col), leg, 1), F.lit(""))
+            for leg in PUBLISH_DATE_LEGS
+        ]
+    )
+
+
+def publish_ts_col(raw: Column) -> Column:
+    """Raw date string -> timestamp via the fixed ISO legs (try_to_
+    timestamp: a malformed date yields NULL, never a job failure)."""
+    return F.coalesce(
+        *[F.try_to_timestamp(raw, F.lit(spark_fmt)) for spark_fmt, _ in _TS_FORMATS]
+    )
+
+
+def extract_publish_dates(df: DataFrame, html_col: str = "html") -> DataFrame:
+    """Adds publish_date_raw + publish_ts. Zero-shuffle projection."""
+    raw = publish_date_raw_col(html_col)
+    out = df.select("*", raw.alias("publish_date_raw"))
+    return out.select(
+        "*", publish_ts_col(F.col("publish_date_raw")).alias("publish_ts")
+    )
+
+
+def publish_date_sql_exprs(html_expr: str = "html") -> dict[str, str]:
+    """DuckDB twin: identical regex legs; try_strptime mirrors each
+    Spark format leg in order."""
+    raw = "coalesce({})".format(
+        ", ".join(
+            "nullif(regexp_extract({h}, '{p}', 1), '')".format(
+                h=html_expr, p=leg.replace("'", "''")
+            )
+            for leg in PUBLISH_DATE_LEGS
+        )
+    )
+    ts = "coalesce({})".format(
+        ", ".join(
+            f"try_strptime(({raw}), '{duck_fmt}')" for _, duck_fmt in _TS_FORMATS
+        )
+    )
+    return {"publish_date_raw": raw, "publish_ts": ts}

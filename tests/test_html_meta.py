@@ -92,3 +92,47 @@ def test_zero_shuffle_plan(spark):
     df = spark.createDataFrame([(1, "<title>x</title>")], "id int, html string")
     plan = extract_html_meta(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+PUB_CASES = [
+    ('<meta property="article:published_time" content="2024-03-05T06:07:08Z">',
+     "2024-03-05T06:07:08Z", "2024-03-05 06:07:08"),
+    ("<meta content='2023-12-31T23:59:59' property='article:published_time'>",
+     "2023-12-31T23:59:59", "2023-12-31 23:59:59"),
+    ("<meta name='date' content='2022-01-15'>", "2022-01-15", "2022-01-15 00:00:00"),
+    ('<article><time datetime="2021-07-04">July 4</time></article>',
+     "2021-07-04", "2021-07-04 00:00:00"),
+    ('<meta name="date" content="not a date">', "not a date", None),
+    ("<p>no dates at all</p>", None, None),
+]
+
+
+def test_publish_dates(spark):
+    from dataqualitykit_spark.operators.html_meta import extract_publish_dates
+
+    df = spark.createDataFrame(
+        [(i, h) for i, (h, _, _) in enumerate(PUB_CASES)], "id int, html string"
+    )
+    got = {r["id"]: r for r in extract_publish_dates(df).collect()}
+    for i, (_, raw, ts_str) in enumerate(PUB_CASES):
+        assert got[i]["publish_date_raw"] == raw, i
+        ts = got[i]["publish_ts"]
+        if ts_str is None:
+            assert ts is None, i
+        else:
+            assert ts.strftime("%Y-%m-%d %H:%M:%S") == ts_str, i
+
+
+def test_publish_date_duckdb_twin(spark):
+    from dataqualitykit_spark.operators.html_meta import publish_date_sql_exprs
+
+    e = publish_date_sql_exprs("html")
+    con = duckdb.connect()
+    for i, (h, raw, ts_str) in enumerate(PUB_CASES):
+        con.execute("CREATE OR REPLACE TABLE t AS SELECT ? AS html", [h])
+        got_raw, got_ts = con.execute(
+            f"SELECT {e['publish_date_raw']},"
+            f" strftime({e['publish_ts']}, '%Y-%m-%d %H:%M:%S') FROM t"
+        ).fetchone()
+        assert got_raw == raw, i
+        assert got_ts == ts_str, i
