@@ -3488,6 +3488,55 @@ _ROBOTS_ORACLE = """
     FROM x"""
 
 
+def q_homoglyph_fold(spark, sf):
+    """Homoglyph folding (encoding.fold_homoglyphs): confusable
+    Cyrillic/Greek/fullwidth glyphs folded to ASCII + the fold count
+    (dedup/blocklist evasion closure). Fixture: half the docs (md5 bit)
+    get a Latin->Cyrillic substitution injected via translate — the
+    exact inverse direction of the fold — on BOTH sides. FULL per-doc
+    value hash including the folded text; the oracle folds with the
+    identical shared constants (ru docs' NATURAL Cyrillic folds too, on
+    both sides — the parity is over behavior, not 'recovery')."""
+    from dataqualitykit_spark.operators import encoding as enc
+
+    d = _t(spark, sf, "documents")
+    h = F.md5(F.col("doc_id").cast("string"))
+    inj = F.translate(F.col("text"), "aeopcxy", "аеорсху")
+    text = F.when(F.substring(h, 1, 1) < F.lit("8"), inj).otherwise(
+        F.col("text")
+    )
+    pages = d.select("doc_id", text.alias("text"))
+    out = enc.fold_homoglyphs(pages)
+    return out.select(
+        "doc_id",
+        F.col("text_folded").alias("folded"),
+        F.col("homoglyph_count").cast("long").alias("n_hg"),
+    )
+
+
+def _homoglyph_oracle() -> str:
+    from dataqualitykit_spark.operators.encoding import (
+        HOMOGLYPH_DST,
+        HOMOGLYPH_SRC,
+    )
+
+    src = HOMOGLYPH_SRC.replace("'", "''")
+    dst = HOMOGLYPH_DST.replace("'", "''")
+    return f"""
+        WITH x AS (
+          SELECT doc_id,
+                 CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '8'
+                      THEN translate(text, 'aeopcxy', 'аеорсху')
+                      ELSE text END AS text
+          FROM documents
+        )
+        SELECT doc_id,
+               translate(text, '{src}', '{dst}') AS folded,
+               CAST(length(text) - length(translate(text, '{src}', ''))
+                    AS BIGINT) AS n_hg
+        FROM x"""
+
+
 def q_publish_dates(spark, sf):
     """Publish-date / freshness extraction (html_meta.extract_publish_
     dates): article:published_time / meta name=date / <time datetime>
@@ -3745,6 +3794,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_dedup": q_audio_dedup,
         "compress_ratio": q_compress_ratio,
         "publish_dates": q_publish_dates,
+        "homoglyph_fold": q_homoglyph_fold,
         # -- exactly one green (r05) — confirming second record, in priority
         # order: the 5 ex-rows-only invariant conversions (weak-marked for
         # 4 recordless rounds before r5), the 12 rows round-5 VERDICT item
@@ -6484,6 +6534,7 @@ def oracle_sql() -> dict[str, str]:
     d["robots_disallow"] = _ROBOTS_ORACLE
     d["readability"] = _readability_oracle()
     d["publish_dates"] = _PUBLISH_DATES_ORACLE
+    d["homoglyph_fold"] = _homoglyph_oracle()
     d["audio_dedup"] = """
         SELECT CAST(48 AS BIGINT) AS n_clips,
                CAST(0 AS BIGINT) AS n_fp_null,

@@ -90,3 +90,53 @@ def normalize_nfc(df, text_col: str = "text", out_col: str | None = None):
 
     udf = F.pandas_udf(batch, returnType="string")
     return df.withColumn(out_col or text_col, udf(F.col(text_col)))
+
+
+# ---------------------------------------------------------------------------
+# Homoglyph folding: mixed-script lookalike substitution is the classic
+# dedup/blocklist evasion (spam swaps Latin letters for identical-looking
+# Cyrillic/Greek so hashes and keyword filters miss). Folding the
+# confusable set back to ASCII before hashing/matching closes it, and the
+# fold COUNT is itself a spam signal (natural single-script text folds ~0
+# chars; evasive text folds many).
+# ---------------------------------------------------------------------------
+
+# parallel src -> dst codepoint strings (1:1, translate semantics — the
+# SAME constants render into Spark F.translate and DuckDB translate()).
+# Conservative confusable set: Cyrillic + Greek glyphs whose rendering is
+# identical to a Latin letter in common fonts, plus fullwidth Latin/digits.
+_CYR_SRC = "аеорсухѕіјһԛԝАВЕКМНОРСТХУ"
+_CYR_DST = "aeopcyxsijhqwABEKMHOPCTXY"
+_GRK_SRC = "ονΑΒΕΖΗΙΚΜΝΟΡΤΥΧ"
+_GRK_DST = "ovABEZHIKMNOPTYX"
+_FW_SRC = "".join(chr(0xFF01 + i) for i in range(94))  # ！.. ～ fullwidth
+_FW_DST = "".join(chr(0x21 + i) for i in range(94))
+HOMOGLYPH_SRC = _CYR_SRC + _GRK_SRC + _FW_SRC
+HOMOGLYPH_DST = _CYR_DST + _GRK_DST + _FW_DST
+assert len(HOMOGLYPH_SRC) == len(HOMOGLYPH_DST)
+
+
+def fold_homoglyphs_col(col):
+    """Column: text with the confusable set folded to ASCII."""
+    return F.translate(col, HOMOGLYPH_SRC, HOMOGLYPH_DST)
+
+
+def homoglyph_count_col(col):
+    """Column: how many characters the fold touches (deletion-mode
+    translate: length delta when the src set is stripped)."""
+    return F.length(col) - F.length(F.translate(col, HOMOGLYPH_SRC, ""))
+
+
+def fold_homoglyphs(
+    df: DataFrame, text_col: str = "text", out_col: str | None = None
+) -> DataFrame:
+    """Adds `out_col` (default '<text_col>_folded') + 'homoglyph_count'.
+    One zero-shuffle projection; fold before hash keys (dedup) or
+    keyword matching (blocklists) to close the mixed-script evasion."""
+    out = out_col or f"{text_col}_folded"
+    c = F.col(text_col)
+    return df.select(
+        "*",
+        fold_homoglyphs_col(c).alias(out),
+        homoglyph_count_col(c).alias("homoglyph_count"),
+    )
