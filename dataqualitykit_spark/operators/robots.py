@@ -28,13 +28,22 @@ this belongs to the engine's crawl family beside url_filter/crawl_delta.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["parse_robots", "flag_disallowed", "url_host_col", "url_path_col"]
+__all__ = [
+    "parse_robots",
+    "py_parse_robots",
+    "flag_disallowed",
+    "url_host_col",
+    "url_path_col",
+]
 
 _UA_RE = r"(?i)^user-agent\s*:\s*(\S+)"
 _DIS_RE = r"(?i)^disallow\s*:\s*(\S*)"
+_WS = " \t\r\n\f\v"
 
 
 def parse_robots(
@@ -45,7 +54,10 @@ def parse_robots(
 ) -> DataFrame:
     """(domain, robots_txt) -> (domain, rules array<string>) of disallow
     path-prefixes binding for `agent`. Zero Python; two partial-agged
-    exchanges on (domain[, block])."""
+    exchanges on (domain[, block]). A file with NO User-agent groups
+    emits no row at all (allow-all by absence — keeps the broadcast rule
+    table minimal; flag_disallowed's left join already treats a missing
+    domain as allowed)."""
     agent_lc = agent.lower()
     lines = df.select(
         F.col(domain_col).alias("domain"),
@@ -53,7 +65,9 @@ def parse_robots(
             F.split(F.coalesce(F.col(robots_col), F.lit("")), "\n")
         ).alias("ln", "raw"),
     )
-    txt = F.btrim(F.regexp_replace(F.col("raw"), "#.*$", ""))
+    # explicit whitespace set: default btrim strips spaces only, which
+    # would leave a tab-indented directive unrecognized
+    txt = F.btrim(F.regexp_replace(F.col("raw"), "#.*$", ""), F.lit(_WS))
     ua = F.nullif(F.lower(F.regexp_extract(txt, _UA_RE, 1)), F.lit(""))
     is_dis = txt.rlike(_DIS_RE)
     dis = F.nullif(F.regexp_extract(txt, _DIS_RE, 1), F.lit(""))
@@ -96,6 +110,36 @@ def parse_robots(
     # array_sort: collect_list order is task-order-dependent; sorting makes
     # the rule array deterministic across partitionings (oracle-grade)
     return per_domain.select("domain", F.array_sort(rules).alias("rules"))
+
+
+def py_parse_robots(robots_txt: str | None, agent: str = "*") -> list[str]:
+    """Pure-python mirror of parse_robots for one file — shared by the
+    fuzz tests (the semantics.py discipline). Replicates the column
+    algebra exactly, including the lag-based block rule: a comment or
+    blank line BETWEEN two User-agent lines starts a new block (only
+    directly consecutive UA lines share one)."""
+    agent_lc = agent.lower()
+    blocks: list[tuple[set, list]] = []
+    cur: tuple[set, list] | None = None
+    prev_was_ua = False
+    for rawline in (robots_txt or "").split("\n"):
+        line = re.sub(r"#.*$", "", rawline).strip(_WS)
+        m_ua = re.match(_UA_RE, line)
+        if m_ua:
+            if not prev_was_ua:
+                cur = (set(), [])
+                blocks.append(cur)
+            cur[0].add(m_ua.group(1).lower())
+            prev_was_ua = True
+            continue
+        prev_was_ua = False
+        m_dis = re.match(_DIS_RE, line)
+        if m_dis and cur is not None and m_dis.group(1):
+            cur[1].append(m_dis.group(1))
+    named = [b for b in blocks if agent_lc in b[0]]
+    star = [b for b in blocks if "*" in b[0]]
+    chosen = named if (agent_lc != "*" and named) else star
+    return sorted(r for _, rules in chosen for r in rules)
 
 
 def url_host_col(url_col: str = "url") -> Column:

@@ -125,3 +125,71 @@ def test_flag_join_is_broadcast(spark):
     )
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def _random_robots(rng) -> str:
+    agents = ["*", "goodbot", "BadBot", "CrawlerX"]
+    lines = []
+    for _ in range(rng.randrange(0, 14)):
+        kind = rng.randrange(7)
+        if kind <= 1:
+            lines.append(
+                f"{rng.choice(['User-agent', 'USER-AGENT', 'user-agent'])}:"
+                f"{' ' * rng.randrange(0, 3)}{rng.choice(agents)}"
+            )
+        elif kind <= 3:
+            path = rng.choice(["/a", "/b/c", "/tmp", "/", ""])
+            lines.append(
+                f"{' ' * rng.randrange(0, 2)}"
+                f"{rng.choice(['Disallow', 'disallow'])}: {path}"
+                f"{rng.choice(['', '  # c'])}"
+            )
+        elif kind == 4:
+            lines.append("# a comment")
+        elif kind == 5:
+            lines.append("")
+        else:
+            lines.append("Crawl-delay: 5")  # unknown directive ignored
+    return "\n".join(lines)
+
+
+def test_fuzz_spark_matches_python_mirror(spark):
+    """200 grammar-random robots files x 3 agents: the column-algebra
+    parser and py_parse_robots must agree exactly."""
+    import random
+
+    from dataqualitykit_spark.operators.robots import py_parse_robots
+
+    rng = random.Random(20260818)
+    files = [(i, _random_robots(rng)) for i in range(200)]
+    df = spark.createDataFrame(
+        [(f"d{i}", t) for i, t in files], "domain string, robots_txt string"
+    )
+    for agent in ("*", "goodbot", "crawlerx"):
+        got = {
+            r["domain"]: list(r["rules"])
+            for r in parse_robots(df, agent=agent).collect()
+        }
+        for i, t in files:
+            # a group-less file emits no row (allow-all by absence)
+            assert got.get(f"d{i}", []) == py_parse_robots(t, agent), (
+                agent, i, t,
+            )
+
+
+def test_mirror_properties():
+    import random
+
+    from dataqualitykit_spark.operators.robots import py_parse_robots
+
+    rng = random.Random(7)
+    for i in range(500):
+        t = _random_robots(rng)
+        rules = py_parse_robots(t, "goodbot")
+        assert rules == py_parse_robots(t, "goodbot")  # deterministic
+        # every rule literally appears as a Disallow value in the text
+        for r in rules:
+            assert r in t
+        # an agent nobody names and no '*' group -> no rules
+        if "*" not in t:
+            assert py_parse_robots(t, "nobody-names-me") == []
