@@ -45,13 +45,17 @@ __all__ = [
 VOWEL_GROUP_RE = "[aeiouy]+"
 SENTENCE_SPLIT_RE = "[.!?]+"
 _NO_VOWEL_WORD = "(?i)[aeiouy]"
+# explicit ASCII whitespace class instead of \s: Java's \s includes \x0B
+# (vertical tab) but RE2's does NOT — spelling the class out keeps Spark,
+# DuckDB and the python mirror on identical semantics (probe-verified)
+ASCII_WS_RE = r"[ \t\n\x0B\f\r]+"
 
 
 def readability_counts(text_col: str = "text") -> dict[str, Column]:
     """n_words / n_sentences / n_syllables as Columns (NULL text -> all
     NULL; empty text -> zeros with n_sentences 0)."""
     t = F.col(text_col)
-    words = F.filter(F.split(t, r"\s+"), lambda w: w != F.lit(""))
+    words = F.filter(F.split(t, ASCII_WS_RE), lambda w: w != F.lit(""))
     n_words = F.size(words)
     sentences = F.filter(
         F.split(t, SENTENCE_SPLIT_RE),
@@ -114,7 +118,7 @@ def readability_sql_exprs(text_expr: str = "text") -> dict[str, str]:
     readability_counts exactly — list_filter over regexp splits, vowel
     groups via regexp_extract_all length."""
     words = (
-        f"list_filter(regexp_split_to_array({text_expr}, '\\s+'),"
+        f"list_filter(regexp_split_to_array({text_expr}, '{ASCII_WS_RE}'),"
         " w -> w <> '')"
     )
     sent = (
@@ -146,3 +150,32 @@ def readability_sql_exprs(text_expr: str = "text") -> dict[str, str]:
             " END"
         ),
     }
+
+
+def py_readability(text: str | None):
+    """Pure-python mirror of readability_counts + both scores (the
+    semantics.py discipline; fuzz tests pin Spark == mirror). Java regex
+    \\s is ASCII-ONLY (no U+00A0 etc.) while Python's is Unicode — the
+    mirror must spell the ASCII class out; likewise Spark btrim and
+    DuckDB trim default to stripping SPACES only, so the sentence filter
+    strips ' ' alone (fuzz-found divergences, both)."""
+    import re as _re
+
+    if text is None:
+        return (None, None, None, None, None)
+    words = [w for w in _re.split(ASCII_WS_RE, text) if w != ""]
+    n_words = len(words)
+    sentences = [
+        s for s in _re.split(r"[.!?]+", text) if s.strip(" ") != ""
+    ]
+    n_sentences = max(len(sentences), 1) if n_words > 0 else 0
+    vg = len(_re.findall(r"[aeiouy]+", text.lower()))
+    nv = sum(1 for w in words if not _re.search(r"(?i)[aeiouy]", w))
+    n_syll = vg + nv
+    if n_words == 0:
+        return (0, n_sentences, n_syll, None, None)
+    wps = float(n_words) / float(n_sentences)
+    spw = float(n_syll) / float(n_words)
+    ease = 206.835 - 1.015 * wps - 84.6 * spw
+    grade = 0.39 * wps + 11.8 * spw - 15.59
+    return (n_words, n_sentences, n_syll, ease, grade)

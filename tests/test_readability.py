@@ -88,3 +88,52 @@ def test_zero_shuffle(spark):
     df = spark.createDataFrame([(1, "a b.")], "doc_id int, text string")
     plan = readability(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_fuzz_spark_matches_python_mirror(spark):
+    """300 random texts (letters, digits, punctuation, unicode,
+    whitespace runs): Spark columns == py_readability bitwise."""
+    import random
+
+    from dataqualitykit_spark.operators.readability import py_readability
+
+    rng = random.Random(20260819)
+    alphabet = (
+        "abcdefghijklmnopqrstuvwxyzAEIOUY .,!?.. \t\n"
+        "0123456789 -_' éüß мир 你好  "
+    )
+    texts = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 160)))
+        for _ in range(300)
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id int, text string"
+    )
+    got = {r["doc_id"]: r for r in readability(df).collect()}
+    for i, t in enumerate(texts):
+        nw, ns, sy, ease, grade = py_readability(t)
+        r = got[i]
+        assert (r["n_words"], r["n_sentences"], r["n_syllables"]) == (
+            nw, ns, sy,
+        ), (i, repr(t))
+        assert r["flesch_ease"] == ease and r["fk_grade"] == grade, (i, repr(t))
+
+
+def test_vertical_tab_parity(spark):
+    """\\x0B is whitespace in Java \\s but NOT in RE2 \\s — the explicit
+    ASCII class keeps all three engines identical (probe-found)."""
+    from dataqualitykit_spark.operators.readability import (
+        py_readability,
+        readability_sql_exprs,
+    )
+
+    t = "one\x0btwo. three"
+    df = spark.createDataFrame([(0, t)], "doc_id int, text string")
+    [r] = readability(df).collect()
+    nw, ns, sy, ease, grade = py_readability(t)
+    assert (r["n_words"], r["n_sentences"], r["n_syllables"]) == (nw, ns, sy) == (3, 2, sy)
+    e = readability_sql_exprs("text")
+    got = duckdb.sql(
+        f"SELECT {e['n_words']}, {e['n_sentences']} FROM (SELECT '{t}' AS text)"
+    ).fetchone()
+    assert got == (3, 2)
