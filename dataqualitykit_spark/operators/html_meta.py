@@ -175,3 +175,30 @@ def publish_date_sql_exprs(html_expr: str = "html") -> dict[str, str]:
         )
     )
     return {"publish_date_raw": raw, "publish_ts": ts}
+
+
+def py_html_meta(html: str | None) -> dict[str, str | None]:
+    """Pure-python mirror of html_meta_cols + publish_date_raw_col (fuzz
+    tests pin Spark == mirror). Python re accepts the shared constants
+    verbatim — (?is), \\b, lazy quantifiers and character classes behave
+    identically to Java regex over these patterns."""
+    import re as _re
+
+    out: dict[str, str | None] = {}
+    if html is None:
+        for name in list(HTML_META_LEGS) + ["publish_date_raw"]:
+            out[name] = None
+        return out
+    for name, legs in list(HTML_META_LEGS.items()) + [
+        ("publish_date_raw", PUBLISH_DATE_LEGS)
+    ]:
+        val = None
+        for leg in legs:
+            m = _re.search(leg, html)
+            if m is not None and m.group(1) != "":
+                val = m.group(1)
+                break
+        if name == "title" and val is not None:
+            val = val.strip(_WS) or None
+        out[name] = val
+    return out

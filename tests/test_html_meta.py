@@ -136,3 +136,61 @@ def test_publish_date_duckdb_twin(spark):
         ).fetchone()
         assert got_raw == raw, i
         assert got_ts == ts_str, i
+
+
+def _random_head(rng) -> str:
+    q = rng.choice(['"', "'"])
+    junk = rng.choice(["", " id='x'", ' data-k="v"', " async"])
+    parts = []
+    if rng.random() < 0.7:
+        parts.append(f"<title{junk}>T{rng.randrange(100)} </title>")
+    if rng.random() < 0.7:
+        attrs = [f"name={q}description{q}", f"content={q}D {rng.randrange(100)}{q}"]
+        rng.shuffle(attrs)
+        parts.append(f"<meta{junk} {attrs[0]}{junk} {attrs[1]}>")
+    if rng.random() < 0.5:
+        attrs = [f"rel={q}canonical{q}", f"href={q}https://x/{rng.randrange(50)}{q}"]
+        rng.shuffle(attrs)
+        parts.append(f"<link {attrs[0]} {attrs[1]}>")
+    if rng.random() < 0.5:
+        attrs = [f"property={q}og:title{q}", f"content={q}OG{rng.randrange(30)}{q}"]
+        rng.shuffle(attrs)
+        parts.append(f"<meta {attrs[0]} {attrs[1]}>")
+    if rng.random() < 0.5:
+        parts.append(
+            f"<meta property={q}article:published_time{q} "
+            f"content={q}202{rng.randrange(5)}-0{1 + rng.randrange(9)}-1{rng.randrange(9)}{q}>"
+        )
+    if rng.random() < 0.4:
+        parts.append("<p>body mentions content=\"fake\" and title: no</p>")
+    rng.shuffle(parts)
+    html = "".join(parts)
+    lang = rng.choice(["", f'<html lang={q}en{q}>'])
+    case = rng.random()
+    if case < 0.25:
+        html = html.upper()
+    elif case < 0.4:
+        html = html.lower()
+    return lang + html
+
+
+def test_fuzz_spark_matches_python_mirror(spark):
+    import random
+
+    from dataqualitykit_spark.operators.html_meta import (
+        extract_html_meta,
+        extract_publish_dates,
+        py_html_meta,
+    )
+
+    rng = random.Random(20260819)
+    htmls = [_random_head(rng) for _ in range(250)]
+    df = spark.createDataFrame(
+        [(i, h) for i, h in enumerate(htmls)], "id int, html string"
+    )
+    out = extract_publish_dates(extract_html_meta(df), "html")
+    got = {r["id"]: r for r in out.collect()}
+    for i, h in enumerate(htmls):
+        exp = py_html_meta(h)
+        for f in FIELDS + ["publish_date_raw"]:
+            assert got[i][f] == exp[f], (i, f, h)
