@@ -31,6 +31,7 @@ from dataqualitykit_spark.operators import (
 )
 from dataqualitykit_spark.pipeline import (
     adapt_documents,
+    dataset_card,
     quality_metrics,
     run_pipeline,
 )
@@ -3488,6 +3489,21 @@ _ROBOTS_ORACLE = """
     FROM x"""
 
 
+def q_dataset_card(spark, sf):
+    """Dataset-card composition profile (pipeline.dataset_card): the
+    per-predicted-language docs / kept / kept-token / keep-rate table a
+    release publishes, over the FULL default pipeline. Counts and one
+    exact division only (float sums deliberately excluded — their
+    accumulation order varies across partitionings); kept_words rides
+    the same nw parity the token-budget cut already proves."""
+    docs = _t(spark, sf, "documents")
+    labeled = run_pipeline(adapt_documents(docs))
+    card = dataset_card(labeled)
+    return card.select(
+        "lang_pred", "docs", "kept", "kept_words", "keep_rate"
+    )
+
+
 def q_homoglyph_fold(spark, sf):
     """Homoglyph folding (encoding.fold_homoglyphs): confusable
     Cyrillic/Greek/fullwidth glyphs folded to ASCII + the fold count
@@ -3795,6 +3811,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compress_ratio": q_compress_ratio,
         "publish_dates": q_publish_dates,
         "homoglyph_fold": q_homoglyph_fold,
+        "dataset_card": q_dataset_card,
         # -- exactly one green (r05) — confirming second record, in priority
         # order: the 5 ex-rows-only invariant conversions (weak-marked for
         # 4 recordless rounds before r5), the 12 rows round-5 VERDICT item
@@ -4385,7 +4402,7 @@ WITH RECURSIVE {base_ctes}, ded AS (
          {_ppl_sql('seq')} AS ppl
   FROM met2
 ), decided AS (
-  SELECT url,{' nw,' if token_budget is not None else ''}
+  SELECT url, lang_pred, nw,
          CASE
            WHEN blocked THEN 'blocked_domain'
            WHEN kw_blocked THEN 'url_keywords'
@@ -6535,6 +6552,18 @@ def oracle_sql() -> dict[str, str]:
     d["readability"] = _readability_oracle()
     d["publish_dates"] = _PUBLISH_DATES_ORACLE
     d["homoglyph_fold"] = _homoglyph_oracle()
+    d["dataset_card"] = _pipeline_sql(
+        final_select="""SELECT
+          lang_pred,
+          CAST(count(*) AS BIGINT) AS docs,
+          CAST(sum(CASE WHEN drop_reason IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+            AS kept,
+          CAST(sum(CASE WHEN drop_reason IS NULL THEN coalesce(nw, 0)
+                        ELSE 0 END) AS BIGINT) AS kept_words,
+          round(sum(CASE WHEN drop_reason IS NULL THEN 1 ELSE 0 END)
+                / CAST(count(*) AS DOUBLE), 6) AS keep_rate
+        FROM decided GROUP BY lang_pred"""
+    )
     d["audio_dedup"] = """
         SELECT CAST(48 AS BIGINT) AS n_clips,
                CAST(0 AS BIGINT) AS n_fp_null,

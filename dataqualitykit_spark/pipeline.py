@@ -649,6 +649,33 @@ def quality_metrics(labeled: DataFrame, by: list | None = None) -> DataFrame:
     return out.orderBy(*out.columns[: len(keys)])
 
 
+def dataset_card(labeled: DataFrame, by: list | None = None) -> DataFrame:
+    """Per-group composition card of a labeled corpus — the table a
+    dataset release publishes (docs, keep rate, token counts per
+    language/source/split). One partial+final hash agg; integer counts
+    and ONE exact division only (float sums like avg(ppl) are
+    deliberately excluded: their accumulation order varies across
+    partitionings, quality_metrics carries them with that caveat).
+
+    `by` defaults to the pipeline's predicted language."""
+    keys = [F.col(k) if isinstance(k, str) else k for k in (by or ["lang_pred"])]
+    keep_i = F.col("keep").cast("int")
+    out = labeled.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("long").alias("docs"),
+        F.sum(keep_i).cast("long").alias("kept"),
+        F.sum(F.when(F.col("keep"), F.coalesce(F.col("n_words"), F.lit(0))).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("kept_words"),
+        F.sum(F.coalesce(F.col("n_words"), F.lit(0))).cast("long").alias("total_words"),
+    )
+    return out.select(
+        "*",
+        F.round(F.col("kept") / F.col("docs").cast("double"), 6).alias(
+            "keep_rate"
+        ),
+    )
+
+
 def adapt_documents(df: DataFrame) -> DataFrame:
     """Adapter: driver `documents` table -> pages schema (FIXTURES.md F2:
     doc_id->url surrogate, source->domain)."""
