@@ -493,3 +493,68 @@ def hll_distinct_sql(
                             + coalesce(s_present, 0) AS DOUBLE)
                END AS hll_estimate
         FROM ag"""
+
+
+def bloom_merge(*blooms: DataFrame) -> DataFrame:
+    """Union + re-bit_or: blooms built with IDENTICAL (n_bits, k, seed)
+    over different shards/crawls merge into the bloom of the union —
+    bit_or is associative/commutative, so the merged words are
+    bit-identical to a single build over all rows."""
+    if not blooms:
+        raise ValueError("need at least one bloom")
+    out = blooms[0]
+    for b in blooms[1:]:
+        out = out.unionByName(b)
+    return out.groupBy("word_idx").agg(F.bit_or("bits").alias("bits"))
+
+
+def bloom_save(
+    bloom: DataFrame, path: str, n_bits: int, k: int, seed: str = ""
+) -> None:
+    """Persist a bloom with its parameters STAMPED on every row — a
+    cross-run probe or merge with mismatched (n_bits, k, seed) would be
+    silent garbage, so bloom_load validates them instead of trusting the
+    caller. The words parquet is tiny (n_bits/32 rows)."""
+    bloom.select(
+        F.lit(n_bits).alias("n_bits"),
+        F.lit(k).alias("k"),
+        F.lit(seed).alias("seed"),
+        "word_idx",
+        "bits",
+    ).write.mode("overwrite").parquet(path)
+
+
+def bloom_load(
+    spark, path: str, expect: tuple[int, int, str] | None = None
+):
+    """-> (words frame, n_bits, k, seed). Raises when the stored params
+    disagree internally (mixed writes) or with `expect`."""
+    df = spark.read.parquet(path)
+    metas = df.select("n_bits", "k", "seed").distinct().collect()
+    if len(metas) != 1:
+        raise ValueError(f"mixed bloom parameters in {path}: {metas}")
+    n_bits, k, seed = metas[0]["n_bits"], metas[0]["k"], metas[0]["seed"]
+    if expect is not None and (n_bits, k, seed) != expect:
+        raise ValueError(
+            f"bloom {path} has (n_bits={n_bits}, k={k}, seed={seed!r}), "
+            f"expected {expect}"
+        )
+    return df.select("word_idx", "bits"), n_bits, k, seed
+
+
+def bloom_update(
+    spark, path: str, df: DataFrame, col: str
+) -> DataFrame:
+    """Cross-crawl accumulator: load the persisted bloom, absorb the new
+    shard's values, save back. The result equals a fresh build over the
+    union of every shard ever absorbed (bit_or associativity) — the
+    'seen before' store an incremental decontamination / dedup pass
+    probes between crawls. Returns the merged words frame."""
+    old, n_bits, k, seed = bloom_load(spark, path)
+    merged = bloom_merge(old, bloom_build(df, col, n_bits, k, seed))
+    # materialize BEFORE overwriting the path being read (lazy plans
+    # would read-after-truncate); n_bits/32 rows is driver-trivial
+    rows = merged.collect()
+    fresh = spark.createDataFrame(rows, "word_idx long, bits long")
+    bloom_save(fresh, path, n_bits, k, seed)
+    return fresh

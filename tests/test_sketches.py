@@ -325,3 +325,83 @@ class TestStreamingSketch:
             )
         )
         assert got == batch
+
+
+class TestBloomPersistence:
+    def test_save_load_roundtrip_and_param_guard(self, spark, tmp_path):
+        from dataqualitykit_spark.operators.sketches import (
+            bloom_build,
+            bloom_load,
+            bloom_save,
+        )
+
+        df = spark.createDataFrame([(f"v{i}",) for i in range(50)], "v string")
+        b = bloom_build(df, "v", n_bits=512, k=3, seed="s1")
+        path = str(tmp_path / "bloom")
+        bloom_save(b, path, 512, 3, "s1")
+        words, n_bits, k, seed = bloom_load(spark, path)
+        assert (n_bits, k, seed) == (512, 3, "s1")
+        got = {r["word_idx"]: r["bits"] for r in words.collect()}
+        exp = {r["word_idx"]: r["bits"] for r in b.collect()}
+        assert got == exp
+        import pytest as _pt
+
+        with _pt.raises(ValueError, match="expected"):
+            bloom_load(spark, path, expect=(512, 4, "s1"))
+
+    def test_update_equals_union_build(self, spark, tmp_path):
+        from dataqualitykit_spark.operators.sketches import (
+            bloom_build,
+            bloom_load,
+            bloom_save,
+            bloom_update,
+        )
+
+        a = spark.createDataFrame([(f"a{i}",) for i in range(40)], "v string")
+        b = spark.createDataFrame([(f"b{i}",) for i in range(40)], "v string")
+        path = str(tmp_path / "bloom")
+        bloom_save(bloom_build(a, "v", 512, 3, "x"), path, 512, 3, "x")
+        merged = bloom_update(spark, path, b, "v")
+        union_build = bloom_build(a.unionByName(b), "v", 512, 3, "x")
+        assert {(r["word_idx"], r["bits"]) for r in merged.collect()} == {
+            (r["word_idx"], r["bits"]) for r in union_build.collect()
+        }
+        # the persisted copy reloads to the same words (read-after-write)
+        words, *_ = bloom_load(spark, path)
+        assert {(r["word_idx"], r["bits"]) for r in words.collect()} == {
+            (r["word_idx"], r["bits"]) for r in union_build.collect()
+        }
+
+    def test_probe_after_two_updates_sees_all_shards(self, spark, tmp_path):
+        from dataqualitykit_spark.operators.sketches import (
+            bloom_build,
+            bloom_contains_col,
+            bloom_save,
+            bloom_update,
+        )
+        from pyspark.sql import functions as F
+
+        shard1 = spark.createDataFrame([("gram-one",), ("gram-two",)], "v string")
+        shard2 = spark.createDataFrame([("gram-three",)], "v string")
+        path = str(tmp_path / "bloom")
+        bloom_save(bloom_build(shard1, "v", 1024, 3), path, 1024, 3, "")
+        bloom_update(spark, path, shard2, "v")
+
+        from dataqualitykit_spark.operators.sketches import bloom_load
+
+        words_df, n_bits, k, seed = bloom_load(spark, path)
+        words = [0] * (n_bits // 32)
+        for r in words_df.collect():
+            words[r["word_idx"]] = r["bits"]
+        probe = spark.createDataFrame(
+            [("gram-one",), ("gram-three",), ("never-seen-gram-xyz",)],
+            "v string",
+        )
+        got = {
+            r["v"]: r["hit"]
+            for r in probe.select(
+                "v",
+                bloom_contains_col(words, F.col("v"), n_bits=n_bits, k=k, seed=seed).alias("hit"),
+            ).collect()
+        }
+        assert got["gram-one"] and got["gram-three"]
