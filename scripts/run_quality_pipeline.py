@@ -68,6 +68,16 @@ def main() -> None:
     p.add_argument("--master", default=None)
     p.add_argument("--no-resume", action="store_true",
                    help="ignore an existing manifest and start over")
+    p.add_argument("--emit-card", action="store_true",
+                   help="write the per-language dataset card "
+                        "(docs/kept/token counts/keep rate) to "
+                        "<output>/card and print it")
+    p.add_argument("--robots-dir", default=None,
+                   help="parquet of (domain, robots_txt) rows; kept urls "
+                        "whose host has a binding disallow prefix for "
+                        "--robots-agent are flagged and written to "
+                        "<output>/robots_flagged (audit pass, not a drop)")
+    p.add_argument("--robots-agent", default="*")
     args = p.parse_args()
 
     from dataqualitykit_spark import PipelineConfig, get_spark
@@ -170,6 +180,40 @@ def main() -> None:
         print(
             f"domain-capped: <= {args.max_per_domain} docs per domain "
             f"-> {args.output}/domain_capped"
+        )
+
+    # dataset card: the per-language composition table a release publishes
+    if args.emit_card:
+        from dataqualitykit_spark.pipeline import dataset_card
+
+        labeled = spark.read.parquet(f"{args.output}/labeled")
+        card = dataset_card(labeled)
+        card.write.mode("overwrite").parquet(f"{args.output}/card")
+        card.orderBy("lang_pred").show(100, truncate=False)
+        print(f"card -> {args.output}/card")
+
+    # retroactive robots politeness audit over the kept rows
+    if args.robots_dir is not None:
+        from pyspark.sql import functions as F
+
+        from dataqualitykit_spark.operators.robots import (
+            flag_disallowed,
+            parse_robots,
+        )
+
+        rules = parse_robots(
+            spark.read.parquet(args.robots_dir), agent=args.robots_agent
+        )
+        labeled = spark.read.parquet(f"{args.output}/labeled")
+        kept = labeled.filter(F.col("keep"))
+        flagged = flag_disallowed(kept, rules)
+        flagged.filter(F.col("robots_disallowed")).write.mode(
+            "overwrite"
+        ).parquet(f"{args.output}/robots_flagged")
+        n = flagged.filter(F.col("robots_disallowed")).count()
+        print(
+            f"robots audit (agent={args.robots_agent!r}): {n} kept urls "
+            f"disallowed -> {args.output}/robots_flagged"
         )
     spark.stop()
 
