@@ -7,12 +7,13 @@ reference citations).
 """
 
 from .config import DEFAULT_CONFIG, PipelineConfig
-from .pipeline import quality_metrics, run_pipeline
+from .pipeline import dataset_card, quality_metrics, run_pipeline
 from .session import get_spark
 
 __all__ = [
     "DEFAULT_CONFIG",
     "PipelineConfig",
+    "dataset_card",
     "get_spark",
     "quality_metrics",
     "run_pipeline",
