@@ -99,3 +99,44 @@ def test_streaming_homoglyphs(spark, tmp_path):
         "homoglyph",
         ("text_folded", "homoglyph_count"),
     )
+
+
+def test_dataset_card_and_streaming_counts(spark, tmp_path):
+    """dataset_card unit golden + the same aggregation running over
+    readStream in complete mode (counts are commutative aggregates)."""
+    from dataqualitykit_spark.pipeline import dataset_card
+
+    rows = [
+        # lang_pred, keep, n_words
+        ("en", True, 10),
+        ("en", True, 5),
+        ("en", False, 7),
+        ("de", False, 3),
+        ("de", True, None),  # kept row with NULL n_words counts 0 words
+    ]
+    schema = "lang_pred string, keep boolean, n_words int"
+    df = spark.createDataFrame(rows, schema)
+    got = {r["lang_pred"]: r for r in dataset_card(df).collect()}
+    assert (got["en"]["docs"], got["en"]["kept"], got["en"]["kept_words"],
+            got["en"]["total_words"]) == (3, 2, 15, 22)
+    assert got["en"]["keep_rate"] == round(2 / 3, 6)
+    assert (got["de"]["docs"], got["de"]["kept"], got["de"]["kept_words"]) == (2, 1, 0)
+
+    src = str(tmp_path / "card_src")
+    df.write.parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    out = dataset_card(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("s7_card")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got_s = {
+        r["lang_pred"]: r for r in spark.sql("select * from s7_card").collect()
+    }
+    for lang in ("en", "de"):
+        for f in ("docs", "kept", "kept_words", "total_words", "keep_rate"):
+            assert got_s[lang][f] == got[lang][f], (lang, f)
