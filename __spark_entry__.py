@@ -3489,6 +3489,82 @@ _ROBOTS_ORACLE = """
     FROM x"""
 
 
+def _normalize_url_sql(raw: str) -> str:
+    """Render functions.text.normalize_url over SQL expression `raw` —
+    the same pattern constants, Java '$n' backrefs translated to RE2
+    '\\n'. Reused by canonical_dedup (the inline normalize_url oracle
+    predates this helper)."""
+    head = f"coalesce(regexp_extract(({raw}), {_sql_lit(S.URL_HEAD_REGEX)}), '')"
+    u = f"concat(lower({head}), substr(({raw}), length({head}) + 1))"
+    u = f"regexp_replace({u}, {_sql_lit(S.URL_FRAGMENT_REGEX)}, '', 'g')"
+    for pat, repl in S.URL_TRACKING_REGEXES:
+        u = f"regexp_replace({u}, {_sql_lit(pat)}, {_sql_lit(repl)}, 'g')"
+    u = f"regexp_replace({u}, {_sql_lit(S.URL_DANGLING_REGEX)}, '', 'g')"
+    u = (
+        f"regexp_replace({u}, {_sql_lit(S.URL_TRAILING_SLASH_REGEX)}, "
+        "'\\1', 'g')"
+    )
+    return u
+
+
+def q_canonical_dedup(spark, sf):
+    """Canonical-URL dedup keys (html_meta.canonical_dedup_key_col): the
+    page's own <link rel=canonical> (absolute http(s) only) else the
+    fetch URL, both normalized — syndicated copies and tracked links
+    collapse to one key. Fixture: docs in group doc_id%50 declare a
+    SHARED canonical with case + utm noise on half the docs (md5 bit);
+    the rest carry no canonical and fall back to their own tracked
+    fetch URL. Ground truth is CONSTRUCTION-TIME: the oracle normalizes
+    the very strings it constructed (never regexing html), so both the
+    extraction legs and the normalize chain are pinned per doc."""
+    from dataqualitykit_spark.operators import html_meta as hm
+
+    d = _t(spark, sf, "documents")
+    h = F.md5(F.col("doc_id").cast("string"))
+    g = F.pmod(F.col("doc_id").cast("long"), F.lit(50)).cast("string")
+    has_canon = F.substring(h, 1, 1) < F.lit("8")
+    canon_raw = F.concat(
+        F.lit("HTTPS://Canon.Example.COM/page/"), g,
+        F.lit("?utm_source=x&id="), g,
+    )
+    url = F.concat(
+        F.lit("https://"), F.coalesce(F.col("source"), F.lit("ns")),
+        F.lit("/p/"), F.col("doc_id").cast("string"),
+        F.lit("?utm_source=feed"),
+    )
+    html = F.when(
+        has_canon,
+        F.concat(
+            F.lit('<head><link rel="canonical" href="'), canon_raw,
+            F.lit('"></head><body>b</body>'),
+        ),
+    ).otherwise(F.lit("<body>no canonical here</body>"))
+    pages = d.select("doc_id", url.alias("url"), html.alias("html"))
+    return pages.select(
+        "doc_id",
+        hm.canonical_dedup_key_col("html", "url").alias("canon_key"),
+    )
+
+
+_CANONICAL_DEDUP_ORACLE_TMPL = """
+    WITH x AS (
+      SELECT doc_id,
+             md5(CAST(doc_id AS VARCHAR)) AS h,
+             CAST(doc_id % 50 AS VARCHAR) AS g,
+             'https://' || coalesce(source, 'ns') || '/p/'
+               || CAST(doc_id AS VARCHAR) || '?utm_source=feed' AS url
+      FROM documents
+    ), built AS (
+      SELECT doc_id,
+             CASE WHEN substr(h, 1, 1) < '8'
+                  THEN 'HTTPS://Canon.Example.COM/page/' || g
+                       || '?utm_source=x&id=' || g
+                  ELSE url END AS raw
+      FROM x
+    )
+    SELECT doc_id, {norm} AS canon_key FROM built"""
+
+
 def q_dataset_card(spark, sf):
     """Dataset-card composition profile (pipeline.dataset_card): the
     per-predicted-language docs / kept / kept-token / keep-rate table a
@@ -3812,6 +3888,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "publish_dates": q_publish_dates,
         "homoglyph_fold": q_homoglyph_fold,
         "dataset_card": q_dataset_card,
+        "canonical_dedup": q_canonical_dedup,
         # -- exactly one green (r05) — confirming second record, in priority
         # order: the 5 ex-rows-only invariant conversions (weak-marked for
         # 4 recordless rounds before r5), the 12 rows round-5 VERDICT item
@@ -6552,6 +6629,9 @@ def oracle_sql() -> dict[str, str]:
     d["readability"] = _readability_oracle()
     d["publish_dates"] = _PUBLISH_DATES_ORACLE
     d["homoglyph_fold"] = _homoglyph_oracle()
+    d["canonical_dedup"] = _CANONICAL_DEDUP_ORACLE_TMPL.format(
+        norm=_normalize_url_sql("raw")
+    )
     d["dataset_card"] = _pipeline_sql(
         final_select="""SELECT
           lang_pred,

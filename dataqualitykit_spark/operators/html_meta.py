@@ -202,3 +202,20 @@ def py_html_meta(html: str | None) -> dict[str, str | None]:
             val = val.strip(_WS) or None
         out[name] = val
     return out
+
+
+def canonical_dedup_key_col(html_col: str = "html", url_col: str = "url") -> Column:
+    """The dedup key the crawler intended: the page's own
+    ``<link rel=canonical>`` when it is an absolute http(s) URL
+    (relative canonicals can't resolve without a base — out of scope),
+    else the fetch URL; both normalized (case-folded head, fragment +
+    tracking params stripped) so syndicated copies and tracked links
+    collapse to ONE key. Feed this to dedup.dedup_keep_first in place of
+    the raw url — still a zero-shuffle projection."""
+    from ..functions.text import normalize_url
+
+    canon = html_meta_cols(html_col)["canonical_url"]
+    canon_abs = F.when(canon.rlike(r"(?i)^https?://"), canon)
+    return F.coalesce(
+        normalize_url(canon_abs), normalize_url(F.col(url_col))
+    )

@@ -194,3 +194,32 @@ def test_fuzz_spark_matches_python_mirror(spark):
         exp = py_html_meta(h)
         for f in FIELDS + ["publish_date_raw"]:
             assert got[i][f] == exp[f], (i, f, h)
+
+
+def test_canonical_dedup_key(spark):
+    from dataqualitykit_spark.operators.html_meta import canonical_dedup_key_col
+
+    rows = [
+        # two tracked copies of the same article declaring one canonical
+        (0, "https://m.ex.com/a?utm_source=x",
+         '<link rel="canonical" href="HTTPS://Ex.COM/article/1">'),
+        (1, "https://ex.com/a?ref=feed&utm_medium=rss",
+         "<link href='https://ex.com/article/1#top' rel='canonical'>"),
+        # relative canonical ignored -> fetch url (normalized) is the key
+        (2, "https://Other.example/Page?utm_campaign=z",
+         '<link rel="canonical" href="/article/1">'),
+        # no canonical at all
+        (3, "https://plain.example/x#frag", "<body>n</body>"),
+        (4, None, None),
+    ]
+    df = spark.createDataFrame(rows, "id int, url string, html string")
+    got = {
+        r["id"]: r["k"]
+        for r in df.select(
+            "id", canonical_dedup_key_col("html", "url").alias("k")
+        ).collect()
+    }
+    assert got[0] == got[1] == "https://ex.com/article/1"
+    assert got[2] == "https://other.example/Page"
+    assert got[3] == "https://plain.example/x"
+    assert got[4] is None
