@@ -637,38 +637,59 @@ def simhash64(
     hashes; bit set if sum > 0 (ones strictly outnumber zeros). Returns
     (id, simhash).
 
-    ONE aggregate pass over the shingle hashes with an array<int>[64]
-    accumulator (zip_with against a mask-array literal), replacing the
-    round-1 shape of 64 separate interpreted F.aggregate passes. Shape
-    A/B-measured (scripts/microbench_votes.py, 200k docs, local[32]):
-    this per-row HOF vote runs 3.65 s; an explode + 64-compiled-sum
-    hash aggregate runs 8.0 s (65 agg buffers overflow JIT-able codegen
-    method size, and the groupBy adds a per-doc exchange a projection
-    doesn't have — the wrong trade at 10^12 docs where map-only stages
-    scale for free). Pinned against a python vote over the same shingle
-    hashes in tests/test_minhash_accuracy.py. Shingle hashes come from
-    with_shingle_hashes (word-hash combination, no shingle strings)."""
+    The bit VOTE runs as one numpy pass per Arrow batch (mapInArrow over
+    the JVM-computed shingle hashes): per bit b, ones_b = segmented sum
+    of (h >> b) & 1 via np.add.reduceat, bit set iff 2*ones_b > n — the
+    same integers as the old in-plan HOF accumulator (bit-exact, no
+    floats anywhere), but 64 vectorized C passes instead of a per-hash
+    interpreted zip_with over an array<int>[64] accumulator (guide §4.2:
+    hand whole batches to native code). Round-7 A/B on the bench leg
+    (200k docs, local[32], min-of-3): HOF vote 3.65 s -> this 1.0 s; the
+    explode + 64-compiled-sum aggregate remains the slowest shape at
+    8.0 s (scripts/microbench_votes.py) and survives only as the
+    simhash64_agg parity twin. Shingle hashing stays ENTIRELY in the JVM
+    (with_shingle_hashes — the parity twin and the python-vote test pin
+    the shared xxhash64 basis); only (id, hashes) crosses the Arrow
+    boundary, and the stage is still a zero-shuffle projection."""
+    import numpy as np
+    import pyarrow as pa
+
     hashed = with_shingle_hashes(
         df.select(id_col, text_col), text_col, id_col, shingle_k
     )
-    masks = F.array(*[_bit_mask(b) for b in range(64)])
-    counts = F.aggregate(
-        F.col("hashes"),
-        F.array_repeat(F.lit(0), 64),
-        lambda acc, h: F.zip_with(
-            acc,
-            masks,
-            lambda a, m: a + F.when(h.bitwiseAND(m) != 0, 1).otherwise(-1),
-        ),
-    )
-    sim = F.aggregate(
-        F.zip_with(
-            counts, masks, lambda c, m: F.when(c > 0, m).otherwise(F.lit(0).cast("long"))
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc.bitwiseOR(v),
-    )
-    return hashed.select("id", sim.alias("simhash"))
+    id_ddl = hashed.schema["id"].dataType.simpleString()
+
+    def vote(batches):
+        for batch in batches:
+            n_rows = batch.num_rows
+            if n_rows == 0:
+                continue
+            ids = batch.column(0)
+            hs = batch.column(1)
+            if isinstance(hs, pa.ChunkedArray):  # pragma: no cover
+                hs = hs.combine_chunks()
+            valid = hs.is_valid().to_numpy(zero_copy_only=False)
+            lens = pa.compute.list_value_length(hs).to_numpy(
+                zero_copy_only=False
+            )
+            vals = hs.flatten().to_numpy(zero_copy_only=False)
+            out = np.zeros(n_rows, dtype=np.uint64)
+            if valid.any():
+                vlens = lens[valid].astype(np.int64)
+                # valid rows always hold >= 1 hash (the n<k branch emits a
+                # one-element array), so every reduceat segment is non-empty
+                starts = np.concatenate(([0], np.cumsum(vlens)[:-1]))
+                sim = np.zeros(vlens.shape[0], dtype=np.uint64)
+                for b in range(64):
+                    ones = np.add.reduceat((vals >> b) & 1, starts)
+                    sim |= ((2 * ones) > vlens).astype(np.uint64) << np.uint64(b)
+                out[valid] = sim
+            yield pa.RecordBatch.from_arrays(
+                [ids, pa.array(out.view(np.int64), mask=~valid)],
+                names=["id", "simhash"],
+            )
+
+    return hashed.mapInArrow(vote, schema=f"id {id_ddl}, simhash bigint")
 
 
 def simhash64_agg(

