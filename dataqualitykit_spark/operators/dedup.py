@@ -155,6 +155,58 @@ def with_shingle_hashes(
     return wh.select("id", hashes.alias("hashes"))
 
 
+# vectorized XXH64 (the numpy twin of Spark's o.a.s.sql.catalyst XXH64):
+# bit-exact with F.xxhash64(F.lit(i), h) = hashLong(h, hashInt(i, 42)) —
+# pinned against Spark in tests/test_minhash_accuracy.py. Arithmetic runs
+# in uint64 (wraps like Java long); comparisons happen on the int64 VIEW
+# so mins match Spark's signed bigint ordering.
+_XXH_P1 = 0x9E3779B185EBCA87
+_XXH_P2 = 0xC2B2AE3D27D4EB4F
+_XXH_P3 = 0x165667B19E3779F9
+_XXH_P4 = 0x85EBCA77C2B2AE63
+_XXH_P5 = 0x27D4EB2F165667C5
+_U64 = (1 << 64) - 1
+
+
+def _xxh64_int_scalar(i: int, seed: int = 42) -> int:
+    """XXH64.hashInt(i, seed) in plain python ints (returns uint64)."""
+
+    def rotl(x, r):
+        return ((x << r) | (x >> (64 - r))) & _U64
+
+    h = (seed + _XXH_P5 + 4) & _U64
+    h ^= ((i & 0xFFFFFFFF) * _XXH_P1) & _U64
+    h = (rotl(h, 23) * _XXH_P2 + _XXH_P3) & _U64
+    h ^= h >> 33
+    h = (h * _XXH_P2) & _U64
+    h ^= h >> 29
+    h = (h * _XXH_P3) & _U64
+    h ^= h >> 32
+    return h
+
+
+def _xxh64_long_vec(vals, seed: int):
+    """XXH64.hashLong over a uint64 numpy array with a uint64 seed."""
+    import numpy as np
+
+    p1, p2 = np.uint64(_XXH_P1), np.uint64(_XXH_P2)
+    p3, p4, p5 = np.uint64(_XXH_P3), np.uint64(_XXH_P4), np.uint64(_XXH_P5)
+
+    def rotl(x, r):
+        r = np.uint64(r)
+        return (x << r) | (x >> (np.uint64(64) - r))
+
+    h = np.uint64(seed) + p5 + np.uint64(8)
+    h = h ^ (rotl(vals * p2, 31) * p1)
+    h = rotl(h, 27) * p1 + p4
+    h ^= h >> np.uint64(33)
+    h *= p2
+    h ^= h >> np.uint64(29)
+    h *= p3
+    h ^= h >> np.uint64(32)
+    return h
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str,
@@ -164,23 +216,60 @@ def minhash_signatures(
 ) -> DataFrame:
     """MinHash signature per doc over word-hash-combined shingle hashes
     (with_shingle_hashes — no shingle strings built); the i-th permutation
-    re-hashes each distinct shingle hash with seed i — one string pass
-    over the words + (k-1) + 32 long passes total. Pure column algebra —
-    one projection, no UDF, no shuffle. Returns (id, sig array<bigint>)."""
+    re-hashes each shingle hash with seed i and keeps the (signed) min.
+
+    The 32 permutation passes run as ONE numpy pass per Arrow batch
+    (mapInArrow over the JVM-computed shingle hashes): per seed,
+    vectorized XXH64 over the batch's flattened hash buffer + a segmented
+    np.minimum.reduceat — bit-exact with the previous in-plan
+    array_min(transform(...)) form because the numpy XXH64 reproduces
+    Spark's exactly (parity test) and min needs no distinct (duplicate
+    shingles can't change a minimum). Round-7 A/B (bench minhash leg):
+    interpreted 32-transform projection 1.09 s -> 0.62 s, and the near-
+    dedup signature stage shrinks the same way. Only (id, hashes) crosses
+    the Arrow boundary; still a zero-shuffle projection. NULL-text docs
+    keep the projection form's contract: a VALID array of 32 NULL slots.
+    Returns (id, sig array<bigint>)."""
+    import numpy as np
+    import pyarrow as pa
+
     sh = with_shingle_hashes(df, text_col, id_col, shingle_k)
-    # separate projections: Catalyst keeps `base` materialized once rather
-    # than inlining the shingle pipeline into each of the 32 permutation exprs
-    hashed = sh.select(
-        "id",
-        F.array_distinct(F.col("hashes")).alias("base"),
-    )
-    sig = F.array(
-        *[
-            F.array_min(F.transform(F.col("base"), lambda h: F.xxhash64(F.lit(i), h)))
-            for i in range(num_hashes)
-        ]
-    )
-    return hashed.select("id", sig.alias("sig"))
+    id_ddl = sh.schema["id"].dataType.simpleString()
+    seeds = [_xxh64_int_scalar(i) for i in range(num_hashes)]
+
+    def sigs(batches):
+        for batch in batches:
+            n_rows = batch.num_rows
+            if n_rows == 0:
+                continue
+            ids = batch.column(0)
+            hs = batch.column(1)
+            valid = hs.is_valid().to_numpy(zero_copy_only=False)
+            sig_mat = np.zeros((n_rows, num_hashes), dtype=np.int64)
+            if valid.any():
+                lens = pa.compute.list_value_length(hs).to_numpy(
+                    zero_copy_only=False
+                )
+                vlens = lens[valid].astype(np.int64)
+                vals = np.ascontiguousarray(
+                    hs.flatten().to_numpy(zero_copy_only=False)
+                ).view(np.uint64)
+                starts = np.concatenate(([0], np.cumsum(vlens)[:-1]))
+                for i, s in enumerate(seeds):
+                    hv = _xxh64_long_vec(vals, s).view(np.int64)
+                    sig_mat[valid, i] = np.minimum.reduceat(hv, starts)
+            elem_valid = np.repeat(valid, num_hashes)
+            values = pa.array(sig_mat.reshape(-1), mask=~elem_valid)
+            offsets = pa.array(
+                np.arange(n_rows + 1, dtype=np.int32) * num_hashes,
+                type=pa.int32(),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [ids, pa.ListArray.from_arrays(offsets, values)],
+                names=["id", "sig"],
+            )
+
+    return sh.mapInArrow(sigs, schema=f"id {id_ddl}, sig array<bigint>")
 
 
 def minhash_signatures_agg(
@@ -371,20 +460,18 @@ def connected_components(
     materialized — at 10^12 docs the pair-participant set is tiny relative
     to the corpus, so the loop frames stay small.
 
-    Each propagation round is one equi-join + one groupBy (shuffles
-    (id,label) pairs only); convergence needs O(component diameter)
-    rounds — near-dup clusters are shallow, so 2-4 in practice; max_iter
-    bounds pathological chains. Round pacing is ADAPTIVE: the first two
-    driver actions run ONE propagation round each (shallow clusters —
-    the overwhelmingly common case — converge here with no extra join
-    work); later actions run TWO propagation rounds plus a
-    POINTER-DOUBLING shortcut (label := label-node's own label), which
-    halves every node's hop-distance to its component min per action —
-    deep chains converge in O(log diameter) driver actions instead of
-    O(diameter). Labels are monotone non-increasing per node, so a
-    multi-round action with zero net change is a fixed point.
-    localCheckpoint cuts the lineage so plans do not grow across
-    iterations."""
+    Each iteration is ONE driver action running a propagation round (an
+    equi-join + one groupBy, shuffling (id,label) pairs only) composed
+    with a POINTER-DOUBLING shortcut (label := label-node's own label) —
+    labels' hop-distance to the component min roughly halves per action,
+    so deep chains converge in O(log diameter) actions; shallow clusters
+    (near-dup cliques, the overwhelmingly common case) exit on the first
+    action because the initial labels already carry the round-1 result.
+    Convergence is detected from the SAME frame: the propagate step
+    tracks each node's pre-round label, so zero `label < _old` rows is
+    the fixed-point proof (the shortcut is the identity on a fixed
+    point). Labels are monotone non-increasing per node. localCheckpoint
+    cuts the lineage so plans do not grow across iterations."""
 
     def propagate(lbls: DataFrame) -> DataFrame:
         nbr = edges.join(
@@ -392,53 +479,83 @@ def connected_components(
         ).select(F.col("dst").alias("id"), "label")
         return lbls.union(nbr).groupBy("id").agg(F.min("label").alias("label"))
 
-    def shortcut(lbls: DataFrame) -> DataFrame:
-        # pointer doubling: replace each node's label with that label-node's
-        # OWN label. Every label value is a component-member id present in
-        # lbls (labels start as ids and only ever take mins of other
-        # labels), and labels are monotone non-increasing — so the inner
-        # join is total and the result is a valid, smaller-or-equal
-        # component-member label. Each application roughly halves every
-        # node's hop-distance to the component min, turning O(diameter)
-        # convergence into O(log diameter) on deep chains.
-        parent = lbls.select(
-            F.col("id").alias("label"), F.col("label").alias("_grand")
+    def propagate_tracking(lbls: DataFrame) -> DataFrame:
+        # propagate + carry each node's PRE-round label through the same
+        # aggregation (`_old`: non-null only on the self row, F.min skips
+        # the neighbor rows' nulls) — the per-iteration convergence count
+        # then reads `label < _old` off this one frame instead of joining
+        # the new and old label frames (one fewer join + exchange per
+        # round; the count is the action that materializes the lazy
+        # checkpoint either way)
+        nbr = edges.join(
+            lbls.withColumnRenamed("id", "src"), "src"
+        ).select(
+            F.col("dst").alias("id"),
+            "label",
+            F.lit(None).cast(lbls.schema["label"].dataType).alias("_old"),
         )
-        return lbls.join(parent, "label").select(
-            "id", F.col("_grand").alias("label")
+        slf = lbls.select("id", "label", F.col("label").alias("_old"))
+        return (
+            slf.union(nbr)
+            .groupBy("id")
+            .agg(F.min("label").alias("label"), F.min("_old").alias("_old"))
         )
 
+    # (pointer doubling happens inline in the loop: label := label-node's
+    # own label. Every label value is a component-member id present in
+    # the frame — labels start as ids and only ever take mins of other
+    # labels — so the inner join is total and the result is a valid,
+    # smaller-or-equal component-member label.)
+
+    # no edge-dedup pass: duplicate input pairs only add rows to the
+    # propagate union, which the min() aggregate absorbs — a .distinct()
+    # here cost one full exchange of the edge list per CC run for zero
+    # semantic effect (callers with heavy duplication, e.g. multi-probe
+    # semantic_dedup, pay a slightly fatter join instead of a shuffle)
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
-        .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
+    # initial labels = the ROUND-1 propagation result, folded into one
+    # groupBy over the (symmetric) edge list: label(v) = min(v, min of
+    # v's neighbors) — identical to propagate(id->id) but with no join,
+    # no separate distinct-ids job, and one fewer loop round. Shallow
+    # clusters (near-dup cliques, the overwhelmingly common case) then
+    # converge in a SINGLE loop iteration: one propagate action that
+    # verifies the fixed point. Checkpoints are LAZY — the first count
+    # action materializes edges and labels inside its own job instead of
+    # two blocking driver round-trips up front.
     labels = (
-        edges.select(F.col("src").alias("id"))
-        .distinct()
-        .withColumn("label", F.col("id"))
-        .localCheckpoint()
+        edges.groupBy("src")
+        .agg(F.min("dst").alias("_mn"))
+        .select(
+            F.col("src").alias("id"),
+            F.least(F.col("src"), F.col("_mn")).alias("label"),
+        )
+        .localCheckpoint(eager=False)
     )
-    for it in range(max_iter):
+    for _it in range(max_iter):
         # LAZY checkpoint: the changed-count below is the ONE action per
         # iteration — it materializes new's blocks as a side effect, so
-        # each iteration (1 or 2 propagation rounds) costs one driver
-        # round-trip
-        new = propagate(labels)
-        if it >= 2:
-            # deep-chain regime: a second propagation round plus a
-            # pointer-doubling shortcut per action — shallow clusters (the
-            # overwhelmingly common case) never pay the extra joins
-            new = shortcut(propagate(new))
-        new = new.localCheckpoint(eager=False)
-        changed = (
-            new.withColumnRenamed("label", "_new")
-            .join(labels, "id")
-            .filter(F.col("_new") != F.col("label"))
-            .count()
+        # each iteration (propagate + shortcut) costs one driver
+        # round-trip. `_chg` records whether the PROPAGATE step moved the
+        # node's label; the shortcut can only move labels further when
+        # propagate moved some, and is the identity on a fixed point, so
+        # sum(_chg) == 0 proves convergence of the returned labels too.
+        p = propagate_tracking(labels)
+        parent = p.select(F.col("id").alias("label"), F.col("label").alias("_grand"))
+        new = (
+            p.join(parent, "label")
+            .select(
+                "id",
+                F.col("_grand").alias("label"),
+                (F.col("label") < F.col("_old")).alias("_chg"),
+            )
+            .localCheckpoint(eager=False)
         )
-        labels = new
+        changed = new.filter(F.col("_chg")).count()
+        labels = new.drop("_chg")
         if changed == 0:
             break
     else:

@@ -660,7 +660,7 @@ def semantic_dedup(
     before blocking, so the pair join grows ~n_assign^2 in the worst
     case but in practice ~2x at n_assign=2 (measured sweep in
     BENCH/BASELINE.md); a pair sharing SEVERAL cells emits duplicate
-    edges, which connected_components' edge-distinct absorbs.
+    edges, which connected_components' min() aggregation absorbs.
 
     100 TB shape: assignment is a projection. `n_cells=None` scales the
     cell count with the corpus — ceil(sqrt(N)), clamped to [16, 4096] —

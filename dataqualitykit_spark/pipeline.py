@@ -420,7 +420,13 @@ def run_pipeline(df: DataFrame, cfg: PipelineConfig = DEFAULT_CONFIG) -> DataFra
         )
 
     base = base.withColumn("_missing_raw", T.is_missing(F.col("text")))
-    chash = F.md5(F.encode(F.coalesce(F.col("text"), F.lit("")), "UTF-8"))
+    # the raw-text md5 is computed ONCE as a column: it keys the content
+    # window below AND becomes the output's content_md5 (previously two
+    # separate md5 passes over the full text)
+    base = base.withColumn(
+        "_chash", F.md5(F.encode(F.coalesce(F.col("text"), F.lit("")), "UTF-8"))
+    )
+    chash = F.col("_chash")
 
     # url keep-most-recent (reference W1, QualityControl.py:1967-1981);
     # total order (warc_ts DESC, md5 ASC, url ASC) -> deterministic under
@@ -477,7 +483,11 @@ def run_pipeline(df: DataFrame, cfg: PipelineConfig = DEFAULT_CONFIG) -> DataFra
             # pairs branch re-scans the source — one extra read beats
             # caching 100 TB), or better, run near-dedup per lineage
             # bucket (lineage.run_resumable) so the working set is bounded.
-            base = base.localCheckpoint()
+            # LAZY: the signature stage materializes the blocks inside its
+            # own first job — an eager checkpoint here cost one extra
+            # blocking driver round-trip per run (measured r7; same
+            # finding as minhash_jaccard's round-2 regression).
+            base = base.localCheckpoint(eager=False)
         surv = base.filter(F.col("_survivor")).select("url", "text")
         if cfg.near_dup_hash == "md5":
             pairs = _dedup.minhash_jaccard_portable(
@@ -534,10 +544,9 @@ def run_pipeline(df: DataFrame, cfg: PipelineConfig = DEFAULT_CONFIG) -> DataFra
     # the labeled output does NOT duplicate the raw text (it lives in the
     # input table; at 100 TB rewriting it doubles the write) — it carries
     # the md5 fingerprint instead, which dedup/lineage key on
-    labeled = labeled.withColumn(
-        "content_md5",
-        F.md5(F.encode(F.coalesce(F.col("_orig_text"), F.lit("")), "UTF-8")),
-    )
+    # _chash IS md5(coalesce(_orig_text,'')) — text is untouched between
+    # the hash projection and here (only masked into a separate column)
+    labeled = labeled.withColumn("content_md5", F.col("_chash"))
 
     # token-budget cut LAST (opt-in): among kept rows, each budget_by
     # group keeps the deterministic (md5(url), url)-ordered prefix whose
@@ -625,7 +634,7 @@ def run_pipeline(df: DataFrame, cfg: PipelineConfig = DEFAULT_CONFIG) -> DataFra
     return labeled.drop(
         "_missing_raw", "_dup_url", "_dup_content", "_dup_near", "_eligible",
         "_survivor", "_missing", "_orig_text", "text", "_blocked",
-        "_kw_blocked",
+        "_kw_blocked", "_chash",
     )
 
 

@@ -183,17 +183,23 @@ MOJIBAKE_MAP = (
 # 3. PII bank — order matters (SSN before phone so 123-45-6789 is not
 # half-eaten by the phone pattern). Phone golden format from the reference
 # fixture tests/test_format_consistency.py:36 (123-456-7890, (123) 456-7890).
-# Each entry carries its own exact-equivalence GATE — a literal/class the
-# pattern REQUIRES, so skipping rows without it is a provable no-op. Keys:
-# "at" = row contains '@'; "digit" = row contains a decimal digit; None =
-# no gate (apply to all rows). The gate travels WITH the pattern so the
-# pairing cannot drift when the bank is reordered or extended (a parallel
-# hand-matched list in the scrub UDF previously could).
+# Each entry carries its own exact-equivalence GATE — literals/classes the
+# pattern REQUIRES, so skipping rows without them is a provable no-op.
+# Keys: "at" = row contains '@'; "digit" = a decimal digit; "digit_dash" =
+# a digit AND '-' (the SSN pattern requires two dashes); "digit_sep" = a
+# digit AND one of '-', '.', '(' (the phone pattern's mandatory
+# \d{3}[-.]\d{4} tail requires '-' or '.'; the parenthesized area-code leg
+# requires '('); "digit_dot" = a digit AND '.' (every IP needs three
+# dots); None = no gate. The gate travels WITH the pattern so the pairing
+# cannot drift when the bank is reordered or extended (a parallel
+# hand-matched list in the scrub UDF previously could). Cheap literal
+# scans (memchr) run before the digit regex scan, so clean prose skips
+# every expensive PII pass.
 PII_BANK: tuple[tuple[re.Pattern[str], str, str | None], ...] = (
     (re.compile(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"), "<EMAIL>", "at"),
-    (re.compile(r"\b\d{3}-\d{2}-\d{4}\b"), "<SSN>", "digit"),
-    (re.compile(r"(?:\+1[-. ])?(?:\(\d{3}\)\s?|\b\d{3}[-.])\d{3}[-.]\d{4}\b"), "<PHONE>", "digit"),
-    (re.compile(r"\b(?:\d{1,3}\.){3}\d{1,3}\b"), "<IP>", "digit"),
+    (re.compile(r"\b\d{3}-\d{2}-\d{4}\b"), "<SSN>", "digit_dash"),
+    (re.compile(r"(?:\+1[-. ])?(?:\(\d{3}\)\s?|\b\d{3}[-.])\d{3}[-.]\d{4}\b"), "<PHONE>", "digit_sep"),
+    (re.compile(r"\b(?:\d{1,3}\.){3}\d{1,3}\b"), "<IP>", "digit_dot"),
 )
 
 _TOX_RE = re.compile(

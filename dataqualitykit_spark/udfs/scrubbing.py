@@ -45,18 +45,47 @@ def _scrub_batch(texts: pd.Series) -> pd.Series:
     # 2. control-char strip (cheap pattern — ungated)
     s = s.str.replace(_CTRL_RE, "", regex=True)
     # 3. PII bank in pinned order; masks computed up front are SUPERSETS
-    # of later match-possible rows (earlier subs only remove matches)
-    # gate predicates are declared WITH each bank entry (semantics.PII_BANK
-    # 3-tuples), so reordering/extending the bank cannot desync the gates
-    gate_masks = {
-        "at": s.str.contains("@", regex=False),
-        "digit": s.str.contains(_DIGIT_RE, regex=True),
-    }
+    # of later match-possible rows (earlier subs only remove matches and
+    # the <TOKEN> replacements contain no digits/separators). Gate
+    # predicates are declared WITH each bank entry (semantics.PII_BANK
+    # 3-tuples), so reordering/extending the bank cannot desync the
+    # gates. Masks memoize LAZILY with the cheap memchr scans first:
+    # a composite gate whose literal leg is all-False never pays the
+    # digit regex scan, and clean prose (no '@'/'-'/'.'/'(') skips every
+    # PII regex pass outright.
+    memo: dict[str, pd.Series] = {}
+
+    def mask(key: str) -> pd.Series:
+        if key not in memo:
+            if key == "at":
+                memo[key] = s.str.contains("@", regex=False)
+            elif key == "digit":
+                memo[key] = s.str.contains(_DIGIT_RE, regex=True)
+            elif key == "dash":
+                memo[key] = s.str.contains("-", regex=False)
+            elif key == "dot":
+                memo[key] = s.str.contains(".", regex=False)
+            elif key == "paren":
+                memo[key] = s.str.contains("(", regex=False)
+            elif key == "digit_dash":
+                m = mask("dash")
+                memo[key] = (m & mask("digit")) if m.any() else m
+            elif key == "digit_dot":
+                m = mask("dot")
+                memo[key] = (m & mask("digit")) if m.any() else m
+            elif key == "digit_sep":
+                m = mask("dash") | mask("dot") | mask("paren")
+                memo[key] = (m & mask("digit")) if m.any() else m
+            else:  # pragma: no cover — unknown key = programming error
+                raise KeyError(key)
+        return memo[key]
+
     for pat, repl, gate_key in PII_BANK:
-        gate = gate_masks[gate_key] if gate_key is not None else None
-        if gate is None:
+        if gate_key is None:
             s = s.str.replace(pat, repl, regex=True)
-        elif gate.any():
+            continue
+        gate = mask(gate_key)
+        if gate.any():
             s.loc[gate] = s.loc[gate].str.replace(pat, repl, regex=True)
     # 4. toxicity mask, gated on case-insensitive substring presence
     tox = None

@@ -309,3 +309,63 @@ def test_exact_substring_scrub_stride_sampled(spark):
     }
     assert exact[2]["cleaned_text"] == "ff gg hh ii jj"
     assert exact[2]["n_tokens_removed"] == 12
+
+
+def test_numpy_xxh64_matches_spark(spark):
+    """The vectorized XXH64 behind minhash_signatures must be bit-exact
+    with Spark's F.xxhash64(F.lit(i), h) chain (hashLong over hashInt
+    seed) — signed int64 out, for every seed the signature pass uses."""
+    import numpy as np
+
+    import random
+
+    random.seed(3)
+    longs = [random.getrandbits(64) - (1 << 63) for _ in range(500)] + [
+        0, 1, -1, (1 << 63) - 1, -(1 << 63),
+    ]
+    df = spark.createDataFrame([(x,) for x in longs], "h long")
+    vals = np.array(longs, dtype=np.int64).view(np.uint64)
+    for i in (0, 7, 31):
+        got = [r[0] for r in df.select(F.xxhash64(F.lit(i), F.col("h"))).collect()]
+        mine = dedup._xxh64_long_vec(
+            vals, dedup._xxh64_int_scalar(i)
+        ).view(np.int64)
+        assert [int(x) for x in mine] == got, f"seed {i}"
+
+
+def test_minhash_signatures_null_and_parity(spark):
+    """The Arrow signature pass keeps the projection form's contract:
+    NULL text -> a VALID 32-slot all-NULL array; values equal the
+    independent explode+groupBy JVM twin everywhere else."""
+    words = (_TRAIN_TEXT + " " + _TRAIN_TEXT).split()
+    rows = [
+        (0, " ".join(words[0:80])),
+        (1, " ".join(words[10:90])),
+        (2, "tiny doc"),
+        (3, ""),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    prod = {
+        r["id"]: r["sig"]
+        for r in dedup.minhash_signatures(df, "text", "doc_id").collect()
+    }
+    twin = {
+        r["id"]: r["sig"]
+        for r in dedup.minhash_signatures_agg(df, "text", "doc_id").collect()
+    }
+    assert prod[4] == [None] * 32  # NULL text: valid array of null slots
+    assert 4 not in twin  # the agg twin emits no row for NULL text
+    for k in (0, 1, 2, 3):
+        assert prod[k] == twin[k], k
+
+
+def test_simhash64_null_text(spark):
+    """NULL text -> NULL simhash through the numpy vote (the agg twin
+    emits no row; the production projection must keep the NULL)."""
+    df = spark.createDataFrame(
+        [(0, "some plain text here"), (1, None)], "doc_id long, text string"
+    )
+    got = {r["id"]: r["simhash"] for r in dedup.simhash64(df, "text", "doc_id").collect()}
+    assert got[1] is None
+    assert isinstance(got[0], int)
