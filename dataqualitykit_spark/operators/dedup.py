@@ -185,8 +185,9 @@ def _xxh64_int_scalar(i: int, seed: int = 42) -> int:
     return h
 
 
-def _xxh64_long_vec(vals, seed: int):
-    """XXH64.hashLong over a uint64 numpy array with a uint64 seed."""
+def _xxh64_long_vec(vals, seed):
+    """XXH64.hashLong over a uint64 numpy array; `seed` is a python int
+    or a uint64 array (element-wise seeds — the shingle-combine chain)."""
     import numpy as np
 
     p1, p2 = np.uint64(_XXH_P1), np.uint64(_XXH_P2)
@@ -196,7 +197,8 @@ def _xxh64_long_vec(vals, seed: int):
         r = np.uint64(r)
         return (x << r) | (x >> (np.uint64(64) - r))
 
-    h = np.uint64(seed) + p5 + np.uint64(8)
+    seed = seed if isinstance(seed, np.ndarray) else np.uint64(seed)
+    h = seed + p5 + np.uint64(8)
     h = h ^ (rotl(vals * p2, 31) * p1)
     h = rotl(h, 27) * p1 + p4
     h ^= h >> np.uint64(33)
@@ -205,6 +207,80 @@ def _xxh64_long_vec(vals, seed: int):
     h *= p3
     h ^= h >> np.uint64(32)
     return h
+
+
+def _word_hash_source(
+    df: DataFrame, text_col: str, id_col: str, k: int
+) -> DataFrame:
+    """(id, wh array<bigint>, fb bigint) — per-WORD xxhash64 values plus
+    the n<k whole-text fallback hash (non-null exactly when the filtered
+    word count is < k and the text is non-null). The k-adjacent combine
+    happens in numpy downstream (guide §4.2); only string hashing stays
+    in the JVM. Matches with_shingle_hashes' word/fallback definitions
+    exactly — the *_agg twins still consume the full-JVM combine, so the
+    declared parity queries certify the numpy chain end to end."""
+    words = F.filter(
+        F.split(F.lower(F.col(text_col)), WS_REGEX), lambda w: w != F.lit("")
+    )
+    w = df.select(F.col(id_col).alias("id"), words.alias("_w"))
+    n = F.size(F.col("_w"))
+    return w.select(
+        "id",
+        F.transform(F.col("_w"), lambda x: F.xxhash64(x)).alias("wh"),
+        F.when(n < k, F.xxhash64(F.concat_ws(" ", F.col("_w")))).alias("fb"),
+    )
+
+
+def _gram_pieces(batch, k: int):
+    """Decode one Arrow (id, wh, fb) batch into the numpy pieces the
+    signature/vote kernels share:
+
+    returns (ids, valid, fb_rows, fb_vals, grams, gram_lens, gram_starts)
+    - valid:    bool[n_rows], text non-null
+    - fb_rows:  bool[n_rows], fallback path (word count < k)
+    - fb_vals:  int64[n_rows], fallback hash (0 where unused)
+    - grams:    uint64[*], combined k-gram hashes of the REGULAR rows,
+                row-major, boundary-crossing grams removed
+    - gram_lens/gram_starts: per-REGULAR-row segment table over `grams`
+
+    The combine replays Spark's F.xxhash64(acc, w) chain exactly:
+    c = w0; then c = hashLong(w_j, hashLong(c, 42)) per extra word —
+    vectorized over the whole flattened buffer with shifted views, then
+    compacted by a validity mask so no gram crosses a row boundary."""
+    import numpy as np
+    import pyarrow as pa
+
+    ids = batch.column(0)
+    wh = batch.column(1)
+    fb = batch.column(2)
+    valid = wh.is_valid().to_numpy(zero_copy_only=False)
+    fb_rows = fb.is_valid().to_numpy(zero_copy_only=False)
+    fb_vals = pa.compute.fill_null(fb, 0).to_numpy(zero_copy_only=False)
+    lens_nn = (
+        pa.compute.list_value_length(wh)
+        .drop_null()
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    vals = np.ascontiguousarray(
+        wh.flatten().to_numpy(zero_copy_only=False)
+    ).view(np.uint64)
+    n_flat = vals.shape[0]
+    if n_flat >= k:
+        c = vals[: n_flat - (k - 1)]
+        for j in range(1, k):
+            c = _xxh64_long_vec(vals[j : n_flat - (k - 1) + j], _xxh64_long_vec(c, 42))
+        # mask out grams whose window crosses into the next row
+        pos = np.arange(n_flat, dtype=np.int64) - np.repeat(
+            np.concatenate(([0], np.cumsum(lens_nn)[:-1])), lens_nn
+        )
+        ok = (pos <= np.repeat(lens_nn, lens_nn) - k)[: c.shape[0]]
+        grams = c[ok]
+    else:
+        grams = np.empty(0, dtype=np.uint64)
+    gram_lens = np.maximum(lens_nn - (k - 1), 0)
+    gram_starts = np.concatenate(([0], np.cumsum(gram_lens)))[: gram_lens.shape[0]]
+    return ids, valid, fb_rows, fb_vals, grams, gram_lens, gram_starts
 
 
 def minhash_signatures(
@@ -233,8 +309,8 @@ def minhash_signatures(
     import numpy as np
     import pyarrow as pa
 
-    sh = with_shingle_hashes(df, text_col, id_col, shingle_k)
-    id_ddl = sh.schema["id"].dataType.simpleString()
+    src = _word_hash_source(df, text_col, id_col, shingle_k)
+    id_ddl = src.schema["id"].dataType.simpleString()
     seeds = [_xxh64_int_scalar(i) for i in range(num_hashes)]
 
     def sigs(batches):
@@ -242,22 +318,21 @@ def minhash_signatures(
             n_rows = batch.num_rows
             if n_rows == 0:
                 continue
-            ids = batch.column(0)
-            hs = batch.column(1)
-            valid = hs.is_valid().to_numpy(zero_copy_only=False)
+            (ids, valid, fb_rows, fb_vals, grams, gram_lens, gram_starts
+             ) = _gram_pieces(batch, shingle_k)
             sig_mat = np.zeros((n_rows, num_hashes), dtype=np.int64)
-            if valid.any():
-                lens = pa.compute.list_value_length(hs).to_numpy(
-                    zero_copy_only=False
-                )
-                vlens = lens[valid].astype(np.int64)
-                vals = np.ascontiguousarray(
-                    hs.flatten().to_numpy(zero_copy_only=False)
-                ).view(np.uint64)
-                starts = np.concatenate(([0], np.cumsum(vlens)[:-1]))
-                for i, s in enumerate(seeds):
-                    hv = _xxh64_long_vec(vals, s).view(np.int64)
-                    sig_mat[valid, i] = np.minimum.reduceat(hv, starts)
+            has_grams = gram_lens > 0          # per non-null row
+            starts = gram_starts[has_grams]
+            # map non-null-row indices back to batch row positions
+            nn_pos = np.flatnonzero(valid)
+            gram_rows = nn_pos[has_grams]
+            fbu = fb_vals.view(np.uint64)[fb_rows]
+            for i, s in enumerate(seeds):
+                if grams.shape[0]:
+                    hv = _xxh64_long_vec(grams, s).view(np.int64)
+                    sig_mat[gram_rows, i] = np.minimum.reduceat(hv, starts)
+                if fbu.shape[0]:
+                    sig_mat[fb_rows, i] = _xxh64_long_vec(fbu, s).view(np.int64)
             elem_valid = np.repeat(valid, num_hashes)
             values = pa.array(sig_mat.reshape(-1), mask=~elem_valid)
             offsets = pa.array(
@@ -269,7 +344,7 @@ def minhash_signatures(
                 names=["id", "sig"],
             )
 
-    return sh.mapInArrow(sigs, schema=f"id {id_ddl}, sig array<bigint>")
+    return src.mapInArrow(sigs, schema=f"id {id_ddl}, sig array<bigint>")
 
 
 def minhash_signatures_agg(
@@ -764,49 +839,45 @@ def simhash64(
     (200k docs, local[32], min-of-3): HOF vote 3.65 s -> this 1.0 s; the
     explode + 64-compiled-sum aggregate remains the slowest shape at
     8.0 s (scripts/microbench_votes.py) and survives only as the
-    simhash64_agg parity twin. Shingle hashing stays ENTIRELY in the JVM
-    (with_shingle_hashes — the parity twin and the python-vote test pin
-    the shared xxhash64 basis); only (id, hashes) crosses the Arrow
-    boundary, and the stage is still a zero-shuffle projection."""
+    simhash64_agg parity twin. Word STRING hashing stays in the JVM; the
+    k-adjacent combine replays Spark's xxhash64 chain in vectorized
+    numpy (bit-exact — the parity twin and the python-vote test pin the
+    shared basis); only (id, word-hashes) crosses the Arrow boundary,
+    and the stage is still a zero-shuffle projection."""
     import numpy as np
     import pyarrow as pa
 
-    hashed = with_shingle_hashes(
-        df.select(id_col, text_col), text_col, id_col, shingle_k
-    )
-    id_ddl = hashed.schema["id"].dataType.simpleString()
+    src = _word_hash_source(df.select(id_col, text_col), text_col, id_col, shingle_k)
+    id_ddl = src.schema["id"].dataType.simpleString()
 
     def vote(batches):
         for batch in batches:
             n_rows = batch.num_rows
             if n_rows == 0:
                 continue
-            ids = batch.column(0)
-            hs = batch.column(1)
-            if isinstance(hs, pa.ChunkedArray):  # pragma: no cover
-                hs = hs.combine_chunks()
-            valid = hs.is_valid().to_numpy(zero_copy_only=False)
-            lens = pa.compute.list_value_length(hs).to_numpy(
-                zero_copy_only=False
-            )
-            vals = hs.flatten().to_numpy(zero_copy_only=False)
-            out = np.zeros(n_rows, dtype=np.uint64)
-            if valid.any():
-                vlens = lens[valid].astype(np.int64)
-                # valid rows always hold >= 1 hash (the n<k branch emits a
-                # one-element array), so every reduceat segment is non-empty
-                starts = np.concatenate(([0], np.cumsum(vlens)[:-1]))
+            (ids, valid, fb_rows, fb_vals, grams, gram_lens, gram_starts
+             ) = _gram_pieces(batch, shingle_k)
+            out = np.zeros(n_rows, dtype=np.int64)
+            has_grams = gram_lens > 0
+            if has_grams.any():
+                starts = gram_starts[has_grams]
+                vlens = gram_lens[has_grams]
+                gvals = grams.view(np.int64)
                 sim = np.zeros(vlens.shape[0], dtype=np.uint64)
                 for b in range(64):
-                    ones = np.add.reduceat((vals >> b) & 1, starts)
+                    ones = np.add.reduceat((gvals >> b) & 1, starts)
                     sim |= ((2 * ones) > vlens).astype(np.uint64) << np.uint64(b)
-                out[valid] = sim
+                nn_pos = np.flatnonzero(valid)
+                out[nn_pos[has_grams]] = sim.view(np.int64)
+            # fallback rows vote over ONE hash: every set bit wins 1 - 0,
+            # every clear bit loses 0 - 1 => simhash == the hash itself
+            out[fb_rows] = fb_vals[fb_rows]
             yield pa.RecordBatch.from_arrays(
-                [ids, pa.array(out.view(np.int64), mask=~valid)],
+                [ids, pa.array(out, mask=~valid)],
                 names=["id", "simhash"],
             )
 
-    return hashed.mapInArrow(vote, schema=f"id {id_ddl}, simhash bigint")
+    return src.mapInArrow(vote, schema=f"id {id_ddl}, simhash bigint")
 
 
 def simhash64_agg(
