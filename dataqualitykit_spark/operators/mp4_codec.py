@@ -89,8 +89,12 @@ def demux_mjpeg(payload: bytes | None):
         if hdlr is None or buf[hdlr[0] + 8 : hdlr[0] + 12] != b"vide":
             continue
         mdhd = _need(buf, mdia, b"mdhd")
+        if mdhd[0] >= mdhd[1]:
+            raise Mp4Error("empty mdhd box")
         version = buf[mdhd[0]]
         ts_off = mdhd[0] + (20 if version == 1 else 12)
+        if ts_off + 4 > mdhd[1]:
+            raise Mp4Error("truncated mdhd box")
         timescale = struct.unpack(">I", buf[ts_off : ts_off + 4])[0]
         if timescale == 0:
             raise Mp4Error("zero mdhd timescale")
@@ -102,11 +106,21 @@ def demux_mjpeg(payload: bytes | None):
         fmt = buf[entry + 4 : entry + 8]
         if fmt not in _MJPEG_FORMATS:
             continue  # a video track, but not one we can decode
+        if entry + 36 > stsd[1]:
+            raise Mp4Error("truncated stsd sample entry")
         width, height = struct.unpack(">HH", buf[entry + 32 : entry + 36])
 
-        # stts -> per-sample start times (timescale units)
+        # stts -> per-sample start times (timescale units). Every table
+        # read is BOUNDED by its box end (ADVICE r6: a run/sample count
+        # larger than the box previously consumed sibling-box bytes or
+        # died with struct.error instead of Mp4Error — one corrupt file
+        # must take the stub fallback, not fail the job).
         stts = _need(buf, stbl, b"stts")
+        if stts[0] + 8 > stts[1]:
+            raise Mp4Error("truncated stts header")
         n_runs = struct.unpack(">I", buf[stts[0] + 4 : stts[0] + 8])[0]
+        if stts[0] + 8 + 8 * n_runs > stts[1]:
+            raise Mp4Error("truncated stts table")
         starts, t = [], 0
         p = stts[0] + 8
         for _ in range(n_runs):
@@ -118,12 +132,20 @@ def demux_mjpeg(payload: bytes | None):
 
         # stsz -> per-sample byte sizes
         stsz = _need(buf, stbl, b"stsz")
+        if stsz[0] + 12 > stsz[1]:
+            raise Mp4Error("truncated stsz header")
         uniform, n_samples = struct.unpack(
             ">II", buf[stsz[0] + 4 : stsz[0] + 12]
         )
+        if n_samples == 0:
+            # a zero-sample video track has nothing to decode — route to
+            # the stub fallback rather than emit an empty frame list
+            raise Mp4Error("MJPEG track with zero samples")
         if uniform:
             sizes = [uniform] * n_samples
         else:
+            if stsz[0] + 12 + 4 * n_samples > stsz[1]:
+                raise Mp4Error("truncated stsz table")
             sizes = list(
                 struct.unpack(
                     f">{n_samples}I",
@@ -136,13 +158,21 @@ def demux_mjpeg(payload: bytes | None):
         width_bytes, fmt_ch = (4, "I") if co is not None else (8, "Q")
         if co is None:
             co = _need(buf, stbl, b"co64")
+        if co[0] + 8 > co[1]:
+            raise Mp4Error("truncated stco/co64 header")
         n_chunks = struct.unpack(">I", buf[co[0] + 4 : co[0] + 8])[0]
+        if co[0] + 8 + width_bytes * n_chunks > co[1]:
+            raise Mp4Error("truncated stco/co64 table")
         chunk_offs = struct.unpack(
             f">{n_chunks}{fmt_ch}",
             buf[co[0] + 8 : co[0] + 8 + width_bytes * n_chunks],
         )
         stsc = _need(buf, stbl, b"stsc")
+        if stsc[0] + 8 > stsc[1]:
+            raise Mp4Error("truncated stsc header")
         n_sc = struct.unpack(">I", buf[stsc[0] + 4 : stsc[0] + 8])[0]
+        if stsc[0] + 8 + 12 * n_sc > stsc[1]:
+            raise Mp4Error("truncated stsc table")
         runs = [
             struct.unpack(">III", buf[stsc[0] + 8 + 12 * j : stsc[0] + 20 + 12 * j])
             for j in range(n_sc)

@@ -377,7 +377,10 @@ def sample_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
                         ]
                     except (mp4_codec.Mp4Error, jpeg_codec.JpegError):
                         frames = None  # non-MJPEG mp4 -> stub route
-                if frames is not None:
+                # truthiness (not `is not None`): a structurally valid but
+                # EMPTY frame list must take the stub route, not crash on
+                # frames[-1] (ADVICE r6)
+                if frames:
                     total = frames[-1][1]  # last frame's start time
                     n = max(1, total // every_ms + 1)
                     for k in range(n):

@@ -56,7 +56,11 @@ def readability_counts(text_col: str = "text") -> dict[str, Column]:
     NULL; empty text -> zeros with n_sentences 0)."""
     t = F.col(text_col)
     words = F.filter(F.split(t, ASCII_WS_RE), lambda w: w != F.lit(""))
-    n_words = F.size(words)
+    # explicit NULL passthrough: under Spark 4 ANSI defaults size(NULL) is
+    # already NULL, but pyspark 3.5 (permitted by pyproject) returns -1
+    # there — the guard pins the documented 'NULL text -> all NULL'
+    # contract on every supported version (ADVICE r6); no-op on Spark 4
+    n_words = F.when(t.isNotNull(), F.size(words))
     sentences = F.filter(
         F.split(t, SENTENCE_SPLIT_RE),
         lambda s: F.btrim(s) != F.lit(""),

@@ -360,12 +360,30 @@ def run_pipeline(df: DataFrame, cfg: PipelineConfig = DEFAULT_CONFIG) -> DataFra
     url_key = (
         T.normalize_url(F.col("url")) if cfg.normalize_urls else F.col("url")
     )
+    # the url keep-most-recent window only runs when a timestamp exists
+    # (computed here because the salt decision below depends on it)
+    url_dedup_active = (
+        cfg.dedup_url and "url" in keep_cols and "warc_ts" in keep_cols
+    )
     n_salt = cfg.salt_partitions
     if n_salt < 0:  # AUTO: 2x cores — AQE can still coalesce small stages
         n_salt = 2 * df.sparkSession.sparkContext.defaultParallelism
-    if n_salt > 0:
-        # one explicit url repartition: balances hot domains ahead of every
-        # downstream stage AND satisfies the url window's distribution
+    if n_salt > 0 and (
+        url_dedup_active
+        or cfg.c4_lines
+        or cfg.dedup_paragraphs
+        or not cfg.dedup_content
+    ):
+        # one explicit url repartition: balances hot domains ahead of the
+        # pre-window map work (C4/paragraph scrubs), satisfies the url
+        # window's distribution, and — when no content window will run —
+        # rebalances the input ahead of the scorer. SKIPPED when nothing
+        # downstream needs it (no url window, no heavy pre-window
+        # compute, content window on): the content window's own exchange
+        # rebalances before the scorer stage, so the repartition would be
+        # a full shuffle of the text that feeds nothing (guide §2.4 —
+        # remove shuffles outright). Results are partitioning-independent
+        # either way (total window orders).
         base = base.repartition(n_salt, url_key)
 
     # domain blocklist FIRST (opt-in): known-bad hosts are flagged before
@@ -432,7 +450,7 @@ def run_pipeline(df: DataFrame, cfg: PipelineConfig = DEFAULT_CONFIG) -> DataFra
     # total order (warc_ts DESC, md5 ASC, url ASC) -> deterministic under
     # any input order (the url leg matters only under normalize_urls,
     # where distinct raw urls share a window group)
-    if cfg.dedup_url and "url" in keep_cols and "warc_ts" in keep_cols:
+    if url_dedup_active:
         w_url = Window.partitionBy(url_key).orderBy(
             F.col("warc_ts").desc(), chash.asc(), F.col("url").asc()
         )
