@@ -369,3 +369,53 @@ def test_simhash64_null_text(spark):
     got = {r["id"]: r["simhash"] for r in dedup.simhash64(df, "text", "doc_id").collect()}
     assert got[1] is None
     assert isinstance(got[0], int)
+
+
+def test_kernels_tiny_arrow_batches(spark):
+    """The numpy signature/vote kernels' per-batch boundary masks must
+    hold under ANY batch split: force 7-row Arrow batches over a mix of
+    NULL/empty/whitespace/short/long texts and compare against the JVM
+    agg twins."""
+    rows = [
+        (i, t)
+        for i, t in enumerate(
+            [
+                None, "", "one", "one two", "one two three",
+                "a b c d e f g h i j", "x", None,
+                "sentence with several words here", "  ", "a\tb\nc",
+            ]
+            * 7
+        )
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    try:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+        prod = {
+            r["id"]: r["sig"]
+            for r in dedup.minhash_signatures(df, "text", "doc_id").collect()
+        }
+        twin = {
+            r["id"]: r["sig"]
+            for r in dedup.minhash_signatures_agg(df, "text", "doc_id").collect()
+        }
+        for k, (_, t) in enumerate(rows):
+            if t is None:
+                assert prod[k] == [None] * 32, k
+            else:
+                assert prod[k] == twin[k], (k, t)
+        ps = {
+            r["id"]: r["simhash"]
+            for r in dedup.simhash64(df, "text", "doc_id").collect()
+        }
+        ts = {
+            r["id"]: r["simhash"]
+            for r in dedup.simhash64_agg(df, "text", "doc_id").collect()
+        }
+        for k, (_, t) in enumerate(rows):
+            if t is None:
+                assert ps[k] is None, k
+            else:
+                assert ps[k] == ts[k], (k, t)
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
