@@ -197,8 +197,12 @@ def _xxh64_long_vec(vals, seed):
         r = np.uint64(r)
         return (x << r) | (x >> (np.uint64(64) - r))
 
-    seed = seed if isinstance(seed, np.ndarray) else np.uint64(seed)
-    h = seed + p5 + np.uint64(8)
+    if isinstance(seed, np.ndarray):
+        h = seed + p5 + np.uint64(8)  # element-wise; arrays wrap silently
+    else:
+        # fold the scalar prefix in python ints: numpy SCALAR uint64
+        # overflow emits RuntimeWarnings on executors (arrays don't)
+        h = np.uint64((int(seed) + _XXH_P5 + 8) & _U64)
     h = h ^ (rotl(vals * p2, 31) * p1)
     h = rotl(h, 27) * p1 + p4
     h ^= h >> np.uint64(33)
