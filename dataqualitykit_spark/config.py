@@ -212,14 +212,16 @@ class PipelineConfig:
     salt_partitions: int = -1
     shuffle_partitions: int = 32
     arrow_batch_size: int = 10_000
-    # autoBroadcastJoinThreshold: 64m (Spark default 10m). The near-dedup
-    # signature table and similar per-run side tables land in the
-    # 10-60 MB band where a broadcast join removes two exchanges but the
-    # default threshold refuses it. 64 MB broadcasts are comfortably
-    # inside any production executor budget (guide §3.1: a few hundred
-    # MB is fine; the hard cap is 8 GB) — this is a scale-valid default,
-    # not a local-mode tune; override per-session via extra_conf.
-    broadcast_threshold: str = "64m"
+    # autoBroadcastJoinThreshold: Spark's default 10m. A 64m default was
+    # tried (r7): it helped nothing measurable at 200k docs but cost the
+    # 400k-doc near-dedup leg ~20% — the raised STATIC threshold turns
+    # 10-64 MB *estimates* into planner-forced broadcast builds inside
+    # iterative paths (the CC label loop re-collects per action), while
+    # AQE already upgrades sort-merge to broadcast at runtime from ACTUAL
+    # sizes, which is the safe mechanism at every scale. Keep Spark's
+    # default; force known-small sides with an explicit broadcast() hint
+    # or override per-session via extra_conf.
+    broadcast_threshold: str = "10m"
     # 'udf' = all per-doc metrics from the fused Arrow scorer (measured
     # ~5x faster end-to-end); 'columns' = pure JVM column algebra
     # (functions/text.py). Identical values either way (parity-tested).
