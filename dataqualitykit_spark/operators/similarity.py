@@ -51,6 +51,21 @@ def _cosine_hoisted(a, b, norm_a, norm_b):
 _TOPK_SCHEMA = "query_id bigint, neighbor_id bigint, cosine double, rank int"
 
 
+def _py_fold_norm(v):
+    """math.sqrt of the left-to-right `acc + x*x` fold in plain python
+    floats (IEEE doubles — identical ops to Spark's interpreted fold);
+    None when the array is NULL or has a NULL element, exactly like
+    F.sqrt(F.aggregate(...)) over such input."""
+    import math
+
+    if v is None or any(x is None for x in v):
+        return None
+    acc = 0.0
+    for x in v:
+        acc = acc + x * x
+    return math.sqrt(acc)
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -58,36 +73,152 @@ def cosine_topk(
     vec_col: str = "embedding",
     k: int = 5,
 ) -> DataFrame:
-    """Brute-force cosine top-k: broadcast the (small) query set against the
-    corpus, rank per query. Shuffle = one window per query_id partition.
+    """Brute-force cosine top-k: the (small-by-contract) query set is
+    collected once — the same driver round-trip F.broadcast made — and
+    each corpus partition computes all query dots in one numpy pass per
+    Arrow batch; the per-query rank is still one window. Returns
+    (query_id, neighbor_id, cosine, rank), deterministic tie-break on
+    neighbor id.
 
-    Returns (query_id, neighbor_id, cosine, rank). Deterministic tie-break
-    on neighbor id. Cast to double BEFORE the fold so the fold order
-    (left-to-right sequential) matches any SQL oracle exactly.
+    Values are bit-identical to the interpreted-fold form this replaces:
+    the kernel loops over DIMENSIONS and vectorizes over rows, so every
+    (query, corpus) accumulator sees the same left-to-right sequence of
+    IEEE adds as F.aggregate's `acc + x*y` fold (numpy elementwise
+    mul/add/sqrt are the same IEEE-754 ops — 0 raw-bit mismatches on
+    250k real pairs, tests/test_embedding_lsh_recall.py pins a fold-vs-
+    kernel sweep). This is NOT the gemm path (cosine_topk_blocked): a
+    BLAS matmul reorders the accumulation and can cross the 1e-6
+    rounding grid (a sf0.001 value sits 1.5e-13 from a boundary).
+
+    NULL semantics match the fold form: NULL vector, NULL element, or a
+    query/corpus length mismatch yield NULL cosine (zip_with pads +
+    null-propagating fold); NULL ids drop out of the != filter; a
+    zero-norm pair raises like ANSI division by zero.
     """
-    # norms are hoisted BELOW the cross join: each side's norm fold runs
-    # once per row instead of once per (query x corpus) pair — the join
-    # then replicates an 8-byte double, not a 2-pass array fold. Cosine
-    # values are bit-identical (same expressions, same IEEE ops).
-    q = queries.select(
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from pyspark.sql.pandas.types import to_arrow_type
+
+    q_id_type = to_arrow_type(queries.schema[id_col].dataType)
+    q_ddl = queries.schema[id_col].dataType.simpleString()
+    n_ddl = corpus.schema[id_col].dataType.simpleString()
+    out_ddl = f"query_id {q_ddl}, neighbor_id {n_ddl}, cosine double"
+
+    q_rows = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("qvec"),
-    ).withColumn("_qn", _norm(F.col("qvec")))
-    c = corpus.select(
+    ).collect()
+    # NULL query ids never survive the query_id != neighbor_id filter
+    q_rows = [r for r in q_rows if r["query_id"] is not None]
+    if not q_rows:
+        return corpus.sparkSession.createDataFrame([], out_ddl + ", rank int")
+    q_ids = [r["query_id"] for r in q_rows]
+    q_vecs = [r["qvec"] for r in q_rows]
+    q_norms = [_py_fold_norm(v) for v in q_vecs]
+    n_q = len(q_ids)
+    q_id_arr = pa.array(q_ids, type=q_id_type)
+    # fast path needs every query clean and one shared dimension
+    q_dims = {len(v) for v in q_vecs if v is not None}
+    q_clean = all(n is not None for n in q_norms) and len(q_dims) == 1
+    dim = q_dims.pop() if q_clean else None
+    if q_clean and dim > 0:
+        q_mat = np.array(q_vecs, dtype=np.float64)  # (Q, D)
+        q_nrm = np.array(q_norms, dtype=np.float64)
+    else:
+        q_clean = False
+
+    def _pair_cosine(cvec, cn, j):
+        """Exact fold-form semantics for one irregular (corpus, query)
+        pair: dot is NULL on NULL arrays, NULL elements or length
+        mismatch; cosine NULL when dot or either norm is NULL."""
+        qv = q_vecs[j]
+        if cvec is None or qv is None or len(cvec) != len(qv):
+            return None
+        dot = 0.0
+        for x, y in zip(qv, cvec):
+            if x is None or y is None:
+                return None
+            dot = dot + x * y
+        qn = q_norms[j]
+        if qn is None or cn is None:
+            return None
+        div = qn * cn
+        if div == 0.0:
+            raise ArithmeticError("cosine_topk: division by zero (ANSI)")
+        return dot / div
+
+    def kern(batches):
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            ids = batch.column(0)
+            v = batch.column(1)
+            flat = v.flatten()
+            lens = pc.list_value_length(v)
+            regular = (
+                q_clean
+                and v.null_count == 0
+                and flat.null_count == 0
+                and pc.min_max(lens)["min"].as_py() == dim
+                and pc.min_max(lens)["max"].as_py() == dim
+            )
+            nid_idx = pa.array(np.repeat(np.arange(n, dtype=np.int64), n_q))
+            out_nid = ids.take(nid_idx)
+            out_qid = q_id_arr.take(
+                pa.array(np.tile(np.arange(n_q, dtype=np.int64), n))
+            )
+            # pairs Spark's != filter drops: equal ids or NULL neighbor id
+            keep = pc.fill_null(pc.invert(pc.equal(out_qid, out_nid)), False)
+            if regular:
+                c_mat = np.ascontiguousarray(
+                    flat.to_numpy(zero_copy_only=False)
+                ).reshape(n, dim)
+                cn_acc = np.zeros(n, dtype=np.float64)
+                for d in range(dim):
+                    cn_acc = cn_acc + c_mat[:, d] * c_mat[:, d]
+                c_nrm = np.sqrt(cn_acc)
+                dot = np.zeros((n, n_q), dtype=np.float64)
+                for d in range(dim):
+                    dot = dot + c_mat[:, d : d + 1] * q_mat[None, :, d]
+                div = q_nrm[None, :] * c_nrm[:, None]
+                keep_np = keep.to_numpy(zero_copy_only=False).reshape(n, n_q)
+                if np.any((div == 0.0) & keep_np):
+                    raise ArithmeticError(
+                        "cosine_topk: division by zero (ANSI)"
+                    )
+                cos = pa.array(
+                    (dot / np.where(div == 0.0, np.nan, div)).reshape(-1)
+                )
+            else:
+                rows = v.to_pylist()
+                norms = [_py_fold_norm(r) for r in rows]
+                vals, mask = [], []
+                for i in range(n):
+                    for j in range(n_q):
+                        c = (
+                            _pair_cosine(rows[i], norms[i], j)
+                            if keep[i * n_q + j].as_py()
+                            else None
+                        )
+                        vals.append(c)
+                        mask.append(c is None)
+                cos = pa.array(
+                    [0.0 if m else x for x, m in zip(vals, mask)],
+                    type=pa.float64(),
+                    mask=np.array(mask),
+                )
+            out = pa.RecordBatch.from_arrays(
+                [out_qid, out_nid, cos], names=["query_id", "neighbor_id", "cosine"]
+            )
+            yield out.filter(keep)
+
+    sims = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("cvec"),
-    ).withColumn("_cn", _norm(F.col("cvec")))
-    sims = (
-        c.crossJoin(F.broadcast(q))
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            _cosine_hoisted(
-                F.col("qvec"), F.col("cvec"), F.col("_qn"), F.col("_cn")
-            ).alias("cosine"),
-        )
-    )
+    ).mapInArrow(kern, schema=out_ddl)
     w = Window.partitionBy("query_id").orderBy(
         F.round(F.col("cosine"), 6).desc(), F.col("neighbor_id").asc()
     )

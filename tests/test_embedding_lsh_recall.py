@@ -360,3 +360,83 @@ def test_semantic_dedup_multi_probe_recovers_boundary_pairs(spark):
         for r in semantic_dedup(df, n_cells=2, threshold=0.998, n_assign=2).collect()
     }
     assert again == {k: (v["keep"], v["component"], v["cell"]) for k, v in probe2.items()}
+
+
+def test_cosine_topk_kernel_matches_fold_form(spark, planted):
+    """The r7 numpy dot kernel inside cosine_topk must be bit-identical to
+    the interpreted JVM fold it replaced (dim-loop = same left-to-right
+    IEEE adds), including NULL semantics: NULL vector / NULL element /
+    ragged dims -> NULL cosine, NULL ids drop out of the != filter."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from dataqualitykit_spark.operators.similarity import (
+        _cosine_hoisted,
+        _norm,
+    )
+
+    def fold_form(corpus, queries, k):
+        q = queries.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").cast("array<double>").alias("qvec"),
+        ).withColumn("_qn", _norm(F.col("qvec")))
+        c = corpus.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").cast("array<double>").alias("cvec"),
+        ).withColumn("_cn", _norm(F.col("cvec")))
+        sims = (
+            c.crossJoin(F.broadcast(q))
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .select(
+                "query_id",
+                "neighbor_id",
+                _cosine_hoisted(
+                    F.col("qvec"), F.col("cvec"), F.col("_qn"), F.col("_cn")
+                ).alias("cosine"),
+            )
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.round(F.col("cosine"), 6).desc(), F.col("neighbor_id").asc()
+        )
+        return (
+            sims.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .withColumn("cosine", F.round("cosine", 6))
+        )
+
+    def rows_of(df):
+        return sorted(
+            (r["query_id"], r["neighbor_id"], repr(r["cosine"]), r["rank"])
+            for r in df.collect()
+        )
+
+    queries = planted.filter("vec_id >= 1000")
+    corpus = planted.filter("vec_id < 1000")
+    got = rows_of(similarity.cosine_topk(corpus, queries, k=5))
+    want = rows_of(fold_form(corpus, queries, k=5))
+    assert got == want and len(got) == N_QUERIES * 5
+
+    # adversarial shapes: NULL vec, NULL element, ragged dims, NULL id —
+    # the kernel's slow path must reproduce the fold form's NULL algebra
+    adv = spark.createDataFrame(
+        [
+            (1, [1.0, 2.0, 3.0]),
+            (2, [3.0, 2.0, 1.0]),
+            (3, None),
+            (4, [1.0, None, 3.0]),
+            (5, [1.0, 2.0]),
+            (None, [9.0, 9.0, 9.0]),
+            (7, [2.0, 2.0, 2.0]),
+        ],
+        "vec_id bigint, embedding array<double>",
+    )
+    qs = adv.filter((F.col("vec_id") < 5) | F.col("vec_id").isNull())
+    got = rows_of(similarity.cosine_topk(adv, qs, k=10))
+    want = rows_of(fold_form(adv, qs, k=10))
+    assert got == want and got
+
+    # empty query set keeps the output contract
+    assert (
+        similarity.cosine_topk(adv, adv.filter("vec_id < 0"), k=3).collect()
+        == []
+    )
