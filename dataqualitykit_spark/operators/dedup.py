@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..config import WS_REGEX
 
@@ -527,6 +528,7 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 25,
+    contract_cap: int = 1_000_000,
 ) -> DataFrame:
     """Connected components over an undirected edge list via iterative
     min-label propagation — pairs -> clusters with NO graph library, the
@@ -539,8 +541,16 @@ def connected_components(
     materialized — at 10^12 docs the pair-participant set is tiny relative
     to the corpus, so the loop frames stay small.
 
-    Each iteration is ONE driver action running a propagation round (an
-    equi-join + one groupBy, shuffling (id,label) pairs only) composed
+    Shape (r7): one groupBy folds the round-1 propagation into the
+    initial labels (cliques collapse immediately), then the graph is
+    CONTRACTED to its label graph — tiny once cliques are gone — which
+    a single bounded driver collect finishes exactly with min-root
+    union-find (components of a contraction by a within-component
+    vertex map are the original components). Only when the label graph
+    exceeds `contract_cap` rows does the iterative loop below run.
+
+    Each loop iteration is ONE driver action running a propagation round
+    (an equi-join + one groupBy, shuffling (id,label) pairs only) composed
     with a POINTER-DOUBLING shortcut (label := label-node's own label) —
     labels' hop-distance to the component min roughly halves per action,
     so deep chains converge in O(log diameter) actions; shallow clusters
@@ -614,6 +624,70 @@ def connected_components(
         )
         .localCheckpoint(eager=False)
     )
+
+    # contract-and-finish (r7): the round-1 labels collapse cliques — the
+    # overwhelmingly common near-dup cluster shape — so the LABEL GRAPH
+    # (each edge mapped to its endpoints' labels, self-loops dropped,
+    # distinct) is tiny: only chain-shaped clusters that round 1 left
+    # unfinished contribute edges. Contraction by a within-component
+    # vertex map preserves components exactly (every label value is a
+    # component-member id), so union-find over the collected label graph
+    # with min-roots yields each label's true component minimum, and
+    # final(id) = root(label(id)) via one broadcast join. Measured at
+    # 400k docs / 1.5M pairs: the loop needed 6 driver actions, the last
+    # 5 rounds (~1.3 s each, full-edge-list joins) moving <30 straggler
+    # labels; the contract path replaces them with ONE bounded action.
+    # The collect is capped (contract_cap rows, counted via limit) — a
+    # label graph that big means round 1 barely contracted anything, and
+    # the iterative loop below handles it at any scale.
+    la = labels.select(F.col("id").alias("src"), F.col("label").alias("_la"))
+    lb = labels.select(F.col("id").alias("dst"), F.col("label").alias("_lb"))
+    label_edges = (
+        edges.join(la, "src")
+        .join(lb, "dst")
+        .filter(F.col("_la") != F.col("_lb"))
+        .select("_la", "_lb")
+        .distinct()
+    )
+    le_rows = label_edges.limit(contract_cap + 1).collect()
+    if len(le_rows) <= contract_cap:
+        if not le_rows:
+            return labels.withColumnRenamed("label", "component")
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != x:
+                parent[x], x = r, parent[x]
+            return r
+
+        for row in le_rows:
+            ra, rb = find(row["_la"]), find(row["_lb"])
+            if ra != rb:
+                # min-root: the union-find root IS the component minimum
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        remap = [(x, find(x)) for x in list(parent)]
+        label_t = labels.schema["label"].dataType
+        m = pairs.sparkSession.createDataFrame(
+            remap,
+            T.StructType(
+                [
+                    T.StructField("label", label_t),
+                    T.StructField("_root", label_t),
+                ]
+            ),
+        )
+        return (
+            labels.join(F.broadcast(m), "label", "left")
+            .select(
+                "id",
+                F.coalesce(F.col("_root"), F.col("label")).alias("component"),
+            )
+        )
+
     for _it in range(max_iter):
         # LAZY checkpoint: the changed-count below is the ONE action per
         # iteration — it materializes new's blocks as a side effect, so

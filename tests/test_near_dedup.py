@@ -102,12 +102,56 @@ def test_recompute_materialization_matches_checkpoint(spark, near_labeled):
 
 def test_connected_components_raises_on_max_iter_exhaustion(spark):
     # a 12-edge path needs ~11 propagation rounds; max_iter=2 double-rounds
-    # (4 propagation rounds) must fail loudly, never return split labels
+    # (4 propagation rounds) must fail loudly, never return split labels.
+    # contract_cap=0 forces the iterative fallback — the r7 contract path
+    # would otherwise finish this chain exactly in one bounded collect.
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(12)], "id_a int, id_b int"
     )
     with pytest.raises(RuntimeError, match="did not converge"):
-        dedup.connected_components(pairs, max_iter=2)
+        dedup.connected_components(pairs, max_iter=2, contract_cap=0)
+
+
+def test_connected_components_contract_matches_loop(spark):
+    """The r7 contract-and-finish path (label-graph union-find) must give
+    byte-identical components to the iterative loop on shapes the round-1
+    fold does NOT finish: deep chains, a chain-of-cliques, and string ids
+    (Spark's binary string ordering == python's — both code-point order)."""
+    cases = [
+        # 30-node path: worst case for label propagation
+        [(i, i + 1) for i in range(30)],
+        # two cliques bridged by a chain + an isolated pair
+        [(a, b) for a in range(5) for b in range(a + 1, 5)]
+        + [(ii, ii + 1) for ii in range(4, 9)]
+        + [(a, b) for a in range(8, 13) for b in range(a + 1, 13)]
+        + [(100, 101)],
+    ]
+    for edges in cases:
+        pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+        fast = {
+            (r["id"], r["component"])
+            for r in dedup.connected_components(pairs).collect()
+        }
+        loop = {
+            (r["id"], r["component"])
+            for r in dedup.connected_components(pairs, contract_cap=0).collect()
+        }
+        assert fast == loop and fast
+
+    # string ids through both paths
+    s_edges = [(f"u{i:03d}", f"u{i + 1:03d}") for i in range(20)] + [
+        ("zzz", "aaa")
+    ]
+    pairs = spark.createDataFrame(s_edges, "id_a string, id_b string")
+    fast = {
+        (r["id"], r["component"])
+        for r in dedup.connected_components(pairs).collect()
+    }
+    loop = {
+        (r["id"], r["component"])
+        for r in dedup.connected_components(pairs, contract_cap=0).collect()
+    }
+    assert fast == loop and fast
 
 
 def test_paragraph_scrub_pipeline_matches_oracle(spark):
